@@ -1,0 +1,77 @@
+"""Pipeline configuration.
+
+The reference hardcodes every knob (dataset size 10,619 at
+``src/main.rs:96``; alignment threshold 10 at ``src/graph/mod.rs:242``;
+k=5 in the live path, k∈{5,7} in the tree path ``src/tree.rs:89-105``;
+random-10% sampling in the dead ``Protein::new_with_rand_fivemers`` at
+``src/protein.rs:77-104``). Here they are all first-class config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Configuration for the full clustering pipeline."""
+
+    # --- k-mer extraction (reference src/protein.rs) ---
+    k: int = 5                      # k-mer size; 5 (live path) or 7 (tree path)
+    sampling: str = "all"           # "all" | "random10" (src/protein.rs:77-104)
+    seed: int = 0                   # RNG seed for the random10 sampling mode
+
+    # --- similarity / graph (reference src/graph/mod.rs) ---
+    threshold: int = 10             # align pairs with shared k-mers > threshold
+                                    # (src/graph/mod.rs:242)
+    cross_amr_only: bool = True     # keep only pairs whose AMR classes differ
+                                    # (src/graph/mod.rs:580-587)
+    weighting: str = "none"         # "none" | "blosum62" (src/blosum.rs variant)
+    weighted_threshold: Optional[int] = None  # threshold on the weighted score
+                                              # (defaults to `threshold` when
+                                              # weighting is enabled and this
+                                              # field is None)
+
+    # --- device execution ---
+    tile: int = 512                 # protein-axis tile for the pairwise sweep
+    word_block: int = 512           # k-mer-word-axis block inside the kernel
+    pair_capacity: int = 1 << 16    # fixed-capacity buffer for extracted pairs
+    use_pallas: bool = True         # Pallas kernel vs. pure-XLA fallback
+
+    # --- clustering (reference src/tree.rs) ---
+    cluster: str = "components"     # "components" | "tree" | "none"
+
+    # --- alignment backend (reference src/graph/mod.rs:195-319) ---
+    run_diamond: bool = False       # shell out to diamond when available
+
+    def __post_init__(self):
+        if self.k not in (5, 7):
+            # src/tree.rs:103-105 panics with the same constraint.
+            raise ValueError(f"k must be 5 or 7, got {self.k}")
+        if self.sampling not in ("all", "random10"):
+            raise ValueError(f"unknown sampling mode {self.sampling!r}")
+        if self.weighting not in ("none", "blosum62"):
+            raise ValueError(f"unknown weighting mode {self.weighting!r}")
+        if self.cluster not in ("components", "tree", "none"):
+            raise ValueError(f"unknown cluster mode {self.cluster!r}")
+        if self.tile % 8 != 0:
+            raise ValueError("tile must be a multiple of 8 (TPU sublane)")
+        if self.word_block % 128 != 0:
+            raise ValueError("word_block must be a multiple of 128 (TPU lane)")
+
+    @property
+    def effective_weighted_threshold(self) -> int:
+        if self.weighted_threshold is not None:
+            return self.weighted_threshold
+        return self.threshold
+
+    def cache_key(self, stage: str, extra: str = "") -> str:
+        """Stable hash identifying a stage's artifact for checkpoint/resume."""
+        payload = json.dumps(
+            {"stage": stage, "extra": extra, **dataclasses.asdict(self)},
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

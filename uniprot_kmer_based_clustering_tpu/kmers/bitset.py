@@ -1,0 +1,91 @@
+"""Packed k-mer presence bitsets.
+
+The reference's per-vertex edge-incidence "bit arrays"
+(``src/graph/vertex.rs:143-157``, ``src/tree.rs`` u/c bitarrays) are
+``Vec<bool>`` — one byte per bit, reallocated per query. Here the whole
+dataset is one packed ``[N, W]`` uint32 matrix: protein n contains the
+repeated k-mer of rank r iff bit ``r % 32`` (LSB-first) of word
+``words[n, r // 32]`` is set. 231,253 repeated 5-mers → 7,227 words →
+28.9 KB/protein; 10,619 proteins ≈ 307 MB — comfortably HBM-resident, and
+the layout a tiled AND+popcount sweep wants.
+
+Padding: the word axis is padded to a multiple of 128 (TPU lane count) and
+the protein axis to a multiple of the sweep tile; pad bits are zero so they
+never contribute to a popcount.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class BitsetMatrix:
+    """Packed presence matrix plus its true (unpadded) dimensions."""
+
+    words: np.ndarray  # uint32 [N_pad, W_pad]
+    n: int             # true protein count
+    n_bits: int        # true k-mer (rank-space) count
+
+    @property
+    def n_pad(self) -> int:
+        return int(self.words.shape[0])
+
+    @property
+    def w_pad(self) -> int:
+        return int(self.words.shape[1])
+
+    def row_bits(self, i: int) -> np.ndarray:
+        """Unpacked bool row (testing/debug only)."""
+        bits = np.unpackbits(
+            self.words[i].view(np.uint8), bitorder="little"
+        )
+        return bits[: self.n_bits].astype(bool)
+
+
+def pack_bitsets(
+    incidence_protein: np.ndarray,
+    incidence_rank: np.ndarray,
+    n: int,
+    n_bits: int,
+    row_multiple: int = 512,
+    word_multiple: int = 128,
+    chunk_rows: int = 2048,
+) -> BitsetMatrix:
+    """Pack (protein, rank) incidences into the uint32 presence matrix.
+
+    Chunked over protein rows so the transient bool matrix stays small
+    (``chunk_rows × n_bits`` bytes).
+    """
+    n_pad = _round_up(max(n, 1), row_multiple)
+    w = _round_up(max(n_bits, 1), 32) // 32
+    w_pad = _round_up(w, word_multiple)
+    words = np.zeros((n_pad, w_pad), dtype=np.uint32)
+
+    bit_cols = w_pad * 32
+    order = np.argsort(incidence_protein, kind="stable")
+    ip = incidence_protein[order]
+    ir = incidence_rank[order]
+    starts = np.searchsorted(ip, np.arange(0, n + 1, dtype=ip.dtype))
+
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        s, e = starts[lo], starts[hi]
+        if s == e:
+            continue
+        bits = np.zeros((hi - lo, bit_cols), dtype=np.uint8)
+        bits[ip[s:e] - lo, ir[s:e]] = 1
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        words[lo:hi] = packed.view(np.uint32)
+    return BitsetMatrix(words=words, n=n, n_bits=n_bits)
+
+
+def unpack_ranks(bitset: BitsetMatrix, i: int) -> np.ndarray:
+    """Rank ids present in row i (testing/debug)."""
+    return np.nonzero(bitset.row_bits(i))[0]

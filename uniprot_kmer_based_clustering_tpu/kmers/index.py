@@ -1,0 +1,167 @@
+"""Global k-mer document-frequency index and dense-rank hashing.
+
+Reference pipeline (``src/main.rs:77-199``):
+  1. per-protein sort+dedup of k-mer codes → *document* frequency counting
+     into one global sorted list (the mutexed ``merge_sort`` insertion,
+     src/main.rs:23-48,101-114 — the serialization bottleneck);
+  2. split into unique (docfreq==1) and repeated codes (src/main.rs:126-137);
+  3. build boomphf ``Mphf`` minimal perfect hash functions over both sets
+     (γ=3.0, src/main.rs:139-140) and re-key every protein's k-mers into the
+     dense repeated-hash space (src/protein.rs:151-174);
+  4. recompute docfreq in hash space (src/main.rs:187-193).
+
+TPU-first replacement: the MPHF is an arbitrary bijection {repeated codes} →
+[0, R); every downstream quantity (pairwise intersection sizes, docfreqs,
+edge counts) is invariant under that bijection. We use the **dense rank in
+ascending code order** — a deterministic minimal perfect hash by
+construction — computed with sort/unique (host numpy) or, for k=5, a dense
+``bincount`` over the 21^5 = 4,084,101-code universe (device path,
+``doc_freq_dense_device``), which distributes across hosts with one ``psum``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class KmerIndex:
+    """Doc-freq index over the k-mer universe of one dataset.
+
+    Attributes:
+      k: k-mer size.
+      codes: int64 [D] — all distinct codes, ascending (D = distinct k-mers).
+      doc_freq: int64 [D] — #proteins containing each code.
+      repeated_codes: int64 [R] — codes with doc_freq ≥ 2, ascending; the
+        rank hash maps repeated_codes[r] → r.
+      incidence_protein: int32 [nnz] — protein row of each (protein,
+        repeated-kmer) incidence, sorted by (protein, rank).
+      incidence_rank: int32 [nnz] — rank-hash column of each incidence.
+      hash_doc_freq: int64 [R] — docfreq in rank space (src/main.rs:187-193);
+        equals doc_freq[repeated mask] by construction.
+    """
+
+    k: int
+    codes: np.ndarray
+    doc_freq: np.ndarray
+    repeated_codes: np.ndarray
+    incidence_protein: np.ndarray
+    incidence_rank: np.ndarray
+    hash_doc_freq: np.ndarray
+
+    @property
+    def n_distinct(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def n_unique(self) -> int:
+        return self.n_distinct - self.n_repeated
+
+    @property
+    def n_repeated(self) -> int:
+        return int(self.repeated_codes.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.incidence_rank.shape[0])
+
+    def multigraph_edge_count(self) -> int:
+        """Σ f(f−1)/2 over rank-space docfreq — the number of edge slots the
+        reference materializes (src/graph/mod.rs:44-48): 258,621,291 on the
+        bundled dataset."""
+        f = self.hash_doc_freq.astype(np.int64)
+        return int((f * (f - 1) // 2).sum())
+
+    def rank_of(self, codes: np.ndarray) -> np.ndarray:
+        """Map k-mer codes → rank-hash ids (-1 for non-repeated codes)."""
+        pos = np.searchsorted(self.repeated_codes, codes)
+        pos = np.clip(pos, 0, self.n_repeated - 1)
+        ok = self.repeated_codes[pos] == codes
+        return np.where(ok, pos, -1).astype(np.int64)
+
+
+def build_index(
+    codes: np.ndarray, kmer_offsets: np.ndarray, k: int
+) -> KmerIndex:
+    """Build the doc-freq index from per-protein k-mer code lists.
+
+    ``codes``/``kmer_offsets`` are the ragged output of
+    :func:`uniprot_kmer_based_clustering_tpu.kmers.encode.encode_kmers`.
+    """
+    n = kmer_offsets.shape[0] - 1
+    per_protein_counts = np.diff(kmer_offsets)
+    protein_of = np.repeat(
+        np.arange(n, dtype=np.int64), per_protein_counts
+    )
+
+    # Distinct (protein, code) incidences — the per-protein sort+dedup of
+    # src/main.rs:100-102 for all proteins at once. Key fits int64 for both
+    # k (21^7 < 2^31) and UniProt-scale N.
+    universe = 21**k
+    keys = protein_of * universe + codes
+    keys = np.unique(keys)
+    inc_protein = (keys // universe).astype(np.int32)
+    inc_code = keys % universe
+
+    distinct_codes, doc_freq = np.unique(inc_code, return_counts=True)
+    repeated_mask = doc_freq >= 2
+    repeated_codes = distinct_codes[repeated_mask]
+    hash_doc_freq = doc_freq[repeated_mask].astype(np.int64)
+
+    # Strip unique-kmer incidences and re-key to rank space
+    # (src/protein.rs:151-174). keys are sorted ⇒ incidences stay sorted by
+    # (protein, rank) since rank order == code order.
+    rank = np.searchsorted(repeated_codes, inc_code)
+    rank = np.clip(rank, 0, max(len(repeated_codes) - 1, 0))
+    keep = (
+        repeated_codes[rank] == inc_code
+        if len(repeated_codes)
+        else np.zeros_like(inc_code, dtype=bool)
+    )
+
+    return KmerIndex(
+        k=k,
+        codes=distinct_codes,
+        doc_freq=doc_freq.astype(np.int64),
+        repeated_codes=repeated_codes,
+        incidence_protein=inc_protein[keep],
+        incidence_rank=rank[keep].astype(np.int32),
+        hash_doc_freq=hash_doc_freq,
+    )
+
+
+def doc_freq_dense_device(codes, valid, k: int):
+    """Device-side doc-freq over the dense 21^k universe (k=5 only).
+
+    Args:
+      codes: int32 [N, W] window codes (``encode_kmers_device``).
+      valid: bool [N, W] real-window mask.
+
+    Returns int32 [21^k] document frequencies. Per-protein dedup is done by
+    scattering 1s into a per-protein presence row? No — that would be [N,
+    21^k]. Instead we exploit ``jnp.unique``-free segment math: mark the
+    *first* occurrence of each code within a protein row by sorting each row
+    and comparing neighbors, then ``bincount`` the surviving codes. Under a
+    protein-sharded mesh the final step is a ``psum`` over the protein axis.
+
+    On the bundled dataset this is a [10619, ~1047] sort — trivial for the
+    TPU. For k=7 the 1.8B-slot dense table is impractical; use the host
+    sort-based :func:`build_index` instead.
+    """
+    import jax.numpy as jnp
+
+    if k != 5:
+        raise ValueError("dense device doc-freq supports k=5 only")
+    universe = 21**k
+    # Sentinel out-of-range code for padding windows so they never count.
+    sent = universe
+    c = jnp.where(valid, codes, sent)
+    c = jnp.sort(c, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((c.shape[0], 1), bool), c[:, 1:] != c[:, :-1]], axis=1
+    )
+    flat = jnp.where(first & (c < sent), c, sent).reshape(-1)
+    counts = jnp.zeros(universe + 1, jnp.int32).at[flat].add(1)
+    return counts[:universe]
