@@ -36,10 +36,16 @@ class PipelineConfig:
                                               # field is None)
 
     # --- device execution ---
+    engine: str = "auto"            # "auto" | "mxu" | "popcount" | "xla"
+                                    #   mxu: int8 binary-matmul sweep (fastest)
+                                    #   popcount: packed-bitset Pallas kernel
+                                    #     (8× less HBM; memory-lean at scale)
+                                    #   xla: popcount fallback, runs anywhere
+                                    #   auto: mxu on TPU, xla elsewhere
     tile: int = 512                 # protein-axis tile for the pairwise sweep
+    strip: int = 3584               # stationary strip rows for the MXU engine
     word_block: int = 512           # k-mer-word-axis block inside the kernel
     pair_capacity: int = 1 << 16    # fixed-capacity buffer for extracted pairs
-    use_pallas: bool = True         # Pallas kernel vs. pure-XLA fallback
 
     # --- clustering (reference src/tree.rs) ---
     cluster: str = "components"     # "components" | "tree" | "none"
@@ -57,6 +63,10 @@ class PipelineConfig:
             raise ValueError(f"unknown weighting mode {self.weighting!r}")
         if self.cluster not in ("components", "tree", "none"):
             raise ValueError(f"unknown cluster mode {self.cluster!r}")
+        if self.engine not in ("auto", "mxu", "popcount", "xla"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+        if self.strip % self.tile != 0:
+            raise ValueError("strip must be a multiple of tile")
         if self.tile % 8 != 0:
             raise ValueError("tile must be a multiple of 8 (TPU sublane)")
         if self.word_block % 128 != 0:

@@ -1,0 +1,184 @@
+"""MXU engine: pairwise shared-k-mer counts as int8 binary matmuls.
+
+The intersection-count matrix is exactly ``C = B @ B.T`` where ``B`` is the
+{0,1} protein×k-mer incidence matrix — a matmul with N²·K ≈ 2.7e13 MACs on
+the bundled dataset, which the TPU MXU executes at int8 rates (~170 TOPS
+measured on v5e), an order of magnitude faster than any scalar-popcount
+formulation of the same reduction. Products are 0/1 and row sums are
+< 2³¹, so int32 accumulation is exact: this engine is bit-identical to the
+reference's shared-k-mer counts (src/graph/edge.rs `KmerEdgeGroup` k-mer
+lists have length == C[i,j]).
+
+The unpacked int8 matrix is 8× the packed bitset (2.5 GB here), so it is
+materialized strip-by-strip from the packed words on device; the packed
+``[N, W]`` uint32 matrix stays the canonical artifact.
+
+Strips: the protein rows are processed in `strip` blocks; for stationary
+strip s only the column suffix j ≥ s·strip is computed (upper triangle at
+strip granularity), giving ≤ nS compiled shapes and ~2× work saving for
+many strips.
+
+BLOSUM weighting (src/blosum.rs capability) rides the same matmul: the
+moving operand's bits are scaled per k-mer column by an integer weight
+≤ 127, keeping int8 operands and exact int32 accumulation — weighted
+similarity at full MXU rate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
+    """uint32 packed words [R, W] → int8 bit matrix [R, W*32].
+
+    Bit b (LSB-first) of word w maps to column w*32+b, matching
+    ``kmers.bitset.pack_bitsets``. With `weights` (int8 [W*32]), the bit
+    columns are scaled — used for the BLOSUM-weighted engine.
+    """
+    r, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(r, w * 32).astype(jnp.int8)
+    if weights is not None:
+        bits = bits * weights[None, :]
+    return bits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("i0", "j0", "n", "threshold", "block", "w_thresh"),
+)
+def _strip_stats(
+    words_a,      # uint32 [S, W] stationary strip (packed)
+    words_b,      # uint32 [J, W] moving suffix (packed)
+    classes_a,    # int32 [S]
+    classes_b,    # int32 [J]
+    weights,      # int8 [W*32] or None-like all-ones
+    *,
+    i0: int,
+    j0: int,
+    n: int,
+    threshold: int,
+    block: int,
+    w_thresh: int,
+):
+    """One stationary strip vs one column suffix: fused matmul + stats.
+
+    Returns:
+      row_stats int32 [S, 8]  (see ops.popcount.ROW_STAT_NAMES)
+      block_hits int32 [S//block, J//block, 2] — #pairs over threshold per
+        (row-block, col-block), cross/same — drives exact pair extraction.
+    """
+    s = words_a.shape[0]
+    j = words_b.shape[0]
+    a = unpack_words_to_int8(words_a)
+    b = unpack_words_to_int8(words_b, weights)
+    counts = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [S, J]
+
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 1)
+    valid = (gi < gj) & (gj < n)
+    cross = valid & (classes_a[:, None] != classes_b[None, :])
+    same = valid & ~cross
+
+    czero = jnp.where(cross, counts, 0)
+    szero = jnp.where(same, counts, 0)
+    over_c = cross & (counts > threshold)
+    over_s = same & (counts > threshold)
+    row_stats = jnp.stack(
+        [
+            jnp.sum(czero, axis=1),
+            jnp.sum((cross & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+            jnp.sum(over_c.astype(jnp.int32), axis=1),
+            jnp.max(czero, axis=1),
+            jnp.sum(szero, axis=1),
+            jnp.sum((same & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+            jnp.sum(over_s.astype(jnp.int32), axis=1),
+            jnp.max(szero, axis=1),
+        ],
+        axis=1,
+    )
+
+    nb_i, nb_j = s // block, j // block
+    bh = jnp.stack(
+        [
+            over_c.astype(jnp.int32)
+            .reshape(nb_i, block, nb_j, block)
+            .sum(axis=(1, 3)),
+            over_s.astype(jnp.int32)
+            .reshape(nb_i, block, nb_j, block)
+            .sum(axis=(1, 3)),
+        ],
+        axis=-1,
+    )
+    return row_stats, bh
+
+
+def sweep_mxu(
+    words,
+    classes,
+    n: int,
+    threshold: int,
+    strip: int = 3584,
+    block: int = 512,
+    weights: Optional[np.ndarray] = None,
+    w_thresh: int = 1,
+):
+    """Full upper-triangle sweep on the MXU.
+
+    Args mirror :func:`ops.popcount.sweep_pallas`; `weights` enables the
+    BLOSUM-weighted engine (int8 per-k-mer column weights). `w_thresh` is
+    the count considered "present" for the pairs counter (1 for raw counts;
+    the minimum positive weight for weighted scores).
+
+    Returns (row_stats int64 [N_pad, 8], tile_hits int32 [n_tiles, 2],
+             tiles (ti, tj)) in the same tile enumeration as the popcount
+    engines so extraction is engine-agnostic.
+    """
+    n_pad, w_words = words.shape
+    assert n_pad % strip == 0 and strip % block == 0
+    ns = n_pad // strip
+    nb = n_pad // block
+
+    classes = jnp.asarray(classes, jnp.int32)
+    if weights is None:
+        wts = jnp.ones(w_words * 32, jnp.int8)
+    else:
+        wts = jnp.asarray(weights, jnp.int8)
+        assert wts.shape[0] == w_words * 32
+
+    row_stats = np.zeros((n_pad, 8), dtype=np.int64)
+    block_hits = np.zeros((nb, nb, 2), dtype=np.int32)
+    for si in range(ns):
+        i0 = si * strip
+        wa = jax.lax.dynamic_slice_in_dim(words, i0, strip, 0)
+        wb = jax.lax.dynamic_slice_in_dim(words, i0, n_pad - i0, 0)
+        ca = jax.lax.dynamic_slice_in_dim(classes, i0, strip)
+        cb = jax.lax.dynamic_slice_in_dim(classes, i0, n_pad - i0)
+        rs, bh = _strip_stats(
+            wa, wb, ca, cb, wts,
+            i0=i0, j0=i0, n=n, threshold=threshold, block=block,
+            w_thresh=w_thresh,
+        )
+        row_stats[i0 : i0 + strip] = np.asarray(rs, dtype=np.int64)
+        block_hits[i0 // block :, i0 // block :][
+            : strip // block
+        ] += np.asarray(bh)
+
+    # Convert block hits to the upper-triangle tile enumeration shared with
+    # the popcount engines.
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block)
+    tile_hits = block_hits[ti, tj]  # [nT, 2]
+    return row_stats, tile_hits, (ti, tj)

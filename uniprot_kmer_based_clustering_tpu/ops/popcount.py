@@ -1,0 +1,363 @@
+"""Tiled pairwise AND+popcount sweep — the framework's hot kernel.
+
+Computes, for every protein pair (i < j), the shared-repeated-k-mer count
+``|kmers(i) ∩ kmers(j)| = Σ_w popcount(words[i, w] & words[j, w])`` over the
+packed bitset matrix, fused with the AMR-class cross filter and the
+alignment threshold. This single sweep subsumes the reference's entire
+graph engine:
+
+  * ``Graph::new``'s 258M-edge materialization (src/graph/mod.rs:39-193),
+  * ``remove_uninteresting_edges``'s cross-AMR filter
+    (src/graph/mod.rs:549-697),
+  * ``combine_edges``'s parallel-edge merge (src/graph/mod.rs:322-546), and
+  * the ``> 10`` shared-k-mer alignment gate (src/graph/mod.rs:242),
+
+because the merged edge between proteins i and j carries exactly their
+shared k-mers, so only the intersection *count* (and, for the 465 surviving
+pairs, the k-mer ids recovered later on host) is ever consumed.
+
+Design: the upper triangle of (tile_i, tile_j) pairs is enumerated by a
+scalar-prefetch grid (``pltpu.PrefetchScalarGridSpec``) so no tile is
+computed twice; the k-mer word axis is the second grid dimension with a
+VMEM accumulator carried across it; per-tile statistics are reduced inside
+the kernel so the O(N²) count matrix never touches HBM.
+
+Outputs (both int32):
+  row_stats [N_pad, 8] — per stationary protein row, over all j > i:
+      0 cross_weight  Σ counts where class differs
+      1 cross_pairs   #pairs with counts ≥ 1, class differs
+      2 cross_over    #pairs with counts > threshold, class differs
+      3 cross_max     max count, class differs
+      4..7 the same four for class-equal pairs
+  tile_hits [n_tiles, 8] — per (i,j) tile: lanes 0/1 = #cross/#same pairs
+      over threshold (drives the host extraction pass), lanes 2/3 = #pairs
+      with counts ≥ 1 (cross/same).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_STAT_NAMES = (
+    "cross_weight",
+    "cross_pairs",
+    "cross_over",
+    "cross_max",
+    "same_weight",
+    "same_pairs",
+    "same_over",
+    "same_max",
+)
+_NSTATS = 8
+_STAT_LANES = 128  # pad the stat axis to one full lane tile
+
+
+def upper_triangle_tiles(n_pad: int, tile: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (i_tile, j_tile) enumeration of the upper triangle,
+    row-major so that all tiles sharing a stationary i are consecutive
+    (required by the revisited row_stats output block)."""
+    nt = n_pad // tile
+    i, j = np.triu_indices(nt)
+    return i.astype(np.int32), j.astype(np.int32)
+
+
+def _masks(i0, j0, n, tile, classes_row, classes_col):
+    """Pair-validity and class masks for one (i,j) tile.
+
+    gi/gj are global protein indices; the `gi < gj` mask both removes the
+    diagonal and deduplicates the two orientations of diagonal tiles (the
+    reference's pair set is unordered: SURVEY.md §3.2).
+    """
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    valid = (gi < gj) & (gj < n) & (gi < n)
+    cross = classes_row != classes_col  # [tile,1] vs [1,tile] broadcast
+    return valid & cross, valid & ~cross
+
+
+def _tile_stat_columns(counts, cross, same, threshold):
+    """Reduce a [T, T] counts tile to eight per-row [T, 1] stat columns."""
+    czero = jnp.where(cross, counts, 0)
+    szero = jnp.where(same, counts, 0)
+    kd = dict(axis=1, keepdims=True)
+    return [
+        jnp.sum(czero, **kd),
+        jnp.sum((cross & (counts >= 1)).astype(jnp.int32), **kd),
+        jnp.sum((cross & (counts > threshold)).astype(jnp.int32), **kd),
+        jnp.max(czero, **kd),
+        jnp.sum(szero, **kd),
+        jnp.sum((same & (counts >= 1)).astype(jnp.int32), **kd),
+        jnp.sum((same & (counts > threshold)).astype(jnp.int32), **kd),
+        jnp.max(szero, **kd),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _sweep_kernel(
+    # scalar prefetch
+    i_of_t_ref,
+    j_of_t_ref,
+    first_of_t_ref,
+    # inputs
+    a_ref,        # [T, WB] uint32 — stationary tile word block
+    b_ref,        # [T, WB] uint32 — moving tile word block
+    crow_ref,     # [T, 1] int32 — stationary classes
+    ccol_ref,     # [1, T] int32 — moving classes
+    # outputs
+    row_stats_ref,  # [T, 128] int32, indexed by i (revisited across t)
+    tile_hits_ref,  # [1, 128] int32, indexed by t
+    # scratch
+    counts_ref,     # [T, T] int32 accumulator across the w grid dim
+    *,
+    tile: int,
+    n: int,
+    threshold: int,
+    unroll: int,
+):
+    t = pl.program_id(0)
+    w = pl.program_id(1)
+    nw = pl.num_programs(1)
+
+    @pl.when(w == 0)
+    def _init():
+        counts_ref[...] = jnp.zeros_like(counts_ref)
+
+    a = a_ref[...]
+
+    def body(c, _):
+        # `unroll` moving rows per step: independent AND+popcount chains.
+        for u in range(unroll):
+            brow = b_ref[pl.ds(c * unroll + u, 1), :]          # [1, WB]
+            x = jax.lax.population_count(a & brow)              # [T, WB]
+            s = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True)  # [T, 1]
+            counts_ref[:, pl.ds(c * unroll + u, 1)] += s
+        return 0
+
+    jax.lax.fori_loop(0, tile // unroll, body, 0, unroll=False)
+
+    @pl.when(w == nw - 1)
+    def _finalize():
+        i0 = i_of_t_ref[t] * tile
+        j0 = j_of_t_ref[t] * tile
+        counts = counts_ref[...]
+        cross, same = _masks(
+            i0, j0, n, tile, crow_ref[...], ccol_ref[...]
+        )
+        cols = _tile_stat_columns(counts, cross, same, threshold)
+
+        first = first_of_t_ref[t] == 1
+        zero = jnp.zeros((tile, 1), jnp.int32)
+        for lane, col in enumerate(cols):
+            prev = jnp.where(first, zero, row_stats_ref[:, lane : lane + 1])
+            if lane % 4 == 3:  # max lanes
+                row_stats_ref[:, lane : lane + 1] = jnp.maximum(prev, col)
+            else:
+                row_stats_ref[:, lane : lane + 1] = prev + col
+
+        # tile_hits blocks are 8 sublanes per tile (TPU min tile height);
+        # the hits live in row 0, rows 1-7 are zero. Built with iota masks
+        # (scatter is not lowerable in Mosaic).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 1)
+        hits = jnp.zeros((8, _STAT_LANES), jnp.int32)
+        for lane, src in enumerate((2, 6, 1, 5)):
+            hits = hits + jnp.where(
+                (sub == 0) & (lanes == lane), jnp.sum(cols[src]), 0
+            )
+        tile_hits_ref[...] = hits
+
+
+def sweep_pallas(
+    words,
+    classes,
+    n: int,
+    threshold: int,
+    tile: int = 512,
+    word_block: int = 512,
+    unroll: int = 4,
+    interpret: bool = False,
+):
+    """Run the full upper-triangle sweep as one Pallas call.
+
+    Args:
+      words: uint32 [N_pad, W_pad] packed bitsets (N_pad % tile == 0).
+      classes: int32 [N_pad] AMR class ids (pad rows are masked by `n`).
+      n: true protein count.
+      threshold: alignment gate — pairs with counts strictly greater survive
+        (src/graph/mod.rs:242).
+
+    Returns (row_stats int32 [N_pad, 8], tile_hits int32 [n_tiles, 4],
+             tiles_ij (np.ndarray, np.ndarray)).
+    """
+    n_pad, w_pad = words.shape
+    assert n_pad % tile == 0
+    if w_pad % word_block != 0:
+        pad = -w_pad % word_block
+        words = jnp.pad(words, ((0, 0), (0, pad)))
+        w_pad += pad
+    ti, tj = upper_triangle_tiles(n_pad, tile)
+    nt = ti.shape[0]
+    first = np.ones(nt, dtype=np.int32)
+    first[1:] = (ti[1:] != ti[:-1]).astype(np.int32)
+    nw = w_pad // word_block
+
+    classes = classes.astype(jnp.int32)
+    crow = classes.reshape(n_pad, 1)
+    ccol = classes.reshape(1, n_pad)
+
+    kernel = functools.partial(
+        _sweep_kernel, tile=tile, n=n, threshold=threshold, unroll=unroll
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt, nw),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, word_block),
+                lambda t, w, it, jt, ft: (it[t], w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, word_block),
+                lambda t, w, it, jt, ft: (jt[t], w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 1),
+                lambda t, w, it, jt, ft: (it[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile),
+                lambda t, w, it, jt, ft: (0, jt[t]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile, _STAT_LANES),
+                lambda t, w, it, jt, ft: (it[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, _STAT_LANES),
+                lambda t, w, it, jt, ft: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.int32)],
+    )
+    row_stats, tile_hits = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, _STAT_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * 8, _STAT_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * nt * tile * tile * w_pad,
+            bytes_accessed=nt * nw * 2 * tile * word_block * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(first), words, words, crow, ccol)
+    return row_stats[:, :_NSTATS], tile_hits[::8, :4], (ti, tj)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback / oracle
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pairwise_counts_xla(a_words, b_words):
+    """[A, W] × [B, W] → int32 [A, B] shared-bit counts (pure XLA)."""
+
+    def one_row(row):
+        return jnp.sum(
+            jax.lax.population_count(row[None, :] & b_words).astype(jnp.int32),
+            axis=1,
+        )
+
+    return jax.vmap(one_row)(a_words)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "threshold", "tile"))
+def _tile_stats_xla(a, b, crow, ccol, i0, j0, *, n, threshold, tile):
+    counts = pairwise_counts_xla(a, b)
+    cross, same = _masks(i0, j0, n, tile, crow, ccol)
+    cols = _tile_stat_columns(counts, cross, same, threshold)
+    stats = jnp.concatenate(cols, axis=1)  # [T, 8]
+    hits = jnp.stack(
+        [
+            jnp.sum(stats[:, 2]),
+            jnp.sum(stats[:, 6]),
+            jnp.sum(stats[:, 1]),
+            jnp.sum(stats[:, 5]),
+        ]
+    )
+    return stats, hits
+
+
+def sweep_xla(words, classes, n: int, threshold: int, tile: int = 512):
+    """Tile-by-tile XLA sweep with identical outputs to :func:`sweep_pallas`.
+
+    Python-loops the tile grid (one compiled tile program), so it is the
+    correctness oracle on CPU and the fallback when Pallas is unavailable.
+    """
+    n_pad = words.shape[0]
+    ti, tj = upper_triangle_tiles(n_pad, tile)
+    classes = jnp.asarray(classes, jnp.int32)
+    row_stats = np.zeros((n_pad, _NSTATS), dtype=np.int64)
+    tile_hits = np.zeros((ti.shape[0], 4), dtype=np.int32)
+    for t in range(ti.shape[0]):
+        i, j = int(ti[t]), int(tj[t])
+        a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
+        b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
+        crow = jax.lax.dynamic_slice_in_dim(classes, i * tile, tile).reshape(
+            tile, 1
+        )
+        ccol = jax.lax.dynamic_slice_in_dim(classes, j * tile, tile).reshape(
+            1, tile
+        )
+        stats, hits = _tile_stats_xla(
+            a, b, crow, ccol, i * tile, j * tile,
+            n=n, threshold=threshold, tile=tile,
+        )
+        stats = np.asarray(stats, dtype=np.int64)
+        sl = slice(i * tile, (i + 1) * tile)
+        for lane in range(_NSTATS):
+            if lane % 4 == 3:
+                row_stats[sl, lane] = np.maximum(row_stats[sl, lane], stats[:, lane])
+            else:
+                row_stats[sl, lane] += stats[:, lane]
+        tile_hits[t] = np.asarray(hits)
+    return row_stats, tile_hits, (ti, tj)
+
+
+def sweep(words, classes, n, threshold, tile=512, word_block=512,
+          use_pallas=True, interpret=False):
+    """Dispatch to the Pallas kernel on TPU or the XLA fallback elsewhere."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if use_pallas and (on_tpu or interpret):
+        row_stats, tile_hits, tiles = sweep_pallas(
+            words, classes, n, threshold, tile, word_block,
+            interpret=interpret and not on_tpu,
+        )
+        return (
+            np.asarray(row_stats, dtype=np.int64),
+            np.asarray(tile_hits),
+            tiles,
+        )
+    return sweep_xla(words, classes, n, threshold, tile)

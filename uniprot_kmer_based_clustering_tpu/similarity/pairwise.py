@@ -1,0 +1,179 @@
+"""Single-chip pairwise similarity sweep: stats + surviving-pair extraction.
+
+Replaces the reference's graph engine (``src/graph/``): the sweep's
+aggregate statistics reproduce the stderr counters the reference prints
+("Number of total edges", "Number of edges now", src/graph/mod.rs:50-51,
+545,695) and the extraction pass reproduces the pair set that
+``align_and_output_pairs`` would align (counts > threshold, cross-AMR —
+src/graph/mod.rs:242,580-587).
+
+Two-pass extraction under XLA's static shapes (SURVEY.md §7.4): pass 1 is
+the fused sweep, which reports per-tile hit counts; pass 2 recomputes the
+handful of hit tiles and pulls their counts to host for exact index
+recovery. Deterministic: pairs are produced sorted by (i, j).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
+from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+    pairwise_counts_xla,
+    sweep,
+)
+
+
+@dataclasses.dataclass
+class PairwiseResult:
+    """Aggregate similarity statistics plus the surviving pair list.
+
+    Attributes map to reference parity counters:
+      cross_weight: Σ shared-kmer counts over cross-AMR pairs — the edge
+        count after ``remove_uninteresting_edges`` (5,300,233 golden).
+      cross_pairs: distinct cross-AMR pairs with ≥1 shared k-mer — the edge
+        count after ``combine_edges`` (4,350,628 golden).
+      cross_over: pairs over the alignment threshold (465 golden).
+      cross_max: maximum shared-k-mer count over cross-AMR pairs (567).
+      same_*: the same statistics for class-equal pairs (the reference
+        discards these; kept for observability).
+      pairs: int64 [M, 3] — (i, j, shared_count) for surviving pairs,
+        sorted by (i, j). With cross_amr_only=False both populations
+        survive the gate.
+    """
+
+    cross_weight: int
+    cross_pairs: int
+    cross_over: int
+    cross_max: int
+    same_weight: int
+    same_pairs: int
+    same_over: int
+    same_max: int
+    pairs: np.ndarray
+
+    def parity_counters(self) -> Dict[str, int]:
+        return {
+            "edges_after_amr_filter": self.cross_weight,
+            "pairs_after_merge": self.cross_pairs,
+            "pairs_over_threshold": self.cross_over,
+            "max_shared_kmers": self.cross_max,
+        }
+
+
+def extract_pairs(
+    words,
+    classes,
+    tile_hits: np.ndarray,
+    tiles,
+    n: int,
+    threshold: int,
+    tile: int,
+    cross_amr_only: bool = True,
+) -> np.ndarray:
+    """Pass-2 exact pair recovery from tiles that reported hits."""
+    ti, tj = tiles
+    want = tile_hits[:, 0] > 0
+    if not cross_amr_only:
+        want |= tile_hits[:, 1] > 0
+    hit_tiles = np.nonzero(want)[0]
+    classes_np = np.asarray(classes)
+
+    out = []
+    for t in hit_tiles:
+        i, j = int(ti[t]), int(tj[t])
+        a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
+        b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
+        counts = np.asarray(pairwise_counts_xla(a, b))
+        gi = i * tile + np.arange(tile)[:, None]
+        gj = j * tile + np.arange(tile)[None, :]
+        mask = (counts > threshold) & (gi < gj) & (gj < n)
+        if cross_amr_only:
+            mask &= classes_np[np.clip(gi, 0, n - 1)] != classes_np[
+                np.clip(gj, 0, n - 1)
+            ]
+        r, c = np.nonzero(mask)
+        out.append(
+            np.stack(
+                [gi[r, 0], gj[0, c], counts[r, c]], axis=1
+            ).astype(np.int64)
+        )
+    if not out:
+        return np.zeros((0, 3), dtype=np.int64)
+    pairs = np.concatenate(out, axis=0)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
+
+
+def pairwise_similarity(
+    bitset: BitsetMatrix,
+    class_ids: np.ndarray,
+    config: Optional[PipelineConfig] = None,
+    interpret: bool = False,
+) -> PairwiseResult:
+    """Run the fused sweep + extraction on the current default device."""
+    config = config or PipelineConfig()
+    n = bitset.n
+    n_pad = bitset.n_pad
+    classes = np.full(n_pad, -1, dtype=np.int32)
+    classes[:n] = np.asarray(class_ids, dtype=np.int32)
+
+    words = jnp.asarray(bitset.words)
+    classes_j = jnp.asarray(classes)
+
+    engine = config.engine
+    if engine == "auto":
+        engine = "mxu" if jax.devices()[0].platform == "tpu" else "xla"
+    if engine == "mxu":
+        strip = config.strip if n_pad % config.strip == 0 else config.tile
+        row_stats, tile_hits, tiles = sweep_mxu(
+            words,
+            classes_j,
+            n=n,
+            threshold=config.threshold,
+            strip=strip,
+            block=config.tile,
+        )
+    else:
+        row_stats, tile_hits, tiles = sweep(
+            words,
+            classes_j,
+            n=n,
+            threshold=config.threshold,
+            tile=config.tile,
+            word_block=config.word_block,
+            use_pallas=(engine == "popcount"),
+            interpret=interpret,
+        )
+    totals = row_stats.astype(np.int64).sum(axis=0)
+    maxes = row_stats.astype(np.int64).max(axis=0)
+
+    pairs = extract_pairs(
+        words,
+        classes,
+        tile_hits,
+        tiles,
+        n=n,
+        threshold=config.threshold,
+        tile=config.tile,
+        cross_amr_only=config.cross_amr_only,
+    )
+
+    return PairwiseResult(
+        cross_weight=int(totals[0]),
+        cross_pairs=int(totals[1]),
+        cross_over=int(totals[2]),
+        cross_max=int(maxes[3]),
+        same_weight=int(totals[4]),
+        same_pairs=int(totals[5]),
+        same_over=int(totals[6]),
+        same_max=int(maxes[7]),
+        pairs=pairs,
+    )
