@@ -181,4 +181,4 @@ def sweep_mxu(
 
     ti, tj = upper_triangle_tiles(n_pad, block)
     tile_hits = block_hits[ti, tj]  # [nT, 2]
-    return row_stats, tile_hits, (ti, tj)
+    return row_stats, tile_hits, (ti, tj, block)

@@ -37,6 +37,7 @@ Outputs (both int32):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -106,76 +107,90 @@ def _tile_stat_columns(counts, cross, same, threshold):
 
 def _sweep_kernel(
     # scalar prefetch
-    i_of_t_ref,
-    j_of_t_ref,
-    first_of_t_ref,
+    i_of_t_ref,     # int32 [nT] — stationary tile index per grid step
+    j_of_t_ref,     # int32 [nT] — moving tile index per grid step
+    first_of_t_ref, # int32 [nT] — 1 on the first tile of each stationary row
+    classes_ref,    # int32 [N_pad] — AMR class ids (SMEM scalars)
     # inputs
-    a_ref,        # [T, WB] uint32 — stationary tile word block
-    b_ref,        # [T, WB] uint32 — moving tile word block
-    crow_ref,     # [T, 1] int32 — stationary classes
-    ccol_ref,     # [1, T] int32 — moving classes
+    a_ref,          # [T, W] uint32 — stationary tile, full word axis
+    b_ref,          # [T, W] uint32 — moving tile, full word axis
+    crow_ref,       # [T, 1] int32 — stationary classes
     # outputs
     row_stats_ref,  # [T, 128] int32, indexed by i (revisited across t)
-    tile_hits_ref,  # [1, 128] int32, indexed by t
+    tile_hits_ref,  # [8, 128] int32, indexed by t (hits in row 0)
     # scratch
-    counts_ref,     # [T, T] int32 accumulator across the w grid dim
+    acc_ref,        # [T, 128] int32 — per-tile stat accumulator
     *,
     tile: int,
     n: int,
     threshold: int,
-    unroll: int,
 ):
+    """One (i_tile, j_tile) pair per grid step.
+
+    The moving tile's rows are looped; each step ANDs one moving row
+    against the whole stationary tile and lane-reduces the popcount to a
+    [T, 1] count column. Stats accumulate in static lane slices of a VMEM
+    scratch — Mosaic cannot lower dynamic *lane* stores, so the counts
+    matrix itself is never materialized (which also keeps VMEM flat in the
+    word axis and lets the full W live on chip).
+    """
     t = pl.program_id(0)
-    w = pl.program_id(1)
-    nw = pl.num_programs(1)
+    i0 = i_of_t_ref[t] * tile
+    j0 = j_of_t_ref[t] * tile
 
-    @pl.when(w == 0)
-    def _init():
-        counts_ref[...] = jnp.zeros_like(counts_ref)
-
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     a = a_ref[...]
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    crow = crow_ref[...]
 
     def body(c, _):
-        # `unroll` moving rows per step: independent AND+popcount chains.
-        for u in range(unroll):
-            brow = b_ref[pl.ds(c * unroll + u, 1), :]          # [1, WB]
-            x = jax.lax.population_count(a & brow)              # [T, WB]
-            s = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True)  # [T, 1]
-            counts_ref[:, pl.ds(c * unroll + u, 1)] += s
+        brow = b_ref[pl.ds(c, 1), :]                        # [1, W]
+        x = jax.lax.population_count(a & brow)
+        cnt = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True)  # [T, 1]
+
+        gj = j0 + c
+        class_c = classes_ref[gj]
+        valid = (gi < gj) & (gj < n)
+        cross = valid & (crow != class_c)
+        same = valid & (crow == class_c)
+
+        czero = jnp.where(cross, cnt, 0)
+        szero = jnp.where(same, cnt, 0)
+        acc_ref[:, 0:1] += czero
+        acc_ref[:, 1:2] += (cross & (cnt >= 1)).astype(jnp.int32)
+        acc_ref[:, 2:3] += (cross & (cnt > threshold)).astype(jnp.int32)
+        acc_ref[:, 3:4] = jnp.maximum(acc_ref[:, 3:4], czero)
+        acc_ref[:, 4:5] += szero
+        acc_ref[:, 5:6] += (same & (cnt >= 1)).astype(jnp.int32)
+        acc_ref[:, 6:7] += (same & (cnt > threshold)).astype(jnp.int32)
+        acc_ref[:, 7:8] = jnp.maximum(acc_ref[:, 7:8], szero)
         return 0
 
-    jax.lax.fori_loop(0, tile // unroll, body, 0, unroll=False)
+    jax.lax.fori_loop(0, tile, body, 0, unroll=False)
 
-    @pl.when(w == nw - 1)
-    def _finalize():
-        i0 = i_of_t_ref[t] * tile
-        j0 = j_of_t_ref[t] * tile
-        counts = counts_ref[...]
-        cross, same = _masks(
-            i0, j0, n, tile, crow_ref[...], ccol_ref[...]
+    first = first_of_t_ref[t] == 1
+    zero = jnp.zeros((tile, 1), jnp.int32)
+    for lane in range(_NSTATS):
+        prev = jnp.where(first, zero, row_stats_ref[:, lane : lane + 1])
+        cur = acc_ref[:, lane : lane + 1]
+        if lane % 4 == 3:  # max lanes
+            row_stats_ref[:, lane : lane + 1] = jnp.maximum(prev, cur)
+        else:
+            row_stats_ref[:, lane : lane + 1] = prev + cur
+
+    # tile_hits blocks are 8 sublanes per tile (TPU min tile height); the
+    # hits live in row 0, rows 1-7 are zero. Built with iota masks
+    # (scatter is not lowerable in Mosaic).
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 1)
+    hits = jnp.zeros((8, _STAT_LANES), jnp.int32)
+    for lane, src in enumerate((2, 6, 1, 5)):
+        hits = hits + jnp.where(
+            (sub == 0) & (lanes == lane),
+            jnp.sum(acc_ref[:, src : src + 1]),
+            0,
         )
-        cols = _tile_stat_columns(counts, cross, same, threshold)
-
-        first = first_of_t_ref[t] == 1
-        zero = jnp.zeros((tile, 1), jnp.int32)
-        for lane, col in enumerate(cols):
-            prev = jnp.where(first, zero, row_stats_ref[:, lane : lane + 1])
-            if lane % 4 == 3:  # max lanes
-                row_stats_ref[:, lane : lane + 1] = jnp.maximum(prev, col)
-            else:
-                row_stats_ref[:, lane : lane + 1] = prev + col
-
-        # tile_hits blocks are 8 sublanes per tile (TPU min tile height);
-        # the hits live in row 0, rows 1-7 are zero. Built with iota masks
-        # (scatter is not lowerable in Mosaic).
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 1)
-        hits = jnp.zeros((8, _STAT_LANES), jnp.int32)
-        for lane, src in enumerate((2, 6, 1, 5)):
-            hits = hits + jnp.where(
-                (sub == 0) & (lanes == lane), jnp.sum(cols[src]), 0
-            )
-        tile_hits_ref[...] = hits
+    tile_hits_ref[...] = hits
 
 
 def sweep_pallas(
@@ -183,9 +198,8 @@ def sweep_pallas(
     classes,
     n: int,
     threshold: int,
-    tile: int = 512,
-    word_block: int = 512,
-    unroll: int = 4,
+    tile: int = 128,
+    word_block: int = 512,  # unused; kept for a uniform engine signature
     interpret: bool = False,
 ):
     """Run the full upper-triangle sweep as one Pallas call.
@@ -200,63 +214,54 @@ def sweep_pallas(
     Returns (row_stats int32 [N_pad, 8], tile_hits int32 [n_tiles, 4],
              tiles_ij (np.ndarray, np.ndarray)).
     """
+    del word_block
     n_pad, w_pad = words.shape
     assert n_pad % tile == 0
-    if w_pad % word_block != 0:
-        pad = -w_pad % word_block
-        words = jnp.pad(words, ((0, 0), (0, pad)))
-        w_pad += pad
+    if w_pad % 128 != 0:
+        words = jnp.pad(words, ((0, 0), (0, -w_pad % 128)))
+        w_pad = words.shape[1]
     ti, tj = upper_triangle_tiles(n_pad, tile)
     nt = ti.shape[0]
     first = np.ones(nt, dtype=np.int32)
     first[1:] = (ti[1:] != ti[:-1]).astype(np.int32)
-    nw = w_pad // word_block
 
-    classes = classes.astype(jnp.int32)
-    crow = classes.reshape(n_pad, 1)
-    ccol = classes.reshape(1, n_pad)
-
+    classes = jnp.asarray(classes, jnp.int32)
     kernel = functools.partial(
-        _sweep_kernel, tile=tile, n=n, threshold=threshold, unroll=unroll
+        _sweep_kernel, tile=tile, n=n, threshold=threshold
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nt, nw),
+        num_scalar_prefetch=4,
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (tile, word_block),
-                lambda t, w, it, jt, ft: (it[t], w),
+                (tile, w_pad),
+                lambda t, it, jt, ft, cl: (it[t], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile, word_block),
-                lambda t, w, it, jt, ft: (jt[t], w),
+                (tile, w_pad),
+                lambda t, it, jt, ft, cl: (jt[t], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (tile, 1),
-                lambda t, w, it, jt, ft: (it[t], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile),
-                lambda t, w, it, jt, ft: (0, jt[t]),
+                lambda t, it, jt, ft, cl: (it[t], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (tile, _STAT_LANES),
-                lambda t, w, it, jt, ft: (it[t], 0),
+                lambda t, it, jt, ft, cl: (it[t], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (8, _STAT_LANES),
-                lambda t, w, it, jt, ft: (t, 0),
+                lambda t, it, jt, ft, cl: (t, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tile, _STAT_LANES), jnp.int32)],
     )
     row_stats, tile_hits = pl.pallas_call(
         kernel,
@@ -268,11 +273,19 @@ def sweep_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=3 * nt * tile * tile * w_pad,
-            bytes_accessed=nt * nw * 2 * tile * word_block * 4,
+            bytes_accessed=nt * 2 * tile * w_pad * 4,
             transcendentals=0,
         ),
-    )(jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(first), words, words, crow, ccol)
-    return row_stats[:, :_NSTATS], tile_hits[::8, :4], (ti, tj)
+    )(
+        jnp.asarray(ti),
+        jnp.asarray(tj),
+        jnp.asarray(first),
+        classes,
+        words,
+        words,
+        classes.reshape(n_pad, 1),
+    )
+    return row_stats[:, :_NSTATS], tile_hits[::8, :4], (ti, tj, tile)
 
 
 # ---------------------------------------------------------------------------
@@ -343,16 +356,26 @@ def sweep_xla(words, classes, n: int, threshold: int, tile: int = 512):
             else:
                 row_stats[sl, lane] += stats[:, lane]
         tile_hits[t] = np.asarray(hits)
-    return row_stats, tile_hits, (ti, tj)
+    return row_stats, tile_hits, (ti, tj, tile)
 
 
 def sweep(words, classes, n, threshold, tile=512, word_block=512,
-          use_pallas=True, interpret=False):
-    """Dispatch to the Pallas kernel on TPU or the XLA fallback elsewhere."""
+          use_pallas=True, interpret=False, pallas_tile=None):
+    """Dispatch to the Pallas kernel on TPU or the XLA fallback elsewhere.
+
+    The Pallas engine uses its own (smaller) protein tile so both full-word
+    row tiles fit VMEM; `tile` governs the XLA fallback and is accepted for
+    a uniform signature.
+    """
     on_tpu = jax.devices()[0].platform == "tpu"
     if use_pallas and (on_tpu or interpret):
+        if pallas_tile is None:
+            # 2 input blocks × 2 (pipeline double-buffering) must fit VMEM
+            # (16 MB) together with outputs/scratch.
+            cap = 128 if words.shape[1] * 4 * 128 * 4 < (14 << 20) else 64
+            pallas_tile = math.gcd(words.shape[0], cap)
         row_stats, tile_hits, tiles = sweep_pallas(
-            words, classes, n, threshold, tile, word_block,
+            words, classes, n, threshold, pallas_tile,
             interpret=interpret and not on_tpu,
         )
         return (

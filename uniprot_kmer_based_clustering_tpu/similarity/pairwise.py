@@ -75,11 +75,14 @@ def extract_pairs(
     tiles,
     n: int,
     threshold: int,
-    tile: int,
     cross_amr_only: bool = True,
 ) -> np.ndarray:
-    """Pass-2 exact pair recovery from tiles that reported hits."""
-    ti, tj = tiles
+    """Pass-2 exact pair recovery from tiles that reported hits.
+
+    `tiles` is the (ti, tj, tile_size) enumeration returned by the sweep
+    engine that produced `tile_hits` — the granularities must match.
+    """
+    ti, tj, tile = tiles
     want = tile_hits[:, 0] > 0
     if not cross_amr_only:
         want |= tile_hits[:, 1] > 0
@@ -162,7 +165,6 @@ def pairwise_similarity(
         tiles,
         n=n,
         threshold=config.threshold,
-        tile=config.tile,
         cross_amr_only=config.cross_amr_only,
     )
 
