@@ -1,0 +1,108 @@
+"""End-to-end pipeline tests on synthetic data + checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+CFG = dict(tile=16, strip=32, word_block=128, engine="xla", threshold=2)
+
+
+def test_end_to_end_toy(toy_fasta):
+    res = run_pipeline(toy_fasta, PipelineConfig(**CFG))
+    rep = res.parity_report()
+    assert rep["proteins"] == 60
+    assert rep["distinct_kmers"] == rep["unique_kmers"] + rep["repeated_kmers"]
+    assert rep["pairs_over_threshold"] == res.pairwise.pairs.shape[0]
+    assert res.cluster_labels is not None
+    # every clustered pair shares a component
+    for i, j, _ in res.pairwise.pairs:
+        assert res.cluster_labels[i] == res.cluster_labels[j]
+    # cluster labels are canonical minima
+    summary = res.cluster_summary()
+    assert summary["clusters"] >= 1
+
+
+def test_engines_agree_end_to_end(toy_fasta):
+    r_xla = run_pipeline(toy_fasta, PipelineConfig(**CFG))
+    r_mxu = run_pipeline(toy_fasta, PipelineConfig(**{**CFG, "engine": "mxu"}))
+    assert r_xla.parity_report() == r_mxu.parity_report()
+    assert np.array_equal(r_xla.pairwise.pairs, r_mxu.pairwise.pairs)
+
+
+def test_checkpoint_resume(toy_fasta, tmp_path):
+    cfg = PipelineConfig(**CFG)
+    r1 = run_pipeline(toy_fasta, cfg, checkpoint_dir=str(tmp_path))
+    files = list(tmp_path.iterdir())
+    assert files, "no checkpoints written"
+    r2 = run_pipeline(toy_fasta, cfg, checkpoint_dir=str(tmp_path))
+    assert r1.parity_report() == r2.parity_report()
+    assert np.array_equal(r1.pairwise.pairs, r2.pairwise.pairs)
+    # a different config key does not collide
+    cfg7 = PipelineConfig(**{**CFG, "k": 7})
+    r7 = run_pipeline(toy_fasta, cfg7, checkpoint_dir=str(tmp_path))
+    assert r7.index.k == 7
+    assert r7.parity_report() != r1.parity_report()
+
+
+def test_random10_sampling_pipeline(toy_fasta):
+    cfg = PipelineConfig(**{**CFG, "sampling": "random10", "seed": 3})
+    r = run_pipeline(toy_fasta, cfg)
+    full = run_pipeline(toy_fasta, PipelineConfig(**CFG))
+    assert r.index.nnz <= full.index.nnz
+    # deterministic under the same seed
+    r2 = run_pipeline(toy_fasta, cfg)
+    assert r.parity_report() == r2.parity_report()
+
+
+def test_sharded_pipeline_matches(toy_fasta):
+    from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+
+    single = run_pipeline(toy_fasta, PipelineConfig(**CFG))
+    mesh = make_mesh(4)
+    sharded = run_pipeline(toy_fasta, PipelineConfig(**CFG), mesh=mesh)
+    s, m = single.parity_report(), sharded.parity_report()
+    assert s == m
+    assert np.array_equal(single.pairwise.pairs, sharded.pairwise.pairs)
+
+
+@pytest.mark.golden
+def test_golden_full_dataset(arg_fasta):
+    """Full-dataset golden parity via the host/scipy path (slow: ~30 s).
+
+    The device engines are checked against the same goldens on real TPU by
+    bench.py; here scipy stands in so the oracle runs on CPU-only CI.
+    """
+    import scipy.sparse as sp
+
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+
+    table = read_fasta(arg_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+    assert table.n == 10619
+    assert idx.n_distinct == 430853
+    assert idx.n_unique == 199600
+    assert idx.n_repeated == 231253
+    assert idx.nnz == 3189295
+    assert idx.multigraph_edge_count() == 258621291
+
+    b = sp.csr_matrix(
+        (np.ones(idx.nnz, np.int32),
+         (idx.incidence_protein, idx.incidence_rank)),
+        shape=(table.n, idx.n_repeated),
+    )
+    c = (b @ b.T).tocoo()
+    i, j, v = c.row, c.col, c.data
+    m = i < j
+    i, j, v = i[m], j[m], v[m]
+    cross = table.amr_class_ids[i] != table.amr_class_ids[j]
+    assert int(v[cross].sum()) == 5300233
+    assert int(cross.sum()) == 4350628
+    assert int((v[cross] > 10).sum()) == 465
+    assert int(v[cross].max()) == 567

@@ -1,0 +1,107 @@
+"""Ring-rotation sharded sweep: bit-identical to single-chip for any D."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep_xla
+from uniprot_kmer_based_clustering_tpu.parallel import (
+    make_mesh,
+    sharded_pairwise_similarity,
+)
+from uniprot_kmer_based_clustering_tpu.similarity.pairwise import extract_pairs
+
+SUM_LANES = [0, 1, 2, 4, 5, 6]
+MAX_LANES = [3, 7]
+THR = 4
+
+
+def _problem(n_pad):
+    rng = np.random.default_rng(5)
+    n, k = 500, 1500
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.04)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=n_pad, word_multiple=128,
+    )
+    classes = np.full(bs.n_pad, -1, np.int32)
+    classes[:n] = rng.integers(0, 4, n)
+    return bs, classes, n
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_ring_matches_oracle_even(d):
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d)
+    rs, th, tl = sharded_pairwise_similarity(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(
+        rs[:, MAX_LANES].max(axis=0), rsx[:, MAX_LANES].max(axis=0)
+    )
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=THR)
+    assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [3, 5, 7])
+def test_ring_matches_oracle_odd(d):
+    n_pad = d * 128 * 2
+    bs, classes, n = _problem(n_pad)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d)
+    rs, th, tl = sharded_pairwise_similarity(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=THR)
+    assert np.array_equal(px, ps)
+
+
+def test_doc_freq_psum_matches_host():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import (
+        encode_kmers_device,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel import doc_freq_psum
+
+    rng = np.random.default_rng(9)
+    n_prot, lmax = 32, 40
+    seqs = rng.integers(0, 21, (n_prot, lmax)).astype(np.int32)
+    lengths = rng.integers(10, lmax + 1, n_prot).astype(np.int32)
+
+    mesh = make_mesh(8)
+    codes, valid = encode_kmers_device(
+        jnp.asarray(seqs), jnp.asarray(lengths), 5
+    )
+    codes = jax.device_put(codes, NamedSharding(mesh, P("p", None)))
+    valid = jax.device_put(valid, NamedSharding(mesh, P("p", None)))
+    freq = np.asarray(doc_freq_psum(mesh, codes, valid, 5))
+
+    # host oracle
+    expect = {}
+    for i in range(n_prot):
+        ks = set()
+        for p in range(int(lengths[i]) - 4):
+            code = 0
+            for j in range(5):
+                code = code * 21 + int(seqs[i, p + j])
+            ks.add(code)
+        for c in ks:
+            expect[c] = expect.get(c, 0) + 1
+    got = {int(c): int(freq[c]) for c in np.nonzero(freq)[0]}
+    assert got == expect

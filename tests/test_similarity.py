@@ -1,0 +1,114 @@
+"""Pairwise sweep engines vs brute force: all engines must agree exactly."""
+
+import numpy as np
+import pytest
+
+from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+from uniprot_kmer_based_clustering_tpu.similarity import pairwise_similarity
+
+THR = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n, k = 70, 900
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.05)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    sets = [set(cols[rows == i].tolist()) for i in range(n)]
+    brute = {
+        "cw": 0, "cp": 0, "co": 0, "cm": 0,
+        "sw": 0, "sp": 0, "so": 0, "sm": 0,
+    }
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = len(sets[i] & sets[j])
+            if classes[i] != classes[j]:
+                brute["cw"] += c
+                brute["cp"] += c > 0
+                brute["co"] += c > THR
+                brute["cm"] = max(brute["cm"], c)
+                if c > THR:
+                    pairs.append((i, j, c))
+            else:
+                brute["sw"] += c
+                brute["sp"] += c > 0
+                brute["so"] += c > THR
+                brute["sm"] = max(brute["sm"], c)
+    return bs, classes, brute, np.array(pairs, np.int64)
+
+
+def _check(result, brute, pairs):
+    assert result.cross_weight == brute["cw"]
+    assert result.cross_pairs == brute["cp"]
+    assert result.cross_over == brute["co"]
+    assert result.cross_max == brute["cm"]
+    assert result.same_weight == brute["sw"]
+    assert result.same_pairs == brute["sp"]
+    assert result.same_over == brute["so"]
+    assert result.same_max == brute["sm"]
+    assert np.array_equal(result.pairs, pairs)
+
+
+def test_xla_engine(problem):
+    bs, classes, brute, pairs = problem
+    cfg = PipelineConfig(threshold=THR, tile=16, word_block=128, engine="xla")
+    _check(pairwise_similarity(bs, classes, cfg), brute, pairs)
+
+
+def test_pallas_interpret_engine(problem):
+    bs, classes, brute, pairs = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="popcount"
+    )
+    _check(pairwise_similarity(bs, classes, cfg, interpret=True), brute, pairs)
+
+
+def test_mxu_engine_on_cpu(problem):
+    # the int8 matmul formulation runs anywhere XLA does
+    bs, classes, brute, pairs = problem
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        extract_pairs,
+    )
+    import jax.numpy as jnp
+
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles = sweep_mxu(
+        jnp.asarray(bs.words), jnp.asarray(cls), bs.n, THR,
+        strip=16, block=16,
+    )
+    tot = rs.sum(axis=0)
+    assert (tot[0], tot[1], tot[2]) == (brute["cw"], brute["cp"], brute["co"])
+    assert rs[:, 3].max() == brute["cm"]
+    got = extract_pairs(
+        jnp.asarray(bs.words), cls, th, tiles, n=bs.n, threshold=THR
+    )
+    assert np.array_equal(got, pairs)
+
+
+def test_cross_amr_only_false(problem):
+    bs, classes, brute, _ = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="xla",
+        cross_amr_only=False,
+    )
+    r = pairwise_similarity(bs, classes, cfg)
+    assert r.pairs.shape[0] == brute["co"] + brute["so"]
+
+
+def test_threshold_zero_includes_all_sharing_pairs(problem):
+    bs, classes, brute, _ = problem
+    cfg = PipelineConfig(
+        threshold=0, tile=16, word_block=128, engine="xla"
+    )
+    r = pairwise_similarity(bs, classes, cfg)
+    assert r.pairs.shape[0] == brute["cp"]
+    assert r.pairs[:, 2].min() >= 1

@@ -50,6 +50,8 @@ def decode_kmer(code: int, k: int) -> str:
 def _window_codes(idx: np.ndarray, k: int) -> np.ndarray:
     """All length-k window codes over a flat index buffer (int64 [R−k+1])."""
     r = idx.shape[0]
+    if r < k:
+        return np.zeros(0, dtype=np.int64)
     codes = np.zeros(r - k + 1, dtype=np.int64)
     for j in range(k):
         codes += idx[j : r - k + 1 + j].astype(np.int64) * (21 ** (k - 1 - j))
@@ -72,18 +74,15 @@ def encode_kmers(
     idx = residues_to_indices(seq_buf)
     n = offsets.shape[0] - 1
     lengths = np.diff(offsets)
-    if np.any(lengths < k):
-        bad = int(np.argmax(lengths < k))
-        raise ValueError(
-            f"protein {bad} has length {int(lengths[bad])} < k={k}; the "
-            f"reference underflows here (src/protein.rs:114)"
-        )
 
     # Codes over the whole concatenated buffer; windows that straddle a
     # protein boundary are cut away by per-protein valid ranges below.
+    # Proteins shorter than k contribute zero windows (the reference's
+    # `0..len-4` range underflows there, src/protein.rs:114 — we are
+    # deliberately permissive for fragment-heavy datasets).
     all_codes = _window_codes(idx, k)
 
-    counts = (lengths - k + 1).astype(np.int64)
+    counts = np.maximum(lengths - k + 1, 0).astype(np.int64)
     if sampling == "all":
         kmer_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=kmer_offsets[1:])

@@ -1,0 +1,4 @@
+from uniprot_kmer_based_clustering_tpu.models.components import (  # noqa: F401
+    connected_components,
+    connected_components_device,
+)

@@ -1,0 +1,42 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is a single-process shared-memory program whose only
+"distribution" is OS threads claiming indices off atomic counters
+(SURVEY.md §2.3). The TPU framework's distribution unit is a 1-D protein
+axis over a ``jax.sharding.Mesh``: the packed bitset matrix is sharded by
+protein rows, doc-freq reductions ride ``psum``, and the O(N²) pair sweep
+ring-rotates row blocks with ``ppermute`` (structurally the ring-attention
+schedule). Works unchanged from 1 chip to a multi-host slice: initialize
+``jax.distributed`` on each host and build the mesh over all devices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
+    """1-D mesh over the first `n_devices` devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def pad_for_mesh(n: int, n_devices: int, multiple: int) -> int:
+    """Smallest N_pad ≥ n divisible by n_devices·multiple (so every device
+    holds the same number of whole tiles)."""
+    unit = n_devices * multiple
+    return -(-n // unit) * unit
+
+
+def shard_rows(mesh: Mesh, arr, axis: str = "p"):
+    """Put an [N, ...] array row-sharded onto the mesh."""
+    spec = P(axis, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))

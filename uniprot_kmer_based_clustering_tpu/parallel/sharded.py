@@ -1,0 +1,240 @@
+"""Sharded O(N²) pair sweep: ring rotation of protein blocks over the mesh.
+
+Schedule (the balanced triangle ring, SURVEY.md §5):
+  * the bitset matrix is row-sharded; each device keeps its block
+    stationary and a moving copy rotates around the ring via ``ppermute``;
+  * step 0 computes the within-block upper triangle;
+  * steps 1..⌈(D−1)/2⌉ compute the (stationary × moving) block pair — each
+    unordered block pair appears on exactly one device per step;
+  * for even D, the final step would visit each pair twice, so only the
+    first half of the ring contributes.
+
+Every pair (i<j) is therefore counted exactly once, independent of D —
+the sharded sweep is bit-identical to the single-chip sweep (tested in
+``tests/test_sharded.py`` against the XLA oracle on an 8-device CPU mesh).
+
+Per-device block math is the MXU engine (int8 binary matmul,
+``ops.bitmul``). Collectives ride ICI within a slice; only the final
+psum of the small hit matrix and scalar stats crosses hosts.
+
+Replaces, at cluster scale, the reference's dynamic work-claiming over
+258M edge slots (``src/graph/mod.rs:77-118`` packed-u64 atomic cursor):
+the tile space is statically partitioned, so there is no claiming, no
+atomics, and the result is deterministic for any device count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uniprot_kmer_based_clustering_tpu.ops.bitmul import unpack_words_to_int8
+
+try:  # jax >= 0.6 exports shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _block_counts(words_a, words_b):
+    """int32 [A, B] shared-k-mer counts between two packed blocks (MXU)."""
+    a = unpack_words_to_int8(words_a)
+    b = unpack_words_to_int8(words_b)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _pair_stats(counts, gi, gj, ca, cb, n, threshold, active, triangle):
+    """Masked per-stationary-row stats + over-threshold mask for one block
+    pair. `active` scales the whole contribution (even-D dedup step);
+    `triangle` applies the gi<gj mask (diagonal step only)."""
+    valid = (gj < n) & (gi < n) & active
+    if triangle:
+        valid &= gi < gj
+    cross = valid & (ca[:, None] != cb[None, :])
+    same = valid & ~cross
+    czero = jnp.where(cross, counts, 0)
+    szero = jnp.where(same, counts, 0)
+    over_c = cross & (counts > threshold)
+    over_s = same & (counts > threshold)
+    stats = jnp.stack(
+        [
+            jnp.sum(czero, axis=1),
+            jnp.sum((cross & (counts >= 1)).astype(jnp.int32), axis=1),
+            jnp.sum(over_c.astype(jnp.int32), axis=1),
+            jnp.max(czero, axis=1),
+            jnp.sum(szero, axis=1),
+            jnp.sum((same & (counts >= 1)).astype(jnp.int32), axis=1),
+            jnp.sum(over_s.astype(jnp.int32), axis=1),
+            jnp.max(szero, axis=1),
+        ],
+        axis=1,
+    )
+    return stats, over_c, over_s
+
+
+def make_ring_sweep(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    block_tile: int,
+    axis: str = "p",
+):
+    """Build the jitted ring-sweep step for a given mesh.
+
+    Returns a function (words_sharded [N_pad, W] uint32, classes_sharded
+    [N_pad] int32) → (row_stats [N_pad, 8] row-sharded,
+    block_hits [nb, nb, 2] replicated) where nb = N_pad // block_tile.
+    """
+    d_count = mesh.shape[axis]
+
+    def step(words_local, classes_local):
+        dev = jax.lax.axis_index(axis)
+        block = words_local.shape[0]
+        nb_local = block // block_tile
+        nb = nb_local * d_count
+
+        gi = None  # built lazily per step (moving offset is traced)
+        row_base = dev * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        row_stats = jnp.zeros((block, 8), jnp.int32)
+        hits = jnp.zeros((nb, nb, 2), jnp.int32)
+
+        moving_w = words_local
+        moving_c = classes_local
+        n_steps = d_count // 2 + 1
+
+        for s in range(n_steps):
+            if s > 0:
+                perm = [((i + 1) % d_count, i) for i in range(d_count)]
+                moving_w = jax.lax.ppermute(moving_w, axis, perm)
+                moving_c = jax.lax.ppermute(moving_c, axis, perm)
+            moving_base = ((dev + s) % d_count) * block
+            gj = moving_base + jax.lax.broadcasted_iota(
+                jnp.int32, (block, block), 1
+            )
+            if s == 0:
+                active = jnp.bool_(True)
+                triangle = True
+            elif 2 * s == d_count:
+                # even-D final step: each unordered block pair appears on
+                # two devices — keep only the first half of the ring.
+                active = dev < (d_count // 2)
+                triangle = False
+            else:
+                active = jnp.bool_(True)
+                triangle = False
+
+            counts = _block_counts(words_local, moving_w)
+            stats, over_c, over_s = _pair_stats(
+                counts, gi, gj, classes_local, moving_c,
+                n, threshold, active, triangle,
+            )
+            # max lanes (3, 7) take maximum; others add
+            add = row_stats + stats
+            mx = jnp.maximum(row_stats, stats)
+            lane = jnp.arange(8)[None, :]
+            row_stats = jnp.where(lane % 4 == 3, mx, add)
+
+            bh = jnp.stack(
+                [
+                    over_c.astype(jnp.int32)
+                    .reshape(nb_local, block_tile, nb_local, block_tile)
+                    .sum(axis=(1, 3)),
+                    over_s.astype(jnp.int32)
+                    .reshape(nb_local, block_tile, nb_local, block_tile)
+                    .sum(axis=(1, 3)),
+                ],
+                axis=-1,
+            )
+            hits = jax.lax.dynamic_update_slice(
+                hits,
+                jax.lax.dynamic_slice(
+                    hits,
+                    (dev * nb_local, (dev + s) % d_count * nb_local, 0),
+                    (nb_local, nb_local, 2),
+                )
+                + bh,
+                (dev * nb_local, (dev + s) % d_count * nb_local, 0),
+            )
+
+        hits = jax.lax.psum(hits, axis)
+        return row_stats, hits
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(None, None, None)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_pairwise_similarity(
+    mesh: Mesh,
+    words: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    block_tile: int = 128,
+    axis: str = "p",
+):
+    """Run the ring sweep on a mesh; returns (row_stats np[N_pad, 8] int64,
+    tile_hits np[nT, 2], tiles) in the single-chip engine format."""
+    d_count = mesh.shape[axis]
+    n_pad, _ = words.shape
+    assert n_pad % (d_count * block_tile) == 0, (
+        f"N_pad={n_pad} must be divisible by devices×block_tile="
+        f"{d_count * block_tile}"
+    )
+    words_s = jax.device_put(
+        jnp.asarray(words), NamedSharding(mesh, P(axis, None))
+    )
+    classes_s = jax.device_put(
+        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    fn = make_ring_sweep(mesh, n, threshold, block_tile, axis)
+    row_stats, hits = fn(words_s, classes_s)
+    row_stats = np.asarray(row_stats, dtype=np.int64)
+    hits = np.asarray(hits)
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block_tile)
+    # Ring steps may attribute an unordered block pair to either
+    # orientation; fold both into the upper-triangle enumeration.
+    tile_hits = hits[ti, tj] + np.where(
+        (ti != tj)[:, None], hits[tj, ti], 0
+    )
+    return row_stats, tile_hits, (ti, tj, block_tile)
+
+
+def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
+    """Distributed dense doc-freq for k=5: per-shard bincount over the 21^k
+    universe, merged with one psum (replaces the reference's global mutexed
+    sorted list, src/main.rs:101-114)."""
+    from uniprot_kmer_based_clustering_tpu.kmers.index import (
+        doc_freq_dense_device,
+    )
+
+    def step(codes_local, valid_local):
+        local = doc_freq_dense_device(codes_local, valid_local, k)
+        return jax.lax.psum(local, axis)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(None),
+    )
+    return jax.jit(fn)(codes, valid)

@@ -1,0 +1,223 @@
+"""End-to-end pipeline: FASTA → k-mer index → bitsets → sweep → clusters.
+
+Mirrors the reference ``main()`` stage order (src/main.rs:50-239):
+ingest → doc-freq → unique/repeat split + hashing → graph/sweep →
+AMR filter → merge → alignment gate — with the graph stages fused into a
+single device sweep (see ops/) and real config, timing, checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+from uniprot_kmer_based_clustering_tpu.io.fasta import ProteinTable, read_fasta
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
+    BitsetMatrix,
+    pack_bitsets,
+)
+from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex, build_index
+from uniprot_kmer_based_clustering_tpu.models.components import (
+    connected_components,
+)
+from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+    PairwiseResult,
+    pairwise_similarity,
+)
+from uniprot_kmer_based_clustering_tpu.utils.checkpoint import CheckpointStore
+from uniprot_kmer_based_clustering_tpu.utils.timing import StageTimers
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    table: ProteinTable
+    index: KmerIndex
+    bitset: BitsetMatrix
+    pairwise: PairwiseResult
+    cluster_labels: Optional[np.ndarray]
+    timings: Dict[str, float]
+
+    def parity_report(self) -> Dict[str, int]:
+        """The counters the reference prints to stderr, plus the pair gate —
+        the golden numbers of BASELINE.md."""
+        return {
+            "proteins": self.table.n,
+            "distinct_kmers": self.index.n_distinct,
+            "unique_kmers": self.index.n_unique,
+            "repeated_kmers": self.index.n_repeated,
+            "incidences": self.index.nnz,
+            "multigraph_edges": self.index.multigraph_edge_count(),
+            **self.pairwise.parity_counters(),
+        }
+
+    def cluster_summary(self) -> Dict[str, int]:
+        if self.cluster_labels is None:
+            return {}
+        uniq, counts = np.unique(self.cluster_labels, return_counts=True)
+        return {
+            "clusters": int(uniq.shape[0]),
+            "largest_cluster": int(counts.max()),
+            "singletons": int((counts == 1).sum()),
+        }
+
+
+def _row_multiple(config: PipelineConfig) -> int:
+    # N_pad must satisfy both the MXU strip and the tile granularity.
+    import math
+
+    return (config.strip * config.tile) // math.gcd(config.strip, config.tile)
+
+
+def run_pipeline(
+    fasta_path: str,
+    config: Optional[PipelineConfig] = None,
+    checkpoint_dir: Optional[str] = None,
+    mesh=None,
+    echo_timings: bool = False,
+) -> PipelineResult:
+    """Run the full pipeline on the current default device (or a mesh).
+
+    With `checkpoint_dir`, each stage's arrays persist and a rerun resumes
+    from the last completed stage (config-keyed, so changing k or sampling
+    invalidates downstream artifacts automatically).
+    """
+    config = config or PipelineConfig()
+    store = CheckpointStore(checkpoint_dir)
+    timers = StageTimers(echo=echo_timings)
+
+    with timers.stage("ingest"):
+        table = read_fasta(fasta_path)
+
+    index = None
+    key_index = config.cache_key("index", fasta_path)
+    cached = store.load(key_index)
+    if cached is not None:
+        index = KmerIndex(k=config.k, **cached)
+    if index is None:
+        with timers.stage("encode"):
+            codes, koff = encode_kmers(
+                table.seq_buf,
+                table.offsets,
+                config.k,
+                sampling=config.sampling,
+                seed=config.seed,
+            )
+        with timers.stage("index"):
+            index = build_index(codes, koff, config.k)
+        store.save(
+            key_index,
+            codes=index.codes,
+            doc_freq=index.doc_freq,
+            repeated_codes=index.repeated_codes,
+            incidence_protein=index.incidence_protein,
+            incidence_rank=index.incidence_rank,
+            hash_doc_freq=index.hash_doc_freq,
+        )
+
+    with timers.stage("pack"):
+        bitset = pack_bitsets(
+            index.incidence_protein,
+            index.incidence_rank,
+            table.n,
+            index.n_repeated,
+            row_multiple=_row_multiple(config),
+        )
+
+    with timers.stage("sweep"):
+        if mesh is not None:
+            pairwise = _sharded_similarity(bitset, table, config, mesh)
+        else:
+            pairwise = pairwise_similarity(
+                bitset, table.amr_class_ids, config
+            )
+    store.save(
+        config.cache_key("pairs", fasta_path),
+        pairs=pairwise.pairs,
+        stats=np.array(
+            [
+                pairwise.cross_weight,
+                pairwise.cross_pairs,
+                pairwise.cross_over,
+                pairwise.cross_max,
+                pairwise.same_weight,
+                pairwise.same_pairs,
+                pairwise.same_over,
+                pairwise.same_max,
+            ],
+            dtype=np.int64,
+        ),
+    )
+
+    labels = None
+    if config.cluster == "components":
+        with timers.stage("cluster"):
+            labels = connected_components(table.n, pairwise.pairs)
+    elif config.cluster == "tree":
+        with timers.stage("cluster"):
+            from uniprot_kmer_based_clustering_tpu.models.tree import (
+                cluster_tree_labels,
+            )
+
+            labels = cluster_tree_labels(bitset, table.n)
+
+    return PipelineResult(
+        table=table,
+        index=index,
+        bitset=bitset,
+        pairwise=pairwise,
+        cluster_labels=labels,
+        timings=timers.as_dict(),
+    )
+
+
+def _sharded_similarity(bitset, table, config, mesh) -> PairwiseResult:
+    """Mesh-parallel sweep + single-host extraction."""
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.parallel.mesh import pad_for_mesh
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        sharded_pairwise_similarity,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        extract_pairs,
+    )
+
+    d = mesh.devices.size
+    block_tile = 128
+    n_pad = pad_for_mesh(bitset.n_pad, d, block_tile)
+    words = bitset.words
+    if n_pad != bitset.n_pad:
+        words = np.zeros((n_pad, bitset.w_pad), dtype=np.uint32)
+        words[: bitset.n_pad] = bitset.words
+    classes = np.full(n_pad, -1, dtype=np.int32)
+    classes[: bitset.n] = np.asarray(table.amr_class_ids, np.int32)
+
+    row_stats, tile_hits, tiles = sharded_pairwise_similarity(
+        mesh, words, classes, bitset.n, config.threshold, block_tile
+    )
+    totals = row_stats.sum(axis=0)
+    maxes = row_stats.max(axis=0)
+    pairs = extract_pairs(
+        jnp.asarray(words),
+        classes,
+        tile_hits,
+        tiles,
+        n=bitset.n,
+        threshold=config.threshold,
+        cross_amr_only=config.cross_amr_only,
+    )
+    return PairwiseResult(
+        cross_weight=int(totals[0]),
+        cross_pairs=int(totals[1]),
+        cross_over=int(totals[2]),
+        cross_max=int(maxes[3]),
+        same_weight=int(totals[4]),
+        same_pairs=int(totals[5]),
+        same_over=int(totals[6]),
+        same_max=int(maxes[7]),
+        pairs=pairs,
+    )
