@@ -40,9 +40,13 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def _block_counts(words_a, words_b):
-    """int32 [A, B] shared-k-mer counts between two packed blocks (MXU)."""
-    a = unpack_words_to_int8(words_a)
+def _block_counts(words_a, words_b, weights=None):
+    """int32 [A, B] shared-k-mer counts between two packed blocks (MXU).
+
+    Per-k-mer-column `weights` scale the stationary operand — since the
+    weighting is diagonal in the contraction axis, weighting one side
+    yields the exact weighted score (A·diag(w)·Bᵀ)."""
+    a = unpack_words_to_int8(words_a, weights)
     b = unpack_words_to_int8(words_b)
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
@@ -84,6 +88,7 @@ def make_ring_sweep(
     threshold: int,
     block_tile: int,
     axis: str = "p",
+    weighted: bool = False,
 ):
     """Build the jitted ring-sweep step for a given mesh.
 
@@ -93,7 +98,7 @@ def make_ring_sweep(
     """
     d_count = mesh.shape[axis]
 
-    def step(words_local, classes_local):
+    def step(words_local, classes_local, weights):
         dev = jax.lax.axis_index(axis)
         block = words_local.shape[0]
         nb_local = block // block_tile
@@ -133,7 +138,9 @@ def make_ring_sweep(
                 active = jnp.bool_(True)
                 triangle = False
 
-            counts = _block_counts(words_local, moving_w)
+            counts = _block_counts(
+                words_local, moving_w, weights if weighted else None
+            )
             stats, over_c, over_s = _pair_stats(
                 counts, gi, gj, classes_local, moving_c,
                 n, threshold, active, triangle,
@@ -172,7 +179,7 @@ def make_ring_sweep(
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=(P(axis, None), P(axis), P(None)),
         out_specs=(P(axis, None), P(None, None, None)),
     )
     return jax.jit(sharded)
@@ -186,11 +193,12 @@ def sharded_pairwise_similarity(
     threshold: int,
     block_tile: int = 128,
     axis: str = "p",
+    weights: np.ndarray | None = None,
 ):
     """Run the ring sweep on a mesh; returns (row_stats np[N_pad, 8] int64,
     tile_hits np[nT, 2], tiles) in the single-chip engine format."""
     d_count = mesh.shape[axis]
-    n_pad, _ = words.shape
+    n_pad, w_words = words.shape
     assert n_pad % (d_count * block_tile) == 0, (
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
@@ -201,8 +209,14 @@ def sharded_pairwise_similarity(
     classes_s = jax.device_put(
         jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(axis))
     )
-    fn = make_ring_sweep(mesh, n, threshold, block_tile, axis)
-    row_stats, hits = fn(words_s, classes_s)
+    weighted = weights is not None
+    if weights is None:
+        weights = np.ones(w_words * 32, np.int8)
+    weights_s = jax.device_put(
+        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+    )
+    fn = make_ring_sweep(mesh, n, threshold, block_tile, axis, weighted)
+    row_stats, hits = fn(words_s, classes_s, weights_s)
     row_stats = np.asarray(row_stats, dtype=np.int64)
     hits = np.asarray(hits)
 

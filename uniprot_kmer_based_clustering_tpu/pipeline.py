@@ -127,12 +127,24 @@ def run_pipeline(
             row_multiple=_row_multiple(config),
         )
 
+    weights = None
+    if config.weighting == "blosum62":
+        from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+            rank_weights_int8,
+        )
+
+        weights = rank_weights_int8(
+            index.repeated_codes, config.k, bitset.w_pad * 32
+        )
+
     with timers.stage("sweep"):
         if mesh is not None:
-            pairwise = _sharded_similarity(bitset, table, config, mesh)
+            pairwise = _sharded_similarity(
+                bitset, table, config, mesh, weights=weights
+            )
         else:
             pairwise = pairwise_similarity(
-                bitset, table.amr_class_ids, config
+                bitset, table.amr_class_ids, config, weights=weights
             )
     store.save(
         config.cache_key("pairs", fasta_path),
@@ -174,7 +186,9 @@ def run_pipeline(
     )
 
 
-def _sharded_similarity(bitset, table, config, mesh) -> PairwiseResult:
+def _sharded_similarity(
+    bitset, table, config, mesh, weights=None
+) -> PairwiseResult:
     """Mesh-parallel sweep + single-host extraction."""
     import jax.numpy as jnp
 
@@ -196,8 +210,14 @@ def _sharded_similarity(bitset, table, config, mesh) -> PairwiseResult:
     classes = np.full(n_pad, -1, dtype=np.int32)
     classes[: bitset.n] = np.asarray(table.amr_class_ids, np.int32)
 
+    threshold = (
+        config.effective_weighted_threshold
+        if weights is not None
+        else config.threshold
+    )
     row_stats, tile_hits, tiles = sharded_pairwise_similarity(
-        mesh, words, classes, bitset.n, config.threshold, block_tile
+        mesh, words, classes, bitset.n, threshold, block_tile,
+        weights=weights,
     )
     totals = row_stats.sum(axis=0)
     maxes = row_stats.max(axis=0)
@@ -207,8 +227,9 @@ def _sharded_similarity(bitset, table, config, mesh) -> PairwiseResult:
         tile_hits,
         tiles,
         n=bitset.n,
-        threshold=config.threshold,
+        threshold=threshold,
         cross_amr_only=config.cross_amr_only,
+        weights=weights,
     )
     return PairwiseResult(
         cross_weight=int(totals[0]),

@@ -24,11 +24,24 @@ import numpy as np
 
 from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
-from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    sweep_mxu,
+    unpack_words_to_int8,
+)
 from uniprot_kmer_based_clustering_tpu.ops.popcount import (
     pairwise_counts_xla,
     sweep,
 )
+
+
+@jax.jit
+def _weighted_counts_xla(words_a, words_b, weights):
+    """int32 [A, B] BLOSUM-weighted shared-k-mer scores for one tile pair."""
+    a = unpack_words_to_int8(words_a)
+    b = unpack_words_to_int8(words_b, weights)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
 
 
 @dataclasses.dataclass
@@ -76,11 +89,14 @@ def extract_pairs(
     n: int,
     threshold: int,
     cross_amr_only: bool = True,
+    weights=None,
 ) -> np.ndarray:
     """Pass-2 exact pair recovery from tiles that reported hits.
 
     `tiles` is the (ti, tj, tile_size) enumeration returned by the sweep
     engine that produced `tile_hits` — the granularities must match.
+    With `weights` (int8 per-bit-column), recovered values are the
+    BLOSUM-weighted scores instead of raw counts.
     """
     ti, tj, tile = tiles
     want = tile_hits[:, 0] > 0
@@ -88,13 +104,18 @@ def extract_pairs(
         want |= tile_hits[:, 1] > 0
     hit_tiles = np.nonzero(want)[0]
     classes_np = np.asarray(classes)
+    if weights is not None:
+        weights = jnp.asarray(weights, jnp.int8)
 
     out = []
     for t in hit_tiles:
         i, j = int(ti[t]), int(tj[t])
         a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
         b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
-        counts = np.asarray(pairwise_counts_xla(a, b))
+        if weights is None:
+            counts = np.asarray(pairwise_counts_xla(a, b))
+        else:
+            counts = np.asarray(_weighted_counts_xla(a, b, weights))
         gi = i * tile + np.arange(tile)[:, None]
         gj = j * tile + np.arange(tile)[None, :]
         mask = (counts > threshold) & (gi < gj) & (gj < n)
@@ -120,8 +141,14 @@ def pairwise_similarity(
     class_ids: np.ndarray,
     config: Optional[PipelineConfig] = None,
     interpret: bool = False,
+    weights: Optional[np.ndarray] = None,
 ) -> PairwiseResult:
-    """Run the fused sweep + extraction on the current default device."""
+    """Run the fused sweep + extraction on the current default device.
+
+    `weights` (int8 per-bit-column, from utils.blosum.rank_weights_int8)
+    switches the score to BLOSUM-weighted mode; the weighted sweep always
+    uses the MXU engine (the weighting is a matmul column scale).
+    """
     config = config or PipelineConfig()
     n = bitset.n
     n_pad = bitset.n_pad
@@ -134,15 +161,23 @@ def pairwise_similarity(
     engine = config.engine
     if engine == "auto":
         engine = "mxu" if jax.devices()[0].platform == "tpu" else "xla"
+    if weights is not None:
+        engine = "mxu"
+    threshold = (
+        config.effective_weighted_threshold
+        if weights is not None
+        else config.threshold
+    )
     if engine == "mxu":
         strip = config.strip if n_pad % config.strip == 0 else config.tile
         row_stats, tile_hits, tiles = sweep_mxu(
             words,
             classes_j,
             n=n,
-            threshold=config.threshold,
+            threshold=threshold,
             strip=strip,
             block=config.tile,
+            weights=weights,
         )
     else:
         row_stats, tile_hits, tiles = sweep(
@@ -164,8 +199,9 @@ def pairwise_similarity(
         tile_hits,
         tiles,
         n=n,
-        threshold=config.threshold,
+        threshold=threshold,
         cross_amr_only=config.cross_amr_only,
+        weights=weights,
     )
 
     return PairwiseResult(
