@@ -1,0 +1,215 @@
+"""Hierarchical k-mer cluster tree — revival of the reference's dead
+``src/tree.rs`` (536 LoC, commented out of the build at src/main.rs:15 but
+named as BASELINE configs #2/#4).
+
+Semantics reproduced exactly (1-thread insertion order = file order):
+
+  * every node keeps ``u`` = union and ``c`` = intersection of its
+    descendants' k-mer presence bitsets (src/tree.rs:52-59);
+  * ``Tree::add_protein`` wraps the protein in a leaf and calls
+    ``Node::add_child`` on the root (src/tree.rs:531-536);
+  * ``add_child`` on a leaf clones it into a child and becomes internal,
+    adopting the new child (or, if the new child is internal, its children
+    — flattening, src/tree.rs:316-324); on an internal node it updates
+    u/c, adopts, and — iff the pre-update ``u`` intersected the child's
+    ``u`` (src/tree.rs:331-333,379-384) — rebalances;
+  * ``balance`` scans all children pairs (i asc, j < i asc) for the pair
+    with the maximum ``|c_i ∩ c_j|`` (first strict max wins) and, when
+    max > min over pairs, merges: the child with FEWER children adopts the
+    other (ties → the earlier child adopts), recursively re-entering
+    ``add_child`` (src/tree.rs:179-240).
+
+TPU-framework adaptation: bitsets are packed uint64 rows (the same
+rank-hash bit space as the pairwise sweep; 5-mer and 7-mer alike, the
+``kmer_size`` plumbing of src/tree.rs:85-106 collapsing into which index
+built the bitset). Intersection sizes are hardware popcounts
+(``np.bitwise_count``); each node caches its children's pairwise
+c-similarity matrix incrementally, so an insertion costs O(M·W) instead
+of the reference's O(M²·W) rescan.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
+
+
+def _popcount_and(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.bitwise_count(a & b).sum())
+
+
+class _Node:
+    __slots__ = ("children", "u", "c", "protein", "_sims")
+
+    def __init__(self, u, c, protein: Optional[int], children=None):
+        self.children: List[_Node] = children if children is not None else []
+        self.u = u
+        self.c = c
+        self.protein = protein
+        self._sims: Optional[np.ndarray] = None  # children c-sim cache
+
+    # -- similarity cache maintenance ------------------------------------
+    def _sim_matrix(self) -> np.ndarray:
+        m = len(self.children)
+        if self._sims is None or self._sims.shape[0] != m:
+            s = np.zeros((m, m), dtype=np.int64)
+            for i in range(m):
+                for j in range(i):
+                    s[i, j] = s[j, i] = _popcount_and(
+                        self.children[i].c, self.children[j].c
+                    )
+            self._sims = s
+        return self._sims
+
+    def _sims_append(self, child: "_Node"):
+        if self._sims is None:
+            return
+        m = self._sims.shape[0]
+        s = np.zeros((m + 1, m + 1), dtype=np.int64)
+        s[:m, :m] = self._sims
+        for i in range(m):
+            v = _popcount_and(self.children[i].c, child.c)
+            s[m, i] = s[i, m] = v
+        self._sims = s
+
+    def _sims_remove(self, idx: int):
+        if self._sims is None:
+            return
+        self._sims = np.delete(np.delete(self._sims, idx, 0), idx, 1)
+
+    def _sims_refresh(self, idx: int):
+        if self._sims is None:
+            return
+        for i in range(self._sims.shape[0]):
+            if i != idx:
+                v = _popcount_and(self.children[i].c, self.children[idx].c)
+                self._sims[i, idx] = self._sims[idx, i] = v
+
+
+def _add_child(curr: _Node, child: _Node) -> None:
+    if not curr.children:
+        # Leaf case (src/tree.rs:273-325): clone self into a child node,
+        # become internal, adopt `child` (or its children if internal).
+        cloned = _Node(curr.u, curr.c, curr.protein)
+        curr.protein = None
+        curr.u = curr.u | child.u
+        curr.c = curr.c & child.c
+        curr.children = [cloned] + (
+            child.children if child.children else [child]
+        )
+        curr._sims = None
+        return
+
+    # Internal case (src/tree.rs:327-385): the balance trigger uses the
+    # PRE-update union.
+    had_common = bool(np.any(curr.u & child.u))
+    curr.u = curr.u | child.u
+    curr.c = curr.c & child.c
+    curr.children.append(child)
+    curr._sims_append(child)
+    if had_common:
+        _balance(curr)
+
+
+def _balance(curr: _Node) -> None:
+    m = len(curr.children)
+    if m < 2:
+        return
+    sims = curr._sim_matrix()
+    # iteration order i ascending from 1, j ascending < i; strict ">" for
+    # max and strict "<" for min (src/tree.rs:183-216)
+    max_val, max_i, max_j = 0, 0, 0
+    min_val = None
+    for i in range(1, m):
+        for j in range(i):
+            v = int(sims[i, j])
+            if v > max_val:
+                max_val, max_i, max_j = v, i, j
+            if min_val is None or v < min_val:
+                min_val = v
+    if max_val <= (min_val or 0):
+        return
+
+    child_one = curr.children[max_i]
+    child_two = curr.children[max_j]
+    if len(child_one.children) < len(child_two.children):
+        adopter, adopted, remove_idx = child_one, child_two, max_j
+    else:
+        adopter, adopted, remove_idx = child_two, child_one, max_i
+    del curr.children[remove_idx]
+    curr._sims_remove(remove_idx)
+    _add_child(adopter, adopted)
+    # the adopter's c shrank — refresh its cached similarities
+    curr._sims_refresh(curr.children.index(adopter))
+
+
+class ClusterTree:
+    """Incremental agglomerative tree over packed k-mer bitsets."""
+
+    def __init__(self, first_protein: int, first_row: np.ndarray):
+        row = np.ascontiguousarray(first_row)
+        self.root = _Node(row, row, first_protein)
+        self.n_inserted = 1
+
+    def add_protein(self, protein: int, row: np.ndarray) -> None:
+        row = np.ascontiguousarray(row)
+        leaf = _Node(row, row, protein)
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 10000 + 10 * self.n_inserted))
+        try:
+            _add_child(self.root, leaf)
+        finally:
+            sys.setrecursionlimit(old_limit)
+        self.n_inserted += 1
+
+    def labels(self, n: int) -> np.ndarray:
+        """Cluster label per protein: proteins under the same root child
+        share a label (the subtree's minimum protein index — canonical)."""
+        labels = np.full(n, -1, dtype=np.int32)
+
+        def collect(node: _Node, out: List[int]):
+            stack = [node]
+            while stack:
+                nd = stack.pop()
+                if nd.protein is not None:
+                    out.append(nd.protein)
+                stack.extend(nd.children)
+
+        if self.root.protein is not None:  # single-leaf tree
+            labels[self.root.protein] = self.root.protein
+            return labels
+        for child in self.root.children:
+            members: List[int] = []
+            collect(child, members)
+            if members:
+                labels[np.asarray(members)] = min(members)
+        return labels
+
+    def depth(self) -> int:
+        def d(node: _Node) -> int:
+            if not node.children:
+                return 1
+            return 1 + max(d(c) for c in node.children)
+
+        return d(self.root)
+
+
+def build_tree(bitset: BitsetMatrix, n: int, order=None) -> ClusterTree:
+    """Insert proteins in `order` (default: file order — the reference's
+    1-thread semantics, SURVEY.md §3.2)."""
+    words64 = np.ascontiguousarray(bitset.words[:n]).view(np.uint64)
+    order = range(n) if order is None else order
+    it = iter(order)
+    first = next(it)
+    tree = ClusterTree(int(first), words64[first])
+    for i in it:
+        tree.add_protein(int(i), words64[int(i)])
+    return tree
+
+
+def cluster_tree_labels(bitset: BitsetMatrix, n: int) -> np.ndarray:
+    return build_tree(bitset, n).labels(n)
