@@ -1,0 +1,56 @@
+"""CLI surface tests (toy data, CPU engine)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.cli import main
+
+
+def test_cli_run_artifacts(toy_fasta, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--out", out, "--dump-kmers", "--cpu",
+    ])
+    assert rc == 0
+    parity = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parity["proteins"] == 60
+    for name in ("pairs.tsv", "clusters.tsv", "stats.json", "pair_kmers.tsv"):
+        assert os.path.exists(os.path.join(out, name)), name
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["parity"] == parity
+    # pairs.tsv row count matches the gate counter
+    rows = open(os.path.join(out, "pairs.tsv")).read().strip().splitlines()
+    assert len(rows) - 1 == parity["pairs_over_threshold"]
+    # shared-kmer dump: k-mer count per pair == pair score column
+    krows = open(os.path.join(out, "pair_kmers.tsv")).read().strip().splitlines()[1:]
+    scores = {tuple(r.split("\t")[:2]): int(r.split("\t")[6]) for r in rows[1:]}
+    for r in krows:
+        i, j, kmers = r.split("\t")
+        assert len(kmers.split(",")) == scores[(i, j)]
+
+
+def test_cli_tree_cluster_mode(toy_fasta, tmp_path):
+    out = str(tmp_path / "out_tree")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--cluster", "tree", "--out", out, "--cpu",
+    ])
+    assert rc == 0
+    labels = {}
+    for line in open(os.path.join(out, "clusters.tsv")).read().splitlines()[1:]:
+        p, _id, _cls, lbl = line.split("\t")
+        labels[int(p)] = int(lbl)
+    assert len(labels) == 60
+    assert min(labels.values()) >= 0
+
+
+def test_cli_bad_args():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["run", "x.fasta", "--k", "6"])

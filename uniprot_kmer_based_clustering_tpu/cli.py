@@ -1,0 +1,194 @@
+"""Command-line interface.
+
+The reference CLI is ``cargo run --release -- <fasta> <threads>``
+(src/main.rs:54-60) and prints a Debug dump of the whole graph to stdout.
+Here:
+
+  uniprot-kmer-cluster run <fasta> [--k {5,7}] [--threshold N]
+      [--sampling {all,random10}] [--weighting {none,blosum62}]
+      [--cluster {components,tree,none}] [--engine {auto,mxu,popcount,xla}]
+      [--all-pairs] [--devices N] [--checkpoint-dir DIR] [--out DIR]
+      [--diamond] [--dump-kmers]
+
+writes structured artifacts to --out: pairs.tsv, clusters.tsv,
+stats.json (parity counters + timings), and optionally
+blastp_output.tsv (diamond) and per-pair shared-k-mer dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_config(args):
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+
+    return PipelineConfig(
+        k=args.k,
+        threshold=args.threshold,
+        weighted_threshold=args.weighted_threshold,
+        sampling=args.sampling,
+        seed=args.seed,
+        cross_amr_only=not args.all_pairs,
+        weighting=args.weighting,
+        cluster=args.cluster,
+        engine=args.engine,
+        run_diamond=args.diamond,
+    )
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/ukc_jax_cache"),
+    )
+
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+    config = _build_config(args)
+    mesh = None
+    if args.devices and args.devices > 1:
+        from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+
+    result = run_pipeline(
+        args.fasta,
+        config,
+        checkpoint_dir=args.checkpoint_dir,
+        mesh=mesh,
+        echo_timings=args.verbose,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    table = result.table
+    pairs = result.pairwise.pairs
+
+    with open(os.path.join(args.out, "pairs.tsv"), "w") as f:
+        score_col = "weighted_score" if config.weighting != "none" else "shared_kmers"
+        f.write(f"protein_i\tprotein_j\tid_i\tid_j\tclass_i\tclass_j\t{score_col}\n")
+        for i, j, c in pairs:
+            f.write(
+                f"{i}\t{j}\t{table.ids[i]}\t{table.ids[j]}\t"
+                f"{table.amr_classes[i]}\t{table.amr_classes[j]}\t{c}\n"
+            )
+
+    if result.cluster_labels is not None:
+        with open(os.path.join(args.out, "clusters.tsv"), "w") as f:
+            f.write("protein\tid\tamr_class\tcluster\n")
+            for i in range(table.n):
+                f.write(
+                    f"{i}\t{table.ids[i]}\t{table.amr_classes[i]}\t"
+                    f"{result.cluster_labels[i]}\n"
+                )
+
+    stats = {
+        "config": {
+            k: v for k, v in vars(args).items()
+            if k not in ("func", "out", "verbose")
+        },
+        "parity": result.parity_report(),
+        "clusters": result.cluster_summary(),
+        "timings_s": {k: round(v, 4) for k, v in result.timings.items()},
+        "device": str(jax.devices()[0]),
+        "n_devices": int(mesh.devices.size) if mesh is not None else 1,
+    }
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+    if args.dump_kmers and len(pairs):
+        from uniprot_kmer_based_clustering_tpu.similarity.kmers_of_pairs import (
+            shared_kmer_strings,
+        )
+
+        with open(os.path.join(args.out, "pair_kmers.tsv"), "w") as f:
+            f.write("protein_i\tprotein_j\tshared_kmers\n")
+            for row, kmers in zip(
+                pairs, shared_kmer_strings(result.index, pairs)
+            ):
+                f.write(f"{row[0]}\t{row[1]}\t{','.join(kmers)}\n")
+
+    if config.run_diamond:
+        from uniprot_kmer_based_clustering_tpu.align import (
+            align_pairs,
+            diamond_available,
+        )
+
+        if diamond_available():
+            out = align_pairs(
+                table, pairs, os.path.join(args.out, "blastp_output.tsv")
+            )
+            print(f"wrote {out}", file=sys.stderr)
+        else:
+            print(
+                "diamond not found on PATH — skipping alignment "
+                "(pair list is the parity boundary)",
+                file=sys.stderr,
+            )
+
+    print(json.dumps(stats["parity"]))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("UKC_BENCH_FASTA", args.fasta)
+    import bench  # repo-root bench script
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="uniprot-kmer-cluster",
+        description="TPU-native protein k-mer clustering",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the full pipeline")
+    r.add_argument("fasta")
+    r.add_argument("--k", type=int, default=5, choices=(5, 7))
+    r.add_argument("--threshold", type=int, default=10,
+                   help="align pairs sharing > threshold k-mers "
+                        "(reference hardcodes 10, src/graph/mod.rs:242)")
+    r.add_argument("--weighted-threshold", type=int, default=None)
+    r.add_argument("--sampling", default="all", choices=("all", "random10"))
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--weighting", default="none", choices=("none", "blosum62"))
+    r.add_argument("--cluster", default="components",
+                   choices=("components", "tree", "none"))
+    r.add_argument("--engine", default="auto",
+                   choices=("auto", "mxu", "popcount", "xla"))
+    r.add_argument("--all-pairs", action="store_true",
+                   help="keep same-AMR-class pairs too")
+    r.add_argument("--devices", type=int, default=0,
+                   help="shard the sweep over N devices")
+    r.add_argument("--checkpoint-dir", default=None)
+    r.add_argument("--out", default="ukc_out")
+    r.add_argument("--diamond", action="store_true",
+                   help="run diamond blastp on surviving pairs")
+    r.add_argument("--dump-kmers", action="store_true",
+                   help="write each pair's shared k-mers (decoded)")
+    r.add_argument("--cpu", action="store_true", help="force CPU backend")
+    r.add_argument("-v", "--verbose", action="store_true")
+    r.set_defaults(func=cmd_run)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.add_argument("fasta", nargs="?", default="/root/reference/uniprot_arg.fasta")
+    b.set_defaults(func=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

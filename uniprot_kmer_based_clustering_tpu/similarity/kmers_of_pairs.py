@@ -1,0 +1,49 @@
+"""Recover the shared k-mer lists of surviving pairs.
+
+The reference's merged edge (``KmerEdgeGroup``, src/graph/edge.rs:87-112)
+carries the concatenated k-mer ids shared by its protein pair; the Debug
+dump prints them decoded (src/graph/edge.rs:158-175 via
+``five_mer_back_to_amino_acid``). The sweep only needs the counts, so the
+ids are recovered lazily here — and only for pairs that survive the
+alignment gate (465 on the bundled dataset), a trivial host gather.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.kmers.encode import decode_kmer
+from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex
+
+
+def shared_kmer_ranks(index: KmerIndex, pairs: np.ndarray) -> List[np.ndarray]:
+    """For each (i, j, …) pair row, the sorted rank-hash ids shared by
+    proteins i and j."""
+    order = np.argsort(index.incidence_protein, kind="stable")
+    ip = index.incidence_protein[order]
+    ir = index.incidence_rank[order]
+    n = int(ip[-1]) + 1 if len(ip) else 0
+    starts = np.searchsorted(ip, np.arange(n + 1))
+
+    def ranks_of(p: int) -> np.ndarray:
+        return ir[starts[p] : starts[p + 1]]
+
+    out = []
+    for row in np.asarray(pairs):
+        i, j = int(row[0]), int(row[1])
+        out.append(np.intersect1d(ranks_of(i), ranks_of(j)))
+    return out
+
+
+def shared_kmer_strings(
+    index: KmerIndex, pairs: np.ndarray
+) -> List[List[str]]:
+    """Decoded amino-acid strings of each pair's shared k-mers (the
+    reference's Debug-dump representation)."""
+    out = []
+    for ranks in shared_kmer_ranks(index, pairs):
+        codes = index.repeated_codes[ranks]
+        out.append([decode_kmer(int(c), index.k) for c in codes])
+    return out
