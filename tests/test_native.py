@@ -1,0 +1,89 @@
+"""Native C++ runtime vs numpy fallbacks: byte-identical outputs."""
+
+import numpy as np
+import pytest
+
+from uniprot_kmer_based_clustering_tpu.io import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_fasta_parse_matches_python(toy_fasta):
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    with open(toy_fasta, "rb") as f:
+        data = f.read()
+    py_ids, py_seq, py_off = parse_fasta_bytes(data)
+    nat = native.parse_fasta(toy_fasta)
+    assert nat is not None
+    ids, seq, off = nat
+    assert ids == py_ids
+    assert np.array_equal(seq, py_seq)
+    assert np.array_equal(off, py_off)
+
+
+def test_fasta_parse_edge_cases(tmp_path):
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    # CRLF, multi-line sequences, trailing whitespace in ids, blank lines
+    data = (
+        b">id1|a|b|c extra words\r\n"
+        b"CSTAG\r\nPDEQN\r\n"
+        b"\n"
+        b">id2|x|y|z\n"
+        b"WWWWW\n"
+    )
+    p = tmp_path / "edge.fasta"
+    p.write_bytes(data)
+    py_ids, py_seq, py_off = parse_fasta_bytes(data)
+    ids, seq, off = native.parse_fasta(str(p))
+    assert ids == py_ids == ["id1|a|b|c", "id2|x|y|z"]
+    assert np.array_equal(seq, py_seq)
+    assert np.array_equal(off, py_off)
+
+
+def test_pack_bits_matches_numpy(rng):
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+
+    n, k = 50, 700
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.05)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    words = native.pack_bits(
+        rows.astype(np.int32), cols.astype(np.int32), bs.n_pad, bs.w_pad
+    )
+    assert np.array_equal(words, bs.words)
+
+
+def test_popcount_sweep_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep_xla
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        extract_pairs,
+    )
+
+    n, k = 120, 800
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.05)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=8, word_multiple=128,
+    )
+    classes = np.full(bs.n_pad, -1, np.int32)
+    classes[:n] = rng.integers(0, 3, n)
+    rsx, thx, tx = sweep_xla(
+        jnp.asarray(bs.words), jnp.asarray(classes), n, 3, tile=8
+    )
+    px = extract_pairs(jnp.asarray(bs.words), classes, thx, tx, n=n, threshold=3)
+
+    out = native.popcount_sweep(bs.words, n, classes, 3)
+    assert out is not None
+    row_stats, pairs = out
+    assert np.array_equal(row_stats.sum(axis=0), rsx.sum(axis=0)[:8])
+    assert np.array_equal(pairs, px)

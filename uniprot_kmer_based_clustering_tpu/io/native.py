@@ -1,0 +1,169 @@
+"""ctypes bindings for the native host runtime (native/ukc_native.cpp).
+
+The shared library is built on first use (``make -C native``) and cached;
+every entry point has a pure-numpy fallback elsewhere in the package, so
+a missing toolchain degrades gracefully (tests assert parity between the
+native and numpy paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libukc_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_i64 = ctypes.c_int64
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.ukc_fasta_stats.restype = ctypes.c_int
+        lib.ukc_fasta_stats.argtypes = [
+            _u8p, _i64, ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+            ctypes.POINTER(_i64),
+        ]
+        lib.ukc_fasta_parse.restype = ctypes.c_int
+        lib.ukc_fasta_parse.argtypes = [_u8p, _i64, _u8p, _i64p, _u8p, _i64p]
+        lib.ukc_pack_bits.restype = None
+        lib.ukc_pack_bits.argtypes = [_i32p, _i32p, _i64, _u32p, _i64]
+        lib.ukc_popcount_sweep.restype = _i64
+        lib.ukc_popcount_sweep.argtypes = [
+            _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fasta(path: str) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
+    """Native FASTA parse → (ids, seq_buf, offsets); None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    n = _i64(0)
+    idb = _i64(0)
+    seqb = _i64(0)
+    rc = lib.ukc_fasta_stats(
+        data, data.shape[0], ctypes.byref(n), ctypes.byref(idb),
+        ctypes.byref(seqb),
+    )
+    if rc != 0:
+        raise ValueError(f"malformed FASTA: {path}")
+    nn = n.value
+    id_buf = np.empty(idb.value, np.uint8)
+    id_off = np.zeros(nn + 1, np.int64)
+    seq_buf = np.empty(seqb.value, np.uint8)
+    seq_off = np.zeros(nn + 1, np.int64)
+    rc = lib.ukc_fasta_parse(
+        data, data.shape[0], id_buf, id_off, seq_buf, seq_off
+    )
+    if rc != 0:
+        raise ValueError(f"malformed FASTA: {path}")
+    ids = [
+        id_buf[id_off[i] : id_off[i + 1]].tobytes().decode("ascii")
+        for i in range(nn)
+    ]
+    return ids, seq_buf, seq_off
+
+
+def pack_bits(
+    incidence_protein: np.ndarray,
+    incidence_rank: np.ndarray,
+    n_pad: int,
+    w_pad: int,
+) -> Optional[np.ndarray]:
+    """Native bitset packing; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.zeros((n_pad, w_pad), np.uint32)
+    lib.ukc_pack_bits(
+        np.ascontiguousarray(incidence_protein, np.int32),
+        np.ascontiguousarray(incidence_rank, np.int32),
+        incidence_protein.shape[0],
+        words.reshape(-1),
+        w_pad,
+    )
+    return words
+
+
+def popcount_sweep(
+    words: np.ndarray,
+    n: int,
+    classes: np.ndarray,
+    threshold: int,
+    pairs_cap: int = 1 << 20,
+    include_same: bool = False,
+    n_threads: Optional[int] = None,
+):
+    """Native CPU sweep → (row_stats int64 [n, 8], pairs int64 [m, 3]).
+
+    Returns None when the library is unavailable. `words` is the packed
+    uint32 matrix; only the first n rows are swept.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    w64 = words.shape[1] // 2
+    words64 = np.ascontiguousarray(words[:n]).view(np.uint64)
+    row_stats = np.zeros((n, 8), np.int64)
+    pairs = np.zeros((pairs_cap, 3), np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    total = lib.ukc_popcount_sweep(
+        words64, n, w64,
+        np.ascontiguousarray(classes[:n], np.int32),
+        threshold, row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
+        1 if include_same else 0, n_threads,
+    )
+    if total > pairs_cap:
+        raise RuntimeError(
+            f"pair buffer overflow: {total} > cap {pairs_cap}; rerun with a "
+            f"larger pairs_cap"
+        )
+    found = pairs[:total]
+    order = np.lexsort((found[:, 1], found[:, 0]))
+    return row_stats, found[order]
