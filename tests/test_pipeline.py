@@ -68,6 +68,25 @@ def test_sharded_pipeline_matches(toy_fasta):
 
 
 @pytest.mark.golden
+def test_golden_full_dataset_7mer(arg_fasta):
+    """7-mer config (BASELINE config #2) goldens, derived once from the
+    scipy oracle and cross-checked against the TPU MXU engine."""
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+
+    table = read_fasta(arg_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 7)
+    idx = build_index(codes, koff, 7)
+    assert idx.n_distinct == 731043
+    assert idx.n_unique == 442492
+    assert idx.n_repeated == 288551
+    assert idx.nnz == 2929337
+
+
+@pytest.mark.golden
 def test_golden_full_dataset(arg_fasta):
     """Full-dataset golden parity via the host/scipy path (slow: ~30 s).
 
