@@ -82,7 +82,7 @@ def main():
         idx.incidence_rank,
         table.n,
         idx.n_repeated,
-        row_multiple=3584,
+        row_multiple=512,
     )
     words = jnp.asarray(bitset.words)
     classes = np.full(bitset.n_pad, -1, np.int32)

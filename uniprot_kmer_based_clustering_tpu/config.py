@@ -43,7 +43,9 @@ class PipelineConfig:
                                     #   xla: popcount fallback, runs anywhere
                                     #   auto: mxu on TPU, xla elsewhere
     tile: int = 512                 # protein-axis tile for the pairwise sweep
-    strip: int = 3584               # stationary strip rows for the MXU engine
+    strip: Optional[int] = None     # stationary strip rows for the MXU engine
+                                    # (None = auto: one full-square call when
+                                    # the counts matrix fits HBM, else strips)
     word_block: int = 512           # k-mer-word-axis block inside the kernel
     pair_capacity: int = 1 << 16    # fixed-capacity buffer for extracted pairs
 
@@ -65,7 +67,7 @@ class PipelineConfig:
             raise ValueError(f"unknown cluster mode {self.cluster!r}")
         if self.engine not in ("auto", "mxu", "popcount", "xla"):
             raise ValueError(f"unknown engine {self.engine!r}")
-        if self.strip % self.tile != 0:
+        if self.strip is not None and self.strip % self.tile != 0:
             raise ValueError("strip must be a multiple of tile")
         if self.tile % 8 != 0:
             raise ValueError("tile must be a multiple of 8 (TPU sublane)")

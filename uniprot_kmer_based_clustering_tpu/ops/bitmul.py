@@ -122,12 +122,31 @@ def _strip_stats(
     return row_stats, bh
 
 
+def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
+    """Pick the stationary strip size.
+
+    One full-square call beats the strip triangle whenever the int32
+    counts matrix fits comfortably in HBM (measured on v5e: 0.21s square
+    vs 0.27s for 3 triangle strips — the big matmul runs ~250 TOPS while
+    narrow strips fall to ~130). Beyond the budget, fall back to the
+    largest block multiple ≤ 3584 that divides n_pad.
+    """
+    if n_pad * n_pad * 4 <= budget_bytes:
+        return n_pad
+    best = block
+    for mult in range(1, 3584 // block + 1):
+        s = mult * block
+        if n_pad % s == 0:
+            best = s
+    return best
+
+
 def sweep_mxu(
     words,
     classes,
     n: int,
     threshold: int,
-    strip: int = 3584,
+    strip: Optional[int] = None,
     block: int = 512,
     weights: Optional[np.ndarray] = None,
     w_thresh: int = 1,
@@ -144,6 +163,8 @@ def sweep_mxu(
     engines so extraction is engine-agnostic.
     """
     n_pad, w_words = words.shape
+    if strip is None:
+        strip = auto_strip(n_pad, block)
     assert n_pad % strip == 0 and strip % block == 0
     ns = n_pad // strip
     nb = n_pad // block

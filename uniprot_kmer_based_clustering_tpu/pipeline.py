@@ -67,6 +67,8 @@ class PipelineResult:
 
 def _row_multiple(config: PipelineConfig) -> int:
     # N_pad must satisfy both the MXU strip and the tile granularity.
+    if config.strip is None:
+        return config.tile
     import math
 
     return (config.strip * config.tile) // math.gcd(config.strip, config.tile)

@@ -169,7 +169,9 @@ def pairwise_similarity(
         else config.threshold
     )
     if engine == "mxu":
-        strip = config.strip if n_pad % config.strip == 0 else config.tile
+        strip = config.strip
+        if strip is not None and n_pad % strip != 0:
+            strip = config.tile
         row_stats, tile_hits, tiles = sweep_mxu(
             words,
             classes_j,
