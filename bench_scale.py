@@ -1,0 +1,107 @@
+"""Scale benchmark: UniProt-scale synthetic run (BASELINE config #5).
+
+Synthesizes N proteins (default 30,000) as point-mutated copies of shared
+templates — the homology structure that makes k-mer clustering meaningful —
+then runs the full index → bitset → strip sweep on the default device and
+prints one JSON line with pairs/s/chip at scale.
+
+This exercises the code paths the bundled 10,619-protein dataset cannot:
+the auto-strip fallback (counts matrix exceeds the HBM budget) and
+multi-million-bit rows. Usage:
+
+    UKC_SCALE_N=30000 python bench_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_proteins(n: int, seed: int = 0):
+    """Template-mutation synthetic dataset (ids carry synthetic AMR classes)."""
+    rng = np.random.default_rng(seed)
+    aas = np.frombuffer(b"CSTAGPDEQNHRKMILVWYF", np.uint8)
+    n_templates = max(50, n // 100)
+    n_classes = 15
+    lengths = rng.integers(150, 500, n_templates)
+    templates = [aas[rng.integers(0, 20, int(L))] for L in lengths]
+
+    seqs = []
+    classes = np.empty(n, np.int32)
+    for i in range(n):
+        t = templates[i % n_templates].copy()
+        n_mut = max(1, len(t) // 12)
+        pos = rng.integers(0, len(t), n_mut)
+        t[pos] = aas[rng.integers(0, 20, n_mut)]
+        seqs.append(t)
+        # class independent of template so homologous pairs cross classes
+        classes[i] = int(rng.integers(0, n_classes))
+    seq_buf = np.concatenate(seqs)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    return seq_buf, offsets, classes
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+        pack_bitsets,
+    )
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+
+    n = int(os.environ.get("UKC_SCALE_N", "30000"))
+    t0 = time.perf_counter()
+    seq_buf, offsets, classes = synth_proteins(n)
+    t_synth = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    codes, koff = encode_kmers(seq_buf, offsets, 5)
+    idx = build_index(codes, koff, 5)
+    bitset = pack_bitsets(
+        idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
+        row_multiple=512,
+    )
+    t_index = time.perf_counter() - t0
+
+    words = jnp.asarray(bitset.words)
+    cls = np.full(bitset.n_pad, -1, np.int32)
+    cls[:n] = classes
+    cls = jnp.asarray(cls)
+
+    # compile + warm
+    t0 = time.perf_counter()
+    rs, th, _ = sweep_mxu(words, cls, n, 10)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rs, th, _ = sweep_mxu(words, cls, n, 10)
+    t_sweep = time.perf_counter() - t0
+
+    n_pairs = n * (n - 1) / 2.0
+    tot = rs.sum(axis=0)
+    print(json.dumps({
+        "metric": "pairwise_similarity_scale",
+        "value": round(n_pairs / t_sweep, 1),
+        "unit": "pairs/s/chip",
+        "n_proteins": n,
+        "repeated_kmers": idx.n_repeated,
+        "bitset_gb": round(bitset.words.nbytes / 2**30, 2),
+        "sweep_seconds": round(t_sweep, 3),
+        "first_run_seconds": round(t_first, 1),
+        "index_seconds": round(t_index, 1),
+        "synth_seconds": round(t_synth, 1),
+        "cross_amr_pairs": int(tot[1]),
+        "pairs_over_threshold": int(tot[2]),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

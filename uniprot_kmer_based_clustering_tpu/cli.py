@@ -55,19 +55,33 @@ def cmd_run(args) -> int:
     from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
 
     config = _build_config(args)
+    if args.distributed:
+        from uniprot_kmer_based_clustering_tpu.parallel import (
+            init_distributed,
+        )
+
+        init_distributed()
     mesh = None
     if args.devices and args.devices > 1:
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.devices)
 
-    result = run_pipeline(
-        args.fasta,
-        config,
-        checkpoint_dir=args.checkpoint_dir,
-        mesh=mesh,
-        echo_timings=args.verbose,
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
     )
+    with profile_ctx:
+        result = run_pipeline(
+            args.fasta,
+            config,
+            checkpoint_dir=args.checkpoint_dir,
+            mesh=mesh,
+            echo_timings=args.verbose,
+        )
 
     os.makedirs(args.out, exist_ok=True)
     table = result.table
@@ -179,6 +193,11 @@ def main(argv=None) -> int:
     r.add_argument("--dump-kmers", action="store_true",
                    help="write each pair's shared k-mers (decoded)")
     r.add_argument("--cpu", action="store_true", help="force CPU backend")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view with tensorboard/xprof)")
+    r.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host pod slice)")
     r.add_argument("-v", "--verbose", action="store_true")
     r.set_defaults(func=cmd_run)
 

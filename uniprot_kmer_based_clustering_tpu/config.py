@@ -47,7 +47,6 @@ class PipelineConfig:
                                     # (None = auto: one full-square call when
                                     # the counts matrix fits HBM, else strips)
     word_block: int = 512           # k-mer-word-axis block inside the kernel
-    pair_capacity: int = 1 << 16    # fixed-capacity buffer for extracted pairs
 
     # --- clustering (reference src/tree.rs) ---
     cluster: str = "components"     # "components" | "tree" | "none"

@@ -1,4 +1,5 @@
 from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
     make_mesh,
     pad_for_mesh,
 )

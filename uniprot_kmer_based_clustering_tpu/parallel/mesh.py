@@ -17,6 +17,32 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (call once per host before make_mesh).
+
+    On TPU pods with standard metadata, bare ``jax.distributed.initialize()``
+    autodetects everything; explicit args cover manual clusters. After this,
+    :func:`make_mesh` over ``jax.devices()`` spans the whole slice and the
+    ring sweep's ppermute rides ICI within a slice (DCN only for the final
+    psum) — the multi-host replacement for the reference's single-node
+    SLURM envelope (run.sh:3-12).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
     """1-D mesh over the first `n_devices` devices (all by default)."""
     devs = jax.devices()
