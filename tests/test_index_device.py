@@ -1,0 +1,53 @@
+"""Device-side index build == host index build, bit for bit."""
+
+import numpy as np
+
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+from uniprot_kmer_based_clustering_tpu.kmers.encode import (
+    encode_kmers,
+    residues_to_indices,
+)
+from uniprot_kmer_based_clustering_tpu.kmers.index import build_index
+from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+    build_bitset_device,
+)
+
+
+def test_device_bitset_matches_host(rng):
+    aas = "CSTAGPDEQNHRKMILVWYF"
+    seqs = [
+        "".join(aas[i] for i in rng.integers(0, 20, int(n)))
+        for n in rng.integers(8, 60, 40)
+    ]
+    # inject heavy sharing
+    seqs += [seqs[0][:30] + s[:20] for s in seqs[:10]]
+    buf = np.frombuffer("".join(seqs).encode(), np.uint8)
+    offs = np.cumsum([0] + [len(s) for s in seqs])
+    n = len(seqs)
+
+    # host path
+    codes, koff = encode_kmers(buf, offs, 5)
+    idx = build_index(codes, koff, 5)
+    host_bs = pack_bitsets(
+        idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
+        row_multiple=8, word_multiple=128,
+    )
+
+    # device path
+    lmax = max(len(s) for s in seqs)
+    mat = np.zeros((n, lmax), np.int32)
+    lengths = np.array([len(s) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        mat[i, : len(s)] = residues_to_indices(
+            np.frombuffer(s.encode(), np.uint8)
+        )
+    words, freq, n_repeated = build_bitset_device(
+        mat, lengths, n, row_multiple=8, word_multiple=128
+    )
+    assert n_repeated == idx.n_repeated
+    freq = np.asarray(freq)
+    assert np.array_equal(np.nonzero(freq)[0], idx.codes)
+    assert np.array_equal(freq[idx.codes], idx.doc_freq)
+    words = np.asarray(words)
+    assert words.shape == host_bs.words.shape
+    assert np.array_equal(words, host_bs.words)

@@ -38,6 +38,7 @@ def _build_config(args):
         weighting=args.weighting,
         cluster=args.cluster,
         engine=args.engine,
+        index_engine=args.index_engine,
         run_diamond=args.diamond,
     )
 
@@ -127,7 +128,8 @@ def cmd_run(args) -> int:
         with open(os.path.join(args.out, "pair_kmers.tsv"), "w") as f:
             f.write("protein_i\tprotein_j\tshared_kmers\n")
             for row, kmers in zip(
-                pairs, shared_kmer_strings(result.index, pairs)
+                pairs,
+                shared_kmer_strings(result.index, pairs, result.bitset),
             ):
                 f.write(f"{row[0]}\t{row[1]}\t{','.join(kmers)}\n")
 
@@ -182,6 +184,9 @@ def main(argv=None) -> int:
                    choices=("components", "tree", "none"))
     r.add_argument("--engine", default="auto",
                    choices=("auto", "mxu", "popcount", "xla"))
+    r.add_argument("--index-engine", default="host",
+                   choices=("host", "device"),
+                   help="build the doc-freq index + bitset on host or TPU")
     r.add_argument("--all-pairs", action="store_true",
                    help="keep same-AMR-class pairs too")
     r.add_argument("--devices", type=int, default=0,

@@ -22,6 +22,7 @@ construction — computed with sort/unique (host numpy) or, for k=5, a dense
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -50,6 +51,9 @@ class KmerIndex:
     incidence_protein: np.ndarray
     incidence_rank: np.ndarray
     hash_doc_freq: np.ndarray
+    # Set by the device index path (which never materializes host
+    # incidence lists); equals Σ hash_doc_freq either way.
+    nnz_count: Optional[int] = None
 
     @property
     def n_distinct(self) -> int:
@@ -65,7 +69,30 @@ class KmerIndex:
 
     @property
     def nnz(self) -> int:
+        if self.nnz_count is not None:
+            return self.nnz_count
         return int(self.incidence_rank.shape[0])
+
+    @property
+    def has_incidences(self) -> bool:
+        return self.incidence_rank.shape[0] > 0 or self.nnz == 0
+
+    @classmethod
+    def from_dense_freq(cls, freq: np.ndarray, k: int) -> "KmerIndex":
+        """Index view over a dense doc-freq vector (device path output)."""
+        codes = np.nonzero(freq)[0].astype(np.int64)
+        doc_freq = freq[codes].astype(np.int64)
+        repeated = doc_freq >= 2
+        return cls(
+            k=k,
+            codes=codes,
+            doc_freq=doc_freq,
+            repeated_codes=codes[repeated],
+            incidence_protein=np.zeros(0, np.int32),
+            incidence_rank=np.zeros(0, np.int32),
+            hash_doc_freq=doc_freq[repeated],
+            nnz_count=int(doc_freq[repeated].sum()),
+        )
 
     def multigraph_edge_count(self) -> int:
         """Σ f(f−1)/2 over rank-space docfreq — the number of edge slots the

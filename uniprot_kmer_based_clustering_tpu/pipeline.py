@@ -94,40 +94,44 @@ def run_pipeline(
     with timers.stage("ingest"):
         table = read_fasta(fasta_path)
 
-    index = None
-    key_index = config.cache_key("index", fasta_path)
-    cached = store.load(key_index)
-    if cached is not None:
-        index = KmerIndex(k=config.k, **cached)
-    if index is None:
-        with timers.stage("encode"):
-            codes, koff = encode_kmers(
-                table.seq_buf,
-                table.offsets,
-                config.k,
-                sampling=config.sampling,
-                seed=config.seed,
-            )
+    if config.index_engine == "device":
         with timers.stage("index"):
-            index = build_index(codes, koff, config.k)
-        store.save(
-            key_index,
-            codes=index.codes,
-            doc_freq=index.doc_freq,
-            repeated_codes=index.repeated_codes,
-            incidence_protein=index.incidence_protein,
-            incidence_rank=index.incidence_rank,
-            hash_doc_freq=index.hash_doc_freq,
-        )
+            index, bitset = _device_index(table, config)
+    else:
+        index = None
+        key_index = config.cache_key("index", fasta_path)
+        cached = store.load(key_index)
+        if cached is not None:
+            index = KmerIndex(k=config.k, **cached)
+        if index is None:
+            with timers.stage("encode"):
+                codes, koff = encode_kmers(
+                    table.seq_buf,
+                    table.offsets,
+                    config.k,
+                    sampling=config.sampling,
+                    seed=config.seed,
+                )
+            with timers.stage("index"):
+                index = build_index(codes, koff, config.k)
+            store.save(
+                key_index,
+                codes=index.codes,
+                doc_freq=index.doc_freq,
+                repeated_codes=index.repeated_codes,
+                incidence_protein=index.incidence_protein,
+                incidence_rank=index.incidence_rank,
+                hash_doc_freq=index.hash_doc_freq,
+            )
 
-    with timers.stage("pack"):
-        bitset = pack_bitsets(
-            index.incidence_protein,
-            index.incidence_rank,
-            table.n,
-            index.n_repeated,
-            row_multiple=_row_multiple(config),
-        )
+        with timers.stage("pack"):
+            bitset = pack_bitsets(
+                index.incidence_protein,
+                index.incidence_rank,
+                table.n,
+                index.n_repeated,
+                row_multiple=_row_multiple(config),
+            )
 
     weights = None
     if config.weighting == "blosum62":
@@ -186,6 +190,41 @@ def run_pipeline(
         cluster_labels=labels,
         timings=timers.as_dict(),
     )
+
+
+def _device_index(table: ProteinTable, config: PipelineConfig):
+    """k=5 index + bitset built entirely on device (kmers/index_device.py).
+
+    Bit-identical to the host path; random10 sampling stays host-side
+    (the reference's sampler is positional, src/protein.rs:83-94).
+    """
+    if config.sampling != "all":
+        raise ValueError("index_engine='device' supports sampling='all'")
+    import numpy as _np
+
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import (
+        residues_to_indices,
+    )
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        build_bitset_device,
+    )
+
+    lengths = table.lengths.astype(_np.int32)
+    lmax = int(lengths.max())
+    mat = _np.zeros((table.n, lmax), _np.int32)
+    res = residues_to_indices(table.seq_buf)
+    for i in range(table.n):
+        s, e = table.offsets[i], table.offsets[i + 1]
+        mat[i, : e - s] = res[s:e]
+    words, freq, n_repeated = build_bitset_device(
+        mat, lengths, table.n, row_multiple=_row_multiple(config)
+    )
+    index = KmerIndex.from_dense_freq(_np.asarray(freq), config.k)
+    assert index.n_repeated == n_repeated
+    bitset = BitsetMatrix(
+        words=_np.asarray(words), n=table.n, n_bits=n_repeated
+    )
+    return index, bitset
 
 
 def _sharded_similarity(

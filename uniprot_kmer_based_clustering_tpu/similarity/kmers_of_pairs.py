@@ -18,9 +18,30 @@ from uniprot_kmer_based_clustering_tpu.kmers.encode import decode_kmer
 from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex
 
 
-def shared_kmer_ranks(index: KmerIndex, pairs: np.ndarray) -> List[np.ndarray]:
+def shared_kmer_ranks(
+    index: KmerIndex, pairs: np.ndarray, bitset=None
+) -> List[np.ndarray]:
     """For each (i, j, …) pair row, the sorted rank-hash ids shared by
-    proteins i and j."""
+    proteins i and j.
+
+    With a device-built index (no host incidence lists) pass the
+    BitsetMatrix; ranks are recovered by unpacking the two rows.
+    """
+    if not index.has_incidences:
+        if bitset is None:
+            raise ValueError(
+                "device-built index has no incidence lists; pass the bitset"
+            )
+        out = []
+        for row in np.asarray(pairs):
+            i, j = int(row[0]), int(row[1])
+            both = np.unpackbits(
+                (bitset.words[i] & bitset.words[j]).view(np.uint8),
+                bitorder="little",
+            )
+            out.append(np.nonzero(both[: index.n_repeated])[0])
+        return out
+
     order = np.argsort(index.incidence_protein, kind="stable")
     ip = index.incidence_protein[order]
     ir = index.incidence_rank[order]
@@ -38,12 +59,12 @@ def shared_kmer_ranks(index: KmerIndex, pairs: np.ndarray) -> List[np.ndarray]:
 
 
 def shared_kmer_strings(
-    index: KmerIndex, pairs: np.ndarray
+    index: KmerIndex, pairs: np.ndarray, bitset=None
 ) -> List[List[str]]:
     """Decoded amino-acid strings of each pair's shared k-mers (the
     reference's Debug-dump representation)."""
     out = []
-    for ranks in shared_kmer_ranks(index, pairs):
+    for ranks in shared_kmer_ranks(index, pairs, bitset):
         codes = index.repeated_codes[ranks]
         out.append([decode_kmer(int(c), index.k) for c in codes])
     return out
