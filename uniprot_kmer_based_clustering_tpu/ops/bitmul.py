@@ -52,7 +52,9 @@ def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("i0", "j0", "n", "threshold", "block", "w_thresh"),
+    static_argnames=(
+        "i0", "j0", "n", "threshold", "block", "w_thresh", "word_chunk",
+    ),
 )
 def _strip_stats(
     words_a,      # uint32 [S, W] stationary strip (packed)
@@ -67,8 +69,15 @@ def _strip_stats(
     threshold: int,
     block: int,
     w_thresh: int,
+    word_chunk: int = 0,
 ):
     """One stationary strip vs one column suffix: fused matmul + stats.
+
+    With ``word_chunk`` > 0 the contraction axis is processed in word
+    chunks under ``lax.scan`` — the unpacked int8 operands (8× the packed
+    bitset) then only ever exist one chunk at a time, bounding peak HBM at
+    UniProt scale; the packed matrix stays whole. word_chunk == 0 unpacks
+    in one shot (fastest; XLA fuses the unpack into the matmul).
 
     Returns:
       row_stats int32 [S, 8]  (see ops.popcount.ROW_STAT_NAMES)
@@ -77,11 +86,36 @@ def _strip_stats(
     """
     s = words_a.shape[0]
     j = words_b.shape[0]
-    a = unpack_words_to_int8(words_a)
-    b = unpack_words_to_int8(words_b, weights)
-    counts = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # [S, J]
+    w_words = words_a.shape[1]
+    if word_chunk and word_chunk < w_words:
+        assert w_words % word_chunk == 0
+        n_chunks = w_words // word_chunk
+        wa = words_a.T.reshape(n_chunks, word_chunk, s)
+        wb = words_b.T.reshape(n_chunks, word_chunk, j)
+        wts = weights.reshape(n_chunks, word_chunk * 32)
+
+        def body(counts, chunk):
+            ca, cb, cw = chunk
+            a = unpack_words_to_int8(ca.T)
+            b = unpack_words_to_int8(cb.T, cw)
+            return (
+                counts
+                + jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ),
+                None,
+            )
+
+        counts, _ = jax.lax.scan(
+            body, jnp.zeros((s, j), jnp.int32), (wa, wb, wts)
+        )
+    else:
+        a = unpack_words_to_int8(words_a)
+        b = unpack_words_to_int8(words_b, weights)
+        counts = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [S, J]
 
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 1)
@@ -150,6 +184,8 @@ def sweep_mxu(
     block: int = 512,
     weights: Optional[np.ndarray] = None,
     w_thresh: int = 1,
+    word_chunk: Optional[int] = None,
+    unpacked_budget_bytes: int = 6 << 30,
 ):
     """Full upper-triangle sweep on the MXU.
 
@@ -166,6 +202,19 @@ def sweep_mxu(
     if strip is None:
         strip = auto_strip(n_pad, block)
     assert n_pad % strip == 0 and strip % block == 0
+    if word_chunk is None:
+        # chunk the contraction when the unpacked int8 operands would
+        # exceed the HBM budget; pick the largest 128-multiple divisor of
+        # w_words whose unpacked chunk fits
+        word_chunk = 0
+        if n_pad * w_words * 32 > unpacked_budget_bytes:
+            target = max(128, unpacked_budget_bytes // (n_pad * 32))
+            base = w_words // 128
+            best = 1
+            for d in range(1, base + 1):
+                if base % d == 0 and d * 128 <= target:
+                    best = d
+            word_chunk = best * 128
     ns = n_pad // strip
     nb = n_pad // block
 
@@ -187,7 +236,7 @@ def sweep_mxu(
         rs, bh = _strip_stats(
             wa, wb, ca, cb, wts,
             i0=i0, j0=i0, n=n, threshold=threshold, block=block,
-            w_thresh=w_thresh,
+            w_thresh=w_thresh, word_chunk=word_chunk,
         )
         row_stats[i0 : i0 + strip] = np.asarray(rs, dtype=np.int64)
         block_hits[i0 // block :, i0 // block :][
