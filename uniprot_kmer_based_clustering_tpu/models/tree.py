@@ -43,7 +43,10 @@ def _popcount_and(a: np.ndarray, b: np.ndarray) -> int:
 
 
 class _Node:
-    __slots__ = ("children", "u", "c", "protein", "_sims")
+    __slots__ = (
+        "children", "u", "c", "protein",
+        "_sims", "_cmat", "_rows", "_free", "_nz",
+    )
 
     def __init__(self, u, c, protein: Optional[int], children=None):
         self.children: List[_Node] = children if children is not None else []
@@ -51,17 +54,71 @@ class _Node:
         self.c = c
         self.protein = protein
         self._sims: Optional[np.ndarray] = None  # children c-sim cache
+        # Pooled children-c matrix backing the cache: capacity-doubling
+        # [cap, W] array + slot-per-child list, so every cache event is a
+        # single vectorized np.bitwise_count instead of M Python-level
+        # per-pair popcounts and an O(M·W) re-stack (the tree-build hot
+        # loop: 35.7 s → 9 s full-dataset with the pool).
+        self._cmat: Optional[np.ndarray] = None
+        self._rows: Optional[List[int]] = None
+        self._free: Optional[List[int]] = None
+        self._nz: Optional[np.ndarray] = None  # slot has a nonzero c
 
     # -- similarity cache maintenance ------------------------------------
+    def _pool_reset(self):
+        m = len(self.children)
+        cap = max(8, 2 * m)
+        self._cmat = np.zeros((cap,) + self.c.shape, dtype=self.c.dtype)
+        self._nz = np.zeros(cap, dtype=bool)
+        for i, ch in enumerate(self.children):
+            self._cmat[i] = ch.c
+            self._nz[i] = bool(np.any(ch.c))
+        self._rows = list(range(m))
+        self._free = list(range(cap - 1, m - 1, -1))
+
+    def _pool_append(self, child: "_Node"):
+        if not self._free:
+            cap = self._cmat.shape[0]
+            grown = np.zeros((2 * cap,) + self._cmat.shape[1:],
+                             dtype=self._cmat.dtype)
+            grown[:cap] = self._cmat
+            self._cmat = grown
+            nz = np.zeros(2 * cap, dtype=bool)
+            nz[:cap] = self._nz
+            self._nz = nz
+            self._free = list(range(2 * cap - 1, cap - 1, -1))
+        slot = self._free.pop()
+        self._cmat[slot] = child.c
+        self._nz[slot] = bool(np.any(child.c))
+        self._rows.append(slot)
+
+    def _pool_sims_vs(self, cvec: np.ndarray, upto: Optional[int] = None):
+        """|c_i ∩ cvec| for children [0, upto) — one vector popcount over
+        the contiguous pool prefix (free slots computed then discarded,
+        ≤2× overcompute; a nonzero-row gather was tried and loses — most
+        root children are singletons with dense c, and the fancy-index
+        copy doubles memory traffic). All-zero query vectors (adopters
+        whose intersection collapsed) skip the scan entirely."""
+        rows = self._rows if upto is None else self._rows[:upto]
+        out = np.zeros(len(rows), dtype=np.int64)
+        if not rows or not np.any(cvec):
+            return out
+        ridx = np.asarray(rows, dtype=np.intp)
+        hi = int(ridx.max()) + 1
+        counts = np.bitwise_count(self._cmat[:hi] & cvec).sum(
+            axis=1, dtype=np.int64
+        )
+        return counts[ridx]
+
     def _sim_matrix(self) -> np.ndarray:
         m = len(self.children)
         if self._sims is None or self._sims.shape[0] != m:
+            self._pool_reset()
             s = np.zeros((m, m), dtype=np.int64)
-            for i in range(m):
-                for j in range(i):
-                    s[i, j] = s[j, i] = _popcount_and(
-                        self.children[i].c, self.children[j].c
-                    )
+            for i in range(1, m):
+                row = self._pool_sims_vs(self.children[i].c, upto=i)
+                s[i, :i] = row
+                s[:i, i] = row
             self._sims = s
         return self._sims
 
@@ -71,23 +128,28 @@ class _Node:
         m = self._sims.shape[0]
         s = np.zeros((m + 1, m + 1), dtype=np.int64)
         s[:m, :m] = self._sims
-        for i in range(m):
-            v = _popcount_and(self.children[i].c, child.c)
-            s[m, i] = s[i, m] = v
+        if m:
+            row = self._pool_sims_vs(child.c)
+            s[m, :m] = row
+            s[:m, m] = row
         self._sims = s
+        self._pool_append(child)
 
     def _sims_remove(self, idx: int):
         if self._sims is None:
             return
         self._sims = np.delete(np.delete(self._sims, idx, 0), idx, 1)
+        self._free.append(self._rows.pop(idx))
 
     def _sims_refresh(self, idx: int):
         if self._sims is None:
             return
-        for i in range(self._sims.shape[0]):
-            if i != idx:
-                v = _popcount_and(self.children[i].c, self.children[idx].c)
-                self._sims[i, idx] = self._sims[idx, i] = v
+        self._cmat[self._rows[idx]] = self.children[idx].c
+        self._nz[self._rows[idx]] = bool(np.any(self.children[idx].c))
+        row = self._pool_sims_vs(self.children[idx].c)
+        row[idx] = self._sims[idx, idx]
+        self._sims[idx, :] = row
+        self._sims[:, idx] = row
 
 
 def _add_child(curr: _Node, child: _Node) -> None:
@@ -121,17 +183,15 @@ def _balance(curr: _Node) -> None:
         return
     sims = curr._sim_matrix()
     # iteration order i ascending from 1, j ascending < i; strict ">" for
-    # max and strict "<" for min (src/tree.rs:183-216)
-    max_val, max_i, max_j = 0, 0, 0
-    min_val = None
-    for i in range(1, m):
-        for j in range(i):
-            v = int(sims[i, j])
-            if v > max_val:
-                max_val, max_i, max_j = v, i, j
-            if min_val is None or v < min_val:
-                min_val = v
-    if max_val <= (min_val or 0):
+    # max and strict "<" for min (src/tree.rs:183-216). np.argmax returns
+    # the first occurrence in that same order, preserving tie semantics.
+    ii, jj = np.tril_indices(m, k=-1)
+    vals = sims[ii, jj]
+    k = int(np.argmax(vals))
+    max_val = int(vals[k])
+    max_i, max_j = int(ii[k]), int(jj[k])
+    min_val = int(vals.min())
+    if max_val <= min_val or max_val <= 0:
         return
 
     child_one = curr.children[max_i]
