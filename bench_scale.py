@@ -67,7 +67,7 @@ def main():
     idx = build_index(codes, koff, 5)
     bitset = pack_bitsets(
         idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
-        row_multiple=512,
+        row_multiple=3584,
     )
     t_index = time.perf_counter() - t0
 

@@ -216,9 +216,8 @@ def sharded_pairwise_similarity(
         jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
     )
     fn = make_ring_sweep(mesh, n, threshold, block_tile, axis, weighted)
-    row_stats, hits = fn(words_s, classes_s, weights_s)
-    row_stats = np.asarray(row_stats, dtype=np.int64)
-    hits = np.asarray(hits)
+    row_stats, hits = jax.device_get(fn(words_s, classes_s, weights_s))
+    row_stats = row_stats.astype(np.int64)
 
     from uniprot_kmer_based_clustering_tpu.ops.popcount import (
         upper_triangle_tiles,

@@ -67,11 +67,13 @@ class PipelineResult:
 
 def _row_multiple(config: PipelineConfig) -> int:
     # N_pad must satisfy both the MXU strip and the tile granularity.
-    if config.strip is None:
-        return config.tile
+    # With auto strip selection, pad to the optimal ~3584-row strip
+    # (= 7×512) so auto_strip never degrades to narrow strips on an
+    # N_pad with no good divisors (ops.bitmul.auto_strip).
     import math
 
-    return (config.strip * config.tile) // math.gcd(config.strip, config.tile)
+    strip = 3584 if config.strip is None else config.strip
+    return (strip * config.tile) // math.gcd(strip, config.tile)
 
 
 def run_pipeline(
