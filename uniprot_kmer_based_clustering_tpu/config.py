@@ -86,11 +86,27 @@ class PipelineConfig:
         if self.word_block % 128 != 0:
             raise ValueError("word_block must be a multiple of 128 (TPU lane)")
 
-    @property
-    def effective_weighted_threshold(self) -> int:
+    def effective_weighted_threshold(self, weights=None) -> int:
+        """Alignment gate for weighted scores.
+
+        With no explicit ``weighted_threshold``, the raw-count gate is
+        scaled by the mean positive per-k-mer weight so the weighted run
+        passes "more than ~`threshold` average k-mers' worth" of weighted
+        evidence — applying the raw gate (10) directly to BLOSUM scores
+        (mean self-score ≈ 27 per 5-mer) would pass every pair sharing a
+        single k-mer.
+        """
         if self.weighted_threshold is not None:
             return self.weighted_threshold
-        return self.threshold
+        if weights is None:
+            return self.threshold
+        import numpy as np
+
+        pos = np.asarray(weights)
+        pos = pos[pos > 0]
+        if pos.size == 0:
+            return self.threshold
+        return int(self.threshold * int(round(float(pos.mean()))))
 
     def cache_key(self, stage: str, extra: str = "") -> str:
         """Stable hash identifying a stage's artifact for checkpoint/resume."""

@@ -254,7 +254,7 @@ def _sharded_similarity(
     classes[: bitset.n] = np.asarray(table.amr_class_ids, np.int32)
 
     threshold = (
-        config.effective_weighted_threshold
+        config.effective_weighted_threshold(weights)
         if weights is not None
         else config.threshold
     )

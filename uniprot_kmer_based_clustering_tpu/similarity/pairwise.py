@@ -172,7 +172,7 @@ def pairwise_similarity(
     if weights is not None:
         engine = "mxu"
     threshold = (
-        config.effective_weighted_threshold
+        config.effective_weighted_threshold(weights)
         if weights is not None
         else config.threshold
     )
