@@ -1,0 +1,98 @@
+"""Multi-process worker for tests/test_multiprocess.py.
+
+Runs the ring sweep + distributed doc-freq on a 2-process × 2-local-device
+CPU cluster (jax.distributed + gloo collectives). Usage:
+
+    python _mp_worker.py <process_id> <num_processes> <port> <out_npz>
+
+Process 0 writes the results; every process must agree (replicated
+outputs), so process 1 writes a second file for cross-process comparison.
+"""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+out = sys.argv[4]
+
+# conftest-style: the axon sitecustomize preloads jax, so set env then
+# force the platform via config before any device use.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: E402
+    init_distributed,
+    make_mesh,
+)
+
+init_distributed(f"localhost:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+
+from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: E402
+    doc_freq_psum,
+    sharded_pairwise_similarity,
+)
+
+assert jax.process_count() == nproc, jax.process_count()
+mesh = make_mesh()  # all 4 global devices
+d = len(jax.devices())
+
+# Deterministic synthetic case (identical on every process).
+rng = np.random.default_rng(123)
+n_pad, w = 512, 32
+n = 500
+words = rng.integers(0, 2**32, size=(n_pad, w), dtype=np.uint32)
+words[n:] = 0
+classes = rng.integers(0, 4, size=n_pad).astype(np.int32)
+classes[n:] = -1
+
+row_stats, tile_hits, tiles = sharded_pairwise_similarity(
+    mesh, words, classes, n, threshold=10, block_tile=128
+)
+# Per-row attribution is engine-specific (the ring credits the stationary
+# row); the engine contract is aggregate equality + exact pair sets.
+SUM_LANES = [0, 1, 2, 4, 5, 6]
+MAX_LANES = [3, 7]
+agg = np.concatenate(
+    [row_stats[:, SUM_LANES].sum(axis=0), row_stats[:, MAX_LANES].max(axis=0)]
+)
+
+import jax.numpy as jnp  # noqa: E402
+
+from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (  # noqa: E402
+    extract_pairs,
+)
+
+pairs = extract_pairs(
+    jnp.asarray(words), classes, tile_hits, tiles, n=n, threshold=10
+)
+
+# Distributed doc-freq over a tiny 5-mer code matrix.
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+codes = rng.integers(0, 21**5, size=(d * 2, 16), dtype=np.int64)
+valid = np.ones_like(codes, dtype=bool)
+codes_s = jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P("p", None)))
+valid_s = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("p", None)))
+freq = np.asarray(doc_freq_psum(mesh, codes_s, valid_s, 5))
+
+np.savez(
+    out,
+    agg=agg,
+    tile_hits=tile_hits,
+    pairs=pairs,
+    freq_nnz=np.array([int((freq > 0).sum()), int(freq.sum())]),
+)
+print(f"worker {pid} done", flush=True)

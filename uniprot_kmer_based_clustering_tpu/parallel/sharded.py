@@ -10,8 +10,14 @@ Schedule (the balanced triangle ring, SURVEY.md §5):
     first half of the ring contributes.
 
 Every pair (i<j) is therefore counted exactly once, independent of D —
-the sharded sweep is bit-identical to the single-chip sweep (tested in
-``tests/test_sharded.py`` against the XLA oracle on an 8-device CPU mesh).
+the sharded sweep's aggregate statistics, hit tiles, and extracted pair
+sets are bit-identical to the single-chip sweep for every device count
+(tested in ``tests/test_sharded.py`` on an 8-device CPU mesh and in
+``tests/test_multiprocess.py`` on a real 2-process jax.distributed
+cluster). Note one engine-convention difference: per-row stats credit a
+pair to its *stationary-block* row, while the single-chip engines credit
+the smaller index — only aggregates and pair sets are cross-engine
+invariants (nothing downstream consumes per-row attribution).
 
 Per-device block math is the MXU engine (int8 binary matmul,
 ``ops.bitmul``). Collectives ride ICI within a slice; only the final
@@ -216,7 +222,16 @@ def sharded_pairwise_similarity(
         jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
     )
     fn = make_ring_sweep(mesh, n, threshold, block_tile, axis, weighted)
-    row_stats, hits = jax.device_get(fn(words_s, classes_s, weights_s))
+    row_stats, hits = fn(words_s, classes_s, weights_s)
+    if jax.process_count() > 1:
+        # Multi-host: row_stats is row-sharded across processes; replicate
+        # via all-gather (rides DCN once, SURVEY.md §5) so every host can
+        # read the full array.
+        row_stats = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, P(None, None)),
+        )(row_stats)
+    row_stats, hits = jax.device_get((row_stats, hits))
     row_stats = row_stats.astype(np.int64)
 
     from uniprot_kmer_based_clustering_tpu.ops.popcount import (
