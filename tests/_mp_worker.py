@@ -88,11 +88,20 @@ codes_s = jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P("p", None)))
 valid_s = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("p", None)))
 freq = np.asarray(doc_freq_psum(mesh, codes_s, valid_s, 5))
 
+# Collective cluster merge over the extracted pairs (BASELINE config #5:
+# partial forests merged across hosts — here the pmin label collective).
+from uniprot_kmer_based_clustering_tpu.models.components import (  # noqa: E402
+    connected_components_sharded,
+)
+
+labels = connected_components_sharded(mesh, pairs, n)
+
 np.savez(
     out,
     agg=agg,
     tile_hits=tile_hits,
     pairs=pairs,
+    labels=labels,
     freq_nnz=np.array([int((freq > 0).sum()), int(freq.sum())]),
 )
 print(f"worker {pid} done", flush=True)

@@ -48,3 +48,19 @@ def test_min_label_is_canonical(rng):
     for lbl in np.unique(labels):
         members = np.nonzero(labels == lbl)[0]
         assert members.min() == lbl
+
+
+def test_sharded_matches_host(rng):
+    from uniprot_kmer_based_clustering_tpu.models.components import (
+        connected_components_sharded,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+
+    n = 300
+    m = 450
+    pairs = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+    ref = connected_components(n, pairs)
+    for d in (1, 3, 8):
+        mesh = make_mesh(d)
+        got = connected_components_sharded(mesh, pairs, n)
+        assert np.array_equal(ref, got), d

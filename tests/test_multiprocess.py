@@ -60,7 +60,7 @@ def test_two_process_ring_sweep(tmp_path):
     a = np.load(outs[0])
     b = np.load(outs[1])
     # both processes observe the identical replicated result
-    for key in ("agg", "tile_hits", "pairs", "freq_nnz"):
+    for key in ("agg", "tile_hits", "pairs", "labels", "freq_nnz"):
         assert np.array_equal(a[key], b[key]), key
 
     # single-process oracle (this pytest process runs on the 8-device
@@ -95,6 +95,13 @@ def test_two_process_ring_sweep(tmp_path):
     )
     assert np.array_equal(a["agg"], agg_ref)
     assert np.array_equal(a["pairs"], pairs_ref)
+
+    # collective cluster merge matches the host union-find
+    from uniprot_kmer_based_clustering_tpu.models.components import (
+        connected_components,
+    )
+
+    assert np.array_equal(a["labels"], connected_components(n, pairs_ref))
 
     # doc-freq oracle: per-row dedup then count
     codes = rng.integers(0, 21**5, size=(4 * 2, 16), dtype=np.int64)

@@ -1,4 +1,5 @@
 from uniprot_kmer_based_clustering_tpu.models.components import (  # noqa: F401
     connected_components,
     connected_components_device,
+    connected_components_sharded,
 )

@@ -72,3 +72,59 @@ def connected_components_device(pairs_i, pairs_j, *, n: int):
 
     labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
     return labels
+
+
+def connected_components_sharded(mesh, pairs, n: int, axis: str = "p"):
+    """Mesh-sharded min-label propagation with collective label merge.
+
+    The edge list is sharded over the mesh axis (each device/host holds a
+    slice of the thresholded pair graph — at scale the pairs are produced
+    shard-local by the ring sweep and never gathered); the [n] label
+    vector is replicated. Each round: local scatter-min from local edges,
+    cross-device ``pmin`` merge (the partial-forest merge of BASELINE
+    config #5 — one [n] int32 collective per round, O(log n) rounds),
+    pointer halving, global fixpoint test via ``pmax``. Deterministic:
+    min-reductions are order-free, so the result is bit-identical to the
+    host union-find for any device count.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    d = mesh.shape[axis]
+    pairs = np.asarray(pairs)[:, :2].astype(np.int32)
+    m = pairs.shape[0]
+    m_pad = max(d, -(-m // d) * d)
+    padded = np.zeros((m_pad, 2), dtype=np.int32)  # self-edge padding
+    padded[:m] = pairs
+
+    def step(pi, pj):
+        labels = jnp.arange(n, dtype=jnp.int32)
+
+        def body(state):
+            labels, _ = state
+            mval = jnp.minimum(labels[pi], labels[pj])
+            new = labels.at[pi].min(mval)
+            new = new.at[pj].min(mval)
+            new = jax.lax.pmin(new, axis)
+            new = new[new]
+            changed = jax.lax.pmax(jnp.any(new != labels), axis)
+            return new, changed
+
+        labels, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (labels, jnp.bool_(True))
+        )
+        return labels
+
+    fn = jax.jit(
+        shard_map(
+            step, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(None)
+        )
+    )
+    sh = NamedSharding(mesh, P(axis))
+    pi = jax.device_put(jnp.asarray(padded[:, 0]), sh)
+    pj = jax.device_put(jnp.asarray(padded[:, 1]), sh)
+    return np.asarray(fn(pi, pj), dtype=np.int32)
