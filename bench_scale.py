@@ -22,10 +22,18 @@ import numpy as np
 
 
 def synth_proteins(n: int, seed: int = 0):
-    """Template-mutation synthetic dataset (ids carry synthetic AMR classes)."""
+    """Template-mutation synthetic dataset (ids carry synthetic AMR classes).
+
+    UKC_SCALE_TEMPLATES caps the template count — the repeated-k-mer
+    universe (and so the packed bitset) scales with it, which is the knob
+    for fitting 100k+ single-chip runs in HBM (the row-sharded mesh path
+    divides the bitset instead at multi-host scale).
+    """
     rng = np.random.default_rng(seed)
     aas = np.frombuffer(b"CSTAGPDEQNHRKMILVWYF", np.uint8)
-    n_templates = max(50, n // 100)
+    n_templates = int(
+        os.environ.get("UKC_SCALE_TEMPLATES", max(50, n // 100))
+    )
     n_classes = 15
     lengths = rng.integers(150, 500, n_templates)
     templates = [aas[rng.integers(0, 20, int(L))] for L in lengths]

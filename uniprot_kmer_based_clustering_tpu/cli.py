@@ -63,10 +63,12 @@ def cmd_run(args) -> int:
 
         init_distributed()
     mesh = None
-    if args.devices and args.devices > 1:
+    if (args.devices and args.devices > 1) or args.distributed:
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
 
-        mesh = make_mesh(args.devices)
+        # --distributed with no explicit count spans every chip in the
+        # slice (the pod-launch default, scripts/launch_pod.sh)
+        mesh = make_mesh(args.devices if args.devices > 1 else None)
 
     import contextlib
 
