@@ -38,11 +38,16 @@ def synth_proteins(n: int, seed: int = 0):
     lengths = rng.integers(150, 500, n_templates)
     templates = [aas[rng.integers(0, 20, int(L))] for L in lengths]
 
+    # UKC_SCALE_MUTDIV: residues per mutation (higher = fewer mutations =
+    # smaller collision-mutant k-mer universe; the repeated-k-mer count —
+    # and so the packed bitset size — is dominated by same-template
+    # same-position mutation collisions at high proteins-per-template).
+    mut_div = int(os.environ.get("UKC_SCALE_MUTDIV", "12"))
     seqs = []
     classes = np.empty(n, np.int32)
     for i in range(n):
         t = templates[i % n_templates].copy()
-        n_mut = max(1, len(t) // 12)
+        n_mut = max(1, len(t) // mut_div)
         pos = rng.integers(0, len(t), n_mut)
         t[pos] = aas[rng.integers(0, 20, n_mut)]
         seqs.append(t)

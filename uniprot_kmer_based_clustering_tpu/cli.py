@@ -86,6 +86,12 @@ def cmd_run(args) -> int:
             echo_timings=args.verbose,
         )
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # Multi-host: every process computes (replicated results), only
+        # process 0 writes — N hosts on a shared filesystem would
+        # race-write the same files otherwise.
+        return
+
     os.makedirs(args.out, exist_ok=True)
     table = result.table
     pairs = result.pairwise.pairs

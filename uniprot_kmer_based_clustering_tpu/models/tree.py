@@ -45,7 +45,7 @@ def _popcount_and(a: np.ndarray, b: np.ndarray) -> int:
 class _Node:
     __slots__ = (
         "children", "u", "c", "protein",
-        "_sims", "_cmat", "_rows", "_free", "_nz",
+        "_sims", "_cmat", "_rows", "_free",
     )
 
     def __init__(self, u, c, protein: Optional[int], children=None):
@@ -62,17 +62,14 @@ class _Node:
         self._cmat: Optional[np.ndarray] = None
         self._rows: Optional[List[int]] = None
         self._free: Optional[List[int]] = None
-        self._nz: Optional[np.ndarray] = None  # slot has a nonzero c
 
     # -- similarity cache maintenance ------------------------------------
     def _pool_reset(self):
         m = len(self.children)
         cap = max(8, 2 * m)
         self._cmat = np.zeros((cap,) + self.c.shape, dtype=self.c.dtype)
-        self._nz = np.zeros(cap, dtype=bool)
         for i, ch in enumerate(self.children):
             self._cmat[i] = ch.c
-            self._nz[i] = bool(np.any(ch.c))
         self._rows = list(range(m))
         self._free = list(range(cap - 1, m - 1, -1))
 
@@ -83,13 +80,9 @@ class _Node:
                              dtype=self._cmat.dtype)
             grown[:cap] = self._cmat
             self._cmat = grown
-            nz = np.zeros(2 * cap, dtype=bool)
-            nz[:cap] = self._nz
-            self._nz = nz
             self._free = list(range(2 * cap - 1, cap - 1, -1))
         slot = self._free.pop()
         self._cmat[slot] = child.c
-        self._nz[slot] = bool(np.any(child.c))
         self._rows.append(slot)
 
     def _pool_sims_vs(self, cvec: np.ndarray, upto: Optional[int] = None):
@@ -145,7 +138,6 @@ class _Node:
         if self._sims is None:
             return
         self._cmat[self._rows[idx]] = self.children[idx].c
-        self._nz[self._rows[idx]] = bool(np.any(self.children[idx].c))
         row = self._pool_sims_vs(self.children[idx].c)
         row[idx] = self._sims[idx, idx]
         self._sims[idx, :] = row

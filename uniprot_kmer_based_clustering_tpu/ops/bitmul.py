@@ -86,36 +86,7 @@ def _strip_stats(
     """
     s = words_a.shape[0]
     j = words_b.shape[0]
-    w_words = words_a.shape[1]
-    if word_chunk and word_chunk < w_words:
-        assert w_words % word_chunk == 0
-        n_chunks = w_words // word_chunk
-        wa = words_a.T.reshape(n_chunks, word_chunk, s)
-        wb = words_b.T.reshape(n_chunks, word_chunk, j)
-        wts = weights.reshape(n_chunks, word_chunk * 32)
-
-        def body(counts, chunk):
-            ca, cb, cw = chunk
-            a = unpack_words_to_int8(ca.T)
-            b = unpack_words_to_int8(cb.T, cw)
-            return (
-                counts
-                + jax.lax.dot_general(
-                    a, b, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ),
-                None,
-            )
-
-        counts, _ = jax.lax.scan(
-            body, jnp.zeros((s, j), jnp.int32), (wa, wb, wts)
-        )
-    else:
-        a = unpack_words_to_int8(words_a)
-        b = unpack_words_to_int8(words_b, weights)
-        counts = jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )  # [S, J]
+    counts = _strip_counts(words_a, words_b, weights, word_chunk=word_chunk)
 
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 1)

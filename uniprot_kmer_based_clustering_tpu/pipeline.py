@@ -65,14 +65,18 @@ class PipelineResult:
         }
 
 
-def _row_multiple(config: PipelineConfig) -> int:
+def _row_multiple(config: PipelineConfig, n: int) -> int:
     # N_pad must satisfy both the MXU strip and the tile granularity.
     # With auto strip selection, pad to the optimal ~3584-row strip
     # (= 7×512) so auto_strip never degrades to narrow strips on an
-    # N_pad with no good divisors (ops.bitmul.auto_strip).
+    # N_pad with no good divisors (ops.bitmul.auto_strip) — but only once
+    # the dataset exceeds one strip; small inputs stay tile-padded
+    # (auto_strip uses one square call below 3584 rows anyway).
     import math
 
     strip = 3584 if config.strip is None else config.strip
+    if config.strip is None and n <= 3584:
+        return config.tile
     return (strip * config.tile) // math.gcd(strip, config.tile)
 
 
@@ -132,7 +136,7 @@ def run_pipeline(
                 index.incidence_rank,
                 table.n,
                 index.n_repeated,
-                row_multiple=_row_multiple(config),
+                row_multiple=_row_multiple(config, table.n),
             )
 
     weights = None
@@ -175,7 +179,19 @@ def run_pipeline(
     labels = None
     if config.cluster == "components":
         with timers.stage("cluster"):
-            labels = connected_components(table.n, pairwise.pairs)
+            if mesh is not None:
+                # collective partial-forest merge (pmin label propagation
+                # over mesh-sharded edges); bit-identical to the host
+                # union-find for any device count
+                from uniprot_kmer_based_clustering_tpu.models.components import (
+                    connected_components_sharded,
+                )
+
+                labels = connected_components_sharded(
+                    mesh, pairwise.pairs, table.n
+                )
+            else:
+                labels = connected_components(table.n, pairwise.pairs)
     elif config.cluster == "tree":
         with timers.stage("cluster"):
             from uniprot_kmer_based_clustering_tpu.models.tree import (
@@ -219,7 +235,7 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
         s, e = table.offsets[i], table.offsets[i + 1]
         mat[i, : e - s] = res[s:e]
     words, freq, n_repeated = build_bitset_device(
-        mat, lengths, table.n, row_multiple=_row_multiple(config)
+        mat, lengths, table.n, row_multiple=_row_multiple(config, table.n)
     )
     index = KmerIndex.from_dense_freq(_np.asarray(freq), config.k)
     assert index.n_repeated == n_repeated

@@ -107,19 +107,24 @@ def extract_pairs(
     if weights is not None:
         weights = jnp.asarray(weights, jnp.int8)
 
-    # Dispatch every hit tile asynchronously and fetch all count blocks in
-    # one device→host transfer (each synchronizing readback costs a ~30 ms
-    # round trip through the remote tunnel).
-    device_counts = []
-    for t in hit_tiles:
-        i, j = int(ti[t]), int(tj[t])
-        a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
-        b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
-        if weights is None:
-            device_counts.append(pairwise_counts_xla(a, b))
-        else:
-            device_counts.append(_weighted_counts_xla(a, b, weights))
-    host_counts = jax.device_get(device_counts)
+    # Dispatch hit tiles asynchronously and fetch count blocks in batched
+    # device→host transfers (each synchronizing readback costs a ~30 ms
+    # round trip through the remote tunnel). Batching is bounded so the
+    # in-flight [tile, tile] int32 buffers never exceed ~batch MB of HBM —
+    # dense-homology scale runs can have tens of thousands of hit tiles.
+    batch = 128
+    host_counts = []
+    for lo in range(0, len(hit_tiles), batch):
+        device_counts = []
+        for t in hit_tiles[lo : lo + batch]:
+            i, j = int(ti[t]), int(tj[t])
+            a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
+            b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
+            if weights is None:
+                device_counts.append(pairwise_counts_xla(a, b))
+            else:
+                device_counts.append(_weighted_counts_xla(a, b, weights))
+        host_counts.extend(jax.device_get(device_counts))
 
     out = []
     for t, counts in zip(hit_tiles, host_counts):

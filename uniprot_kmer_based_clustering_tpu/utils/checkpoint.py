@@ -37,6 +37,12 @@ class CheckpointStore:
         p = self.path(key)
         if not p:
             return
-        tmp = p[: -len(".npz")] + ".tmp.npz"
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: artifacts are replicated; only process 0 writes
+            # (hosts share the checkpoint filesystem on a pod)
+            return
+        tmp = p[: -len(".npz")] + f".tmp.{os.getpid()}.npz"
         np.savez_compressed(tmp, **arrays)
         os.replace(tmp, p)
