@@ -110,14 +110,35 @@ def main():
         }))
         return
 
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu_async
+
+    # single synchronous call latency (includes the ~30 ms tunnel round
+    # trip of the host fetch)
     reps = int(os.environ.get("UKC_BENCH_REPS", "5"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         rs, _, _ = sweep_mxu(words, classes, table.n, 10)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    value = n_pairs / best
+    latency = min(times)
+
+    # steady-state throughput: dispatch `reps` back-to-back sweeps, fetch
+    # once — the production regime (device work pipelines; the host fetch
+    # amortizes). The last rep's finalized stats re-check the golden gate.
+    t0 = time.perf_counter()
+    handles = None
+    for _ in range(reps):
+        handles, finalize = sweep_mxu_async(words, classes, table.n, 10)
+    rs2, _, _ = finalize(handles)
+    steady = (time.perf_counter() - t0) / reps
+    if not (rs2 == row_stats).all():
+        print(json.dumps({
+            "metric": "pairwise_similarity", "value": 0.0,
+            "unit": "pairs/s/chip", "vs_baseline": 0.0,
+            "error": "steady-state rerun diverged from golden run",
+        }))
+        return
+    value = n_pairs / steady
 
     baseline = _cpu_baseline_pairs_per_s(idx, table, n_pairs)
 
@@ -126,7 +147,8 @@ def main():
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
-        "sweep_seconds": round(best, 4),
+        "sweep_seconds": round(steady, 4),
+        "sync_latency_seconds": round(latency, 4),
         "cpu_baseline_pairs_per_s": round(baseline, 1),
         "parity": "golden-exact",
         "device": str(jax.devices()[0]),

@@ -20,8 +20,15 @@
 //      for the device engines and as the measured stand-in for the
 //      reference's multithreaded CPU baseline (BENCH notes).
 //
+//   4. k-mer index build — per-protein dedup, global document-frequency
+//      counting, and dense-rank compaction (the semantics of
+//      src/main.rs:77-199 / kmers/index.py::build_index) as two LSD radix
+//      sorts + linear scans. Replaces numpy's comparison sorts on the
+//      host index path — the dominant host stage at 100k+ proteins.
+//
 // Build: `make -C native` → native/build/libukc_native.so
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -165,6 +172,124 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
   for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return n_pairs.load();
+}
+
+// ---------------------------------------------------------------------
+// k-mer index build
+// ---------------------------------------------------------------------
+
+namespace {
+
+// LSD radix sort of uint64 keys (8-bit digits, only digits covering
+// max_key), optionally permuting a payload array alongside.
+void radix_sort_u64(std::vector<uint64_t>& keys, std::vector<uint64_t>& tmp,
+                    uint64_t max_key) {
+  const int64_t m = (int64_t)keys.size();
+  int passes = 0;
+  while (max_key >> (8 * passes)) ++passes;
+  if (passes == 0) passes = 1;
+  std::vector<int64_t> count(256);
+  for (int p = 0; p < passes; ++p) {
+    std::fill(count.begin(), count.end(), 0);
+    const int shift = 8 * p;
+    for (int64_t i = 0; i < m; ++i) ++count[(keys[i] >> shift) & 0xff];
+    int64_t acc = 0;
+    for (int d = 0; d < 256; ++d) {
+      int64_t c = count[d];
+      count[d] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < m; ++i)
+      tmp[count[(keys[i] >> shift) & 0xff]++] = keys[i];
+    keys.swap(tmp);
+  }
+}
+
+}  // namespace
+
+// Build the doc-freq index from per-protein k-mer code lists.
+//
+// In:  codes int64[m_total] (concatenated per protein), offsets
+//      int64[n+1], universe = 21^k.
+// Out (caller-allocated, worst-case m_total entries each):
+//      distinct_codes int64[], doc_freq int64[],
+//      inc_protein int32[], inc_rank int32[]  (repeated incidences only,
+//      sorted by (protein, rank) — rank order == code order)
+// Out-params: n_distinct, n_repeated, nnz (distinct incidences before the
+//      unique-code strip), nnz_repeated.
+// Returns 0 on success.
+int ukc_index_build(const int64_t* codes, const int64_t* offsets, int64_t n,
+                    int64_t universe, int64_t* distinct_codes,
+                    int64_t* doc_freq, int32_t* inc_protein,
+                    int32_t* inc_rank, int64_t* n_distinct,
+                    int64_t* n_repeated, int64_t* nnz,
+                    int64_t* nnz_repeated) {
+  const int64_t m_total = offsets[n];
+  std::vector<uint64_t> keys((size_t)m_total);
+  for (int64_t p = 0; p < n; ++p)
+    for (int64_t i = offsets[p]; i < offsets[p + 1]; ++i)
+      keys[(size_t)i] = (uint64_t)p * (uint64_t)universe + (uint64_t)codes[i];
+  std::vector<uint64_t> tmp((size_t)m_total);
+  const uint64_t max_key =
+      n ? (uint64_t)(n - 1) * (uint64_t)universe + (uint64_t)(universe - 1)
+        : 0;
+
+  // (protein, code) sort + dedup — src/main.rs:100-102 for all proteins.
+  radix_sort_u64(keys, tmp, max_key);
+  int64_t m = 0;
+  for (int64_t i = 0; i < m_total; ++i)
+    if (i == 0 || keys[i] != keys[i - 1]) keys[m++] = keys[i];
+  keys.resize((size_t)m);
+  tmp.resize((size_t)m);
+  *nnz = m;
+
+  // code-major order: sort the incidences by code, protein ascending
+  // within a code (stable radix on the full (code, protein) value).
+  for (int64_t i = 0; i < m; ++i) {
+    uint64_t prot = keys[i] / (uint64_t)universe;
+    uint64_t code = keys[i] % (uint64_t)universe;
+    keys[i] = code * (uint64_t)(n ? n : 1) + prot;
+  }
+  const uint64_t max_key2 =
+      (uint64_t)(universe - 1) * (uint64_t)(n ? n : 1) + (uint64_t)(n - 1);
+  radix_sort_u64(keys, tmp, max_key2);
+
+  // linear scan: distinct codes, doc freq, rank assignment for repeated
+  // codes, (protein, rank) incidence emission.
+  int64_t nd = 0, nr = 0, mr = 0;
+  int64_t i = 0;
+  while (i < m) {
+    const uint64_t code = keys[i] / (uint64_t)(n ? n : 1);
+    int64_t j = i;
+    while (j < m && keys[j] / (uint64_t)(n ? n : 1) == code) ++j;
+    const int64_t freq = j - i;
+    distinct_codes[nd] = (int64_t)code;
+    doc_freq[nd] = freq;
+    ++nd;
+    if (freq >= 2) {
+      for (int64_t t = i; t < j; ++t) {
+        // emit as a packed (protein, rank) key for the final sort
+        const uint64_t prot = keys[t] % (uint64_t)(n ? n : 1);
+        tmp[(size_t)mr] = prot * (uint64_t)universe + (uint64_t)nr;
+        ++mr;
+      }
+      ++nr;
+    }
+    i = j;
+  }
+  *n_distinct = nd;
+  *n_repeated = nr;
+  *nnz_repeated = mr;
+
+  // final sort by (protein, rank) and split
+  std::vector<uint64_t> inc(tmp.begin(), tmp.begin() + mr);
+  tmp.resize((size_t)mr);
+  radix_sort_u64(inc, tmp, max_key);
+  for (int64_t t = 0; t < mr; ++t) {
+    inc_protein[t] = (int32_t)(inc[(size_t)t] / (uint64_t)universe);
+    inc_rank[t] = (int32_t)(inc[(size_t)t] % (uint64_t)universe);
+  }
+  return 0;
 }
 
 }  // extern "C"

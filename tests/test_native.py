@@ -87,3 +87,24 @@ def test_popcount_sweep_matches_xla(rng):
     row_stats, pairs = out
     assert np.array_equal(row_stats.sum(axis=0), rsx.sum(axis=0)[:8])
     assert np.array_equal(pairs, px)
+
+
+def test_native_index_matches_numpy(toy_fasta):
+    from uniprot_kmer_based_clustering_tpu.io import native
+    from uniprot_kmer_based_clustering_tpu.io.fasta import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+    from uniprot_kmer_based_clustering_tpu.kmers.index import build_index
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    table = read_fasta(toy_fasta)
+    for k in (5, 7):
+        codes, koff = encode_kmers(table.seq_buf, table.offsets, k)
+        a = build_index(codes, koff, k, engine="native")
+        b = build_index(codes, koff, k, engine="numpy")
+        assert np.array_equal(a.codes, b.codes), k
+        assert np.array_equal(a.doc_freq, b.doc_freq), k
+        assert np.array_equal(a.repeated_codes, b.repeated_codes), k
+        assert np.array_equal(a.incidence_protein, b.incidence_protein), k
+        assert np.array_equal(a.incidence_rank, b.incidence_rank), k
+        assert np.array_equal(a.hash_doc_freq, b.hash_doc_freq), k

@@ -106,3 +106,31 @@ def test_sweep_mxu_strip_schedules_agree(small_case):
         )
         assert np.array_equal(rs_ref, rs), strip
         assert np.array_equal(th_ref[:, :2], th), strip
+
+
+def test_word_chunked_sweep_matches_unchunked(small_case):
+    """Contraction-axis chunking (the HBM-bounded scale path) is exact."""
+    words, classes, n, rs_ref, th_ref, _ = small_case
+    for wc in (128, 256):
+        rs, th, _ = sweep_mxu(
+            jnp.asarray(words), jnp.asarray(classes), n, 10,
+            strip=words.shape[0], word_chunk=wc,
+        )
+        assert np.array_equal(rs_ref, rs), wc
+        assert np.array_equal(th_ref[:, :2], th), wc
+
+
+def test_word_chunked_weighted_matches(small_case):
+    words, classes, n, _, _, _ = small_case
+    rng = np.random.default_rng(3)
+    wts = rng.integers(1, 50, size=words.shape[1] * 32).astype(np.int8)
+    ref = sweep_mxu(
+        jnp.asarray(words), jnp.asarray(classes), n, 100,
+        weights=wts, strip=words.shape[0],
+    )
+    got = sweep_mxu(
+        jnp.asarray(words), jnp.asarray(classes), n, 100,
+        weights=wts, strip=words.shape[0], word_chunk=128,
+    )
+    assert np.array_equal(ref[0], got[0])
+    assert np.array_equal(ref[1], got[1])

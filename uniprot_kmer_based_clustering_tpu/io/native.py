@@ -69,6 +69,12 @@ def _load() -> Optional[ctypes.CDLL]:
             _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.ukc_index_build.restype = ctypes.c_int
+        lib.ukc_index_build.argtypes = [
+            _i64p, _i64p, _i64, _i64, _i64p, _i64p, _i32p, _i32p,
+            ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+            ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+        ]
         _lib = lib
         return _lib
 
@@ -129,6 +135,44 @@ def pack_bits(
         w_pad,
     )
     return words
+
+
+def index_build(codes: np.ndarray, offsets: np.ndarray, k: int):
+    """Native k-mer doc-freq index (radix sorts + linear scans).
+
+    Returns (distinct_codes, doc_freq, inc_protein, inc_rank, nnz) or
+    None when the library is unavailable. Semantics bit-identical to
+    kmers.index.build_index's numpy path (asserted in tests).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.int64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = offsets.shape[0] - 1
+    m_total = int(offsets[-1])
+    distinct = np.empty(max(m_total, 1), np.int64)
+    freq = np.empty(max(m_total, 1), np.int64)
+    inc_p = np.empty(max(m_total, 1), np.int32)
+    inc_r = np.empty(max(m_total, 1), np.int32)
+    nd = _i64(0)
+    nr = _i64(0)
+    nnz = _i64(0)
+    nnz_r = _i64(0)
+    rc = lib.ukc_index_build(
+        codes, offsets, n, 21**k, distinct, freq, inc_p, inc_r,
+        ctypes.byref(nd), ctypes.byref(nr), ctypes.byref(nnz),
+        ctypes.byref(nnz_r),
+    )
+    if rc != 0:
+        return None
+    return (
+        distinct[: nd.value].copy(),
+        freq[: nd.value].copy(),
+        inc_p[: nnz_r.value].copy(),
+        inc_r[: nnz_r.value].copy(),
+        int(nnz.value),
+    )
 
 
 def popcount_sweep(

@@ -110,13 +110,38 @@ class KmerIndex:
 
 
 def build_index(
-    codes: np.ndarray, kmer_offsets: np.ndarray, k: int
+    codes: np.ndarray, kmer_offsets: np.ndarray, k: int,
+    engine: str = "auto",
 ) -> KmerIndex:
     """Build the doc-freq index from per-protein k-mer code lists.
 
     ``codes``/``kmer_offsets`` are the ragged output of
     :func:`uniprot_kmer_based_clustering_tpu.kmers.encode.encode_kmers`.
+
+    ``engine``: "native" uses the C++ radix-sort builder
+    (native/ukc_native.cpp — ~6× the numpy path at 100k proteins),
+    "numpy" forces the pure-numpy path, "auto" prefers native when the
+    library builds. Both are bit-identical (tests/test_native.py).
     """
+    if engine in ("auto", "native"):
+        from uniprot_kmer_based_clustering_tpu.io import native
+
+        res = native.index_build(codes, kmer_offsets, k)
+        if res is not None:
+            distinct, freq, inc_p, inc_r, _ = res
+            repeated_mask = freq >= 2
+            return KmerIndex(
+                k=k,
+                codes=distinct,
+                doc_freq=freq,
+                repeated_codes=distinct[repeated_mask],
+                incidence_protein=inc_p,
+                incidence_rank=inc_r,
+                hash_doc_freq=freq[repeated_mask],
+            )
+        if engine == "native":
+            raise RuntimeError("native index builder unavailable")
+
     n = kmer_offsets.shape[0] - 1
     per_protein_counts = np.diff(kmer_offsets)
     protein_of = np.repeat(

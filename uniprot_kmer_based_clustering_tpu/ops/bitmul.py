@@ -144,14 +144,22 @@ def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
     if word_chunk and word_chunk < w_words:
         assert w_words % word_chunk == 0
         n_chunks = w_words // word_chunk
-        wa = words_a.T.reshape(n_chunks, word_chunk, s)
-        wb = words_b.T.reshape(n_chunks, word_chunk, j)
-        wts = weights.reshape(n_chunks, word_chunk * 32)
 
-        def body(counts, chunk):
-            ca, cb, cw = chunk
-            a = unpack_words_to_int8(ca.T)
-            b = unpack_words_to_int8(cb.T, cw)
+        def body(counts, kc):
+            # dynamic word-column slices — NOT a pre-transposed stack,
+            # which would materialize a full second copy of the packed
+            # matrix (the 100k-run OOM: words is ~10 GB there)
+            ca = jax.lax.dynamic_slice_in_dim(
+                words_a, kc * word_chunk, word_chunk, 1
+            )
+            cb = jax.lax.dynamic_slice_in_dim(
+                words_b, kc * word_chunk, word_chunk, 1
+            )
+            cw = jax.lax.dynamic_slice_in_dim(
+                weights, kc * word_chunk * 32, word_chunk * 32, 0
+            )
+            a = unpack_words_to_int8(ca)
+            b = unpack_words_to_int8(cb, cw)
             return (
                 counts
                 + jax.lax.dot_general(
@@ -162,7 +170,9 @@ def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
             )
 
         counts, _ = jax.lax.scan(
-            body, jnp.zeros((s, j), jnp.int32), (wa, wb, wts)
+            body,
+            jnp.zeros((s, j), jnp.int32),
+            jnp.arange(n_chunks, dtype=jnp.int32),
         )
         return counts
     a = unpack_words_to_int8(words_a)
@@ -225,7 +235,7 @@ def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
     return best
 
 
-def sweep_mxu(
+def sweep_mxu_async(
     words,
     classes,
     n: int,
@@ -235,36 +245,30 @@ def sweep_mxu(
     weights: Optional[np.ndarray] = None,
     w_thresh: int = 1,
     word_chunk: Optional[int] = None,
-    unpacked_budget_bytes: int = 6 << 30,
+    hbm_budget_bytes: int = 13 << 30,
     stats_engine: str = "auto",
 ):
-    """Full upper-triangle sweep on the MXU.
+    """Dispatch the full sweep; return (device_results, finalize).
 
-    Args mirror :func:`ops.popcount.sweep_pallas`; `weights` enables the
-    BLOSUM-weighted engine (int8 per-k-mer column weights). `w_thresh` is
-    the count considered "present" for the pairs counter (1 for raw counts;
-    the minimum positive weight for weighted scores).
-
-    `stats_engine` selects the statistics epilogue: "pallas" materializes
-    the counts and tile-walks them in VMEM (fastest on TPU), "xla" fuses
-    the epilogue into the matmul program (portable; the CPU/test path),
-    "auto" picks by platform.
-
-    Returns (row_stats int64 [N_pad, 8], tile_hits int32 [n_tiles, 2],
-             tiles (ti, tj)) in the same tile enumeration as the popcount
-    engines so extraction is engine-agnostic.
+    Device work is enqueued without any synchronizing host fetch —
+    back-to-back sweeps pipeline on device (steady-state throughput;
+    bench.py measures this). ``finalize(device_results)`` fetches and
+    assembles the standard (row_stats, tile_hits, tiles) outputs.
     """
     n_pad, w_words = words.shape
     if strip is None:
         strip = auto_strip(n_pad, block)
     assert n_pad % strip == 0 and strip % block == 0
     if word_chunk is None:
-        # chunk the contraction when the unpacked int8 operands would
-        # exceed the HBM budget; pick the largest 128-multiple divisor of
-        # w_words whose unpacked chunk fits
+        # Chunk the contraction when the unpacked int8 operands would
+        # exceed what HBM has left after the residents (packed words +
+        # the per-strip int32 counts block); pick the largest 128-multiple
+        # divisor of w_words whose unpacked chunk (both operands) fits.
         word_chunk = 0
-        if n_pad * w_words * 32 > unpacked_budget_bytes:
-            target = max(128, unpacked_budget_bytes // (n_pad * 32))
+        resident = n_pad * w_words * 4 + strip * n_pad * 4
+        budget = max(512 << 20, hbm_budget_bytes - resident)
+        if (strip + n_pad) * w_words * 32 > budget:
+            target = max(128, budget // ((strip + n_pad) * 32))
             base = w_words // 128
             best = 1
             for d in range(1, base + 1):
@@ -314,32 +318,77 @@ def sweep_mxu(
                 w_thresh=w_thresh, word_chunk=word_chunk,
             )
             device_results.append((rs, bh))
-    host_results = jax.device_get(device_results)
 
-    row_stats = np.zeros((n_pad, 8), dtype=np.int64)
-    block_hits = np.zeros((nb, nb, 2), dtype=np.int32)
-    for si, (rs, second) in enumerate(host_results):
-        i0 = si * strip
-        row_stats[i0 : i0 + strip] = rs.astype(np.int64)
-        if stats_engine == "pallas":
-            from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
-                stats_tiles,
-            )
+    def finalize(device_results):
+        host_results = jax.device_get(device_results)
+        row_stats = np.zeros((n_pad, 8), dtype=np.int64)
+        block_hits = np.zeros((nb, nb, 2), dtype=np.int32)
+        for si, (rs, second) in enumerate(host_results):
+            i0 = si * strip
+            row_stats[i0 : i0 + strip] = rs.astype(np.int64)
+            if stats_engine == "pallas":
+                from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
+                    stats_tiles,
+                )
 
-            lti, ltj = stats_tiles(strip, n_pad - i0, i0, i0, block)
-            gb = i0 // block
-            block_hits[gb + lti, gb + ltj] += second
-        else:
-            block_hits[i0 // block :, i0 // block :][
-                : strip // block
-            ] += second
+                lti, ltj = stats_tiles(strip, n_pad - i0, i0, i0, block)
+                gb = i0 // block
+                block_hits[gb + lti, gb + ltj] += second
+            else:
+                block_hits[i0 // block :, i0 // block :][
+                    : strip // block
+                ] += second
 
-    # Convert block hits to the upper-triangle tile enumeration shared with
-    # the popcount engines.
-    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
-        upper_triangle_tiles,
+        # Convert block hits to the upper-triangle tile enumeration shared
+        # with the popcount engines.
+        from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+            upper_triangle_tiles,
+        )
+
+        ti, tj = upper_triangle_tiles(n_pad, block)
+        tile_hits = block_hits[ti, tj]  # [nT, 2]
+        return row_stats, tile_hits, (ti, tj, block)
+
+    return device_results, finalize
+
+
+def sweep_mxu(
+    words,
+    classes,
+    n: int,
+    threshold: int,
+    strip: Optional[int] = None,
+    block: int = 512,
+    weights: Optional[np.ndarray] = None,
+    w_thresh: int = 1,
+    word_chunk: Optional[int] = None,
+    hbm_budget_bytes: int = 13 << 30,
+    stats_engine: str = "auto",
+):
+    """Full upper-triangle sweep on the MXU (synchronous).
+
+    Args mirror :func:`ops.popcount.sweep_pallas`; `weights` enables the
+    BLOSUM-weighted engine (int8 per-k-mer column weights). `w_thresh` is
+    the count considered "present" for the pairs counter (1 for raw counts;
+    the minimum positive weight for weighted scores).
+
+    `stats_engine` selects the statistics epilogue: "pallas" materializes
+    the counts and tile-walks them in VMEM (fastest on TPU), "xla" fuses
+    the epilogue into the matmul program (portable; the CPU/test path),
+    "auto" picks by platform.
+
+    Returns (row_stats int64 [N_pad, 8], tile_hits int32 [n_tiles, 2],
+             tiles (ti, tj, block)) in the same tile enumeration as the
+    popcount engines so extraction is engine-agnostic. All strips are
+    dispatched asynchronously and fetched with one device→host transfer
+    (a synchronizing readback costs a ~30 ms round trip through the
+    remote tunnel); :func:`sweep_mxu_async` exposes the dispatch/finalize
+    split for pipelined back-to-back sweeps.
+    """
+    device_results, finalize = sweep_mxu_async(
+        words, classes, n, threshold,
+        strip=strip, block=block, weights=weights, w_thresh=w_thresh,
+        word_chunk=word_chunk, hbm_budget_bytes=hbm_budget_bytes,
+        stats_engine=stats_engine,
     )
-
-    ti, tj = upper_triangle_tiles(n_pad, block)
-    tile_hits = block_hits[ti, tj]  # [nT, 2]
-    return row_stats, tile_hits, (ti, tj, block)
+    return finalize(device_results)
