@@ -134,3 +134,15 @@ def test_word_chunked_weighted_matches(small_case):
     )
     assert np.array_equal(ref[0], got[0])
     assert np.array_equal(ref[1], got[1])
+
+
+def test_scan_schedule_matches(small_case):
+    """One-compiled-shape block-pair scan == strip schedule == oracle."""
+    words, classes, n, rs_ref, th_ref, _ = small_case
+    for wc in (0, 32):
+        rs, th, _ = sweep_mxu(
+            jnp.asarray(words), jnp.asarray(classes), n, 10,
+            strip=512, schedule="scan", word_chunk=wc,
+        )
+        assert np.array_equal(rs_ref, rs), wc
+        assert np.array_equal(th_ref[:, :2], th), wc

@@ -53,25 +53,30 @@ def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "i0", "j0", "n", "threshold", "block", "w_thresh", "word_chunk",
+        "i0", "strip", "n", "threshold", "block", "w_thresh", "word_chunk",
     ),
 )
 def _strip_stats(
-    words_a,      # uint32 [S, W] stationary strip (packed)
-    words_b,      # uint32 [J, W] moving suffix (packed)
+    words,        # uint32 [N_pad, W] full packed matrix
     classes_a,    # int32 [S]
     classes_b,    # int32 [J]
     weights,      # int8 [W*32] or None-like all-ones
     *,
     i0: int,
-    j0: int,
+    strip: int,
     n: int,
     threshold: int,
     block: int,
     w_thresh: int,
     word_chunk: int = 0,
 ):
-    """One stationary strip vs one column suffix: fused matmul + stats.
+    """One stationary strip vs its column suffix: fused matmul + stats.
+
+    The strip/suffix operands are sliced INSIDE the program with static
+    offsets so XLA fuses them into the unpack+matmul — slicing outside
+    would materialize a device copy of up to the whole packed matrix per
+    strip, and with every strip dispatched asynchronously those copies
+    coexist (the 100k-scale OOM: 28 strips × up to 10 GB).
 
     With ``word_chunk`` > 0 the contraction axis is processed in word
     chunks under ``lax.scan`` — the unpacked int8 operands (8× the packed
@@ -84,6 +89,10 @@ def _strip_stats(
       block_hits int32 [S//block, J//block, 2] — #pairs over threshold per
         (row-block, col-block), cross/same — drives exact pair extraction.
     """
+    j0 = i0
+    n_pad = words.shape[0]
+    words_a = jax.lax.slice_in_dim(words, i0, i0 + strip, axis=0)
+    words_b = jax.lax.slice_in_dim(words, i0, n_pad, axis=0)
     s = words_a.shape[0]
     j = words_b.shape[0]
     counts = _strip_counts(words_a, words_b, weights, word_chunk=word_chunk)
@@ -185,23 +194,27 @@ def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "i0", "n", "threshold", "block", "w_thresh", "word_chunk",
+        "i0", "strip", "n", "threshold", "block", "w_thresh", "word_chunk",
     ),
 )
 def _strip_stats_pallas(
-    words_a, words_b, classes_a, classes_b, weights,
-    *, i0, n, threshold, block, w_thresh, word_chunk=0,
+    words, classes_a, classes_b, weights,
+    *, i0, strip, n, threshold, block, w_thresh, word_chunk=0,
 ):
     """Matmul + Pallas statistics epilogue in ONE program (one dispatch).
 
-    Same contract as :func:`_strip_stats` but the epilogue is the
-    stats_pallas tile walk instead of XLA's fused mask/reduce chain (which
-    costs ~59 ms on the bundled square vs ~5 ms for the kernel).
+    Same contract as :func:`_strip_stats` (including the in-program static
+    slicing) but the epilogue is the stats_pallas tile walk instead of
+    XLA's fused mask/reduce chain (which costs ~59 ms on the bundled
+    square vs ~5 ms for the kernel).
     """
     from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
         stats_from_counts,
     )
 
+    n_pad = words.shape[0]
+    words_a = jax.lax.slice_in_dim(words, i0, i0 + strip, axis=0)
+    words_b = jax.lax.slice_in_dim(words, i0, n_pad, axis=0)
     counts = _strip_counts(words_a, words_b, weights, word_chunk=word_chunk)
     row_stats, tile_hits, _ = stats_from_counts(
         counts, classes_a, classes_b,
@@ -209,6 +222,99 @@ def _strip_stats_pallas(
         w_thresh=w_thresh, tile=block,
     )
     return row_stats, tile_hits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bs", "n", "threshold", "block", "w_thresh", "word_chunk"),
+)
+def _scan_sweep(
+    words,       # uint32 [N_pad, W]
+    classes,     # int32 [N_pad]
+    weights,     # int8 [W*32]
+    pairs_ij,    # int32 [P, 2] — (i0, j0) row offsets of each block pair
+    *,
+    bs: int,
+    n: int,
+    threshold: int,
+    block: int,
+    w_thresh: int,
+    word_chunk: int = 0,
+):
+    """Upper-triangle block-pair sweep as ONE compiled ``lax.scan``.
+
+    The strip schedule compiles one program per strip (suffix shapes all
+    differ) — ~28 remote compiles at the 100k scale. This schedule
+    instead walks equal-size [bs, bs] block pairs with *traced* offsets:
+    a single compiled shape for any N_pad. Block matmuls run ~180 TOPS vs
+    the strips' ~300 (smaller N dimension), so strips stay the default
+    below ~8 strips; the scan takes over at scale where compile time and
+    shape count dominate.
+
+    Returns (row_stats int32 [N_pad, 8], block_hits int32 [nb, nb, 2]).
+    """
+    n_pad, w_words = words.shape
+    nb = n_pad // block
+    nbs = bs // block
+    lanes8 = jnp.arange(8)[None, :]
+
+    def body(carry, ij):
+        row_stats, block_hits = carry
+        i0, j0 = ij[0], ij[1]
+        wa = jax.lax.dynamic_slice(words, (i0, 0), (bs, w_words))
+        wb = jax.lax.dynamic_slice(words, (j0, 0), (bs, w_words))
+        ca = jax.lax.dynamic_slice(classes, (i0,), (bs,))
+        cb = jax.lax.dynamic_slice(classes, (j0,), (bs,))
+        counts = _strip_counts(wa, wb, weights, word_chunk=word_chunk)
+
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+        valid = (gi < gj) & (gj < n)
+        cross = valid & (ca[:, None] != cb[None, :])
+        same = valid & ~cross
+        czero = jnp.where(cross, counts, 0)
+        szero = jnp.where(same, counts, 0)
+        over_c = cross & (counts > threshold)
+        over_s = same & (counts > threshold)
+        rs = jnp.stack(
+            [
+                jnp.sum(czero, axis=1),
+                jnp.sum((cross & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+                jnp.sum(over_c.astype(jnp.int32), axis=1),
+                jnp.max(czero, axis=1),
+                jnp.sum(szero, axis=1),
+                jnp.sum((same & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+                jnp.sum(over_s.astype(jnp.int32), axis=1),
+                jnp.max(szero, axis=1),
+            ],
+            axis=1,
+        )
+        prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
+        merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
+        row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
+
+        bh = jnp.stack(
+            [
+                over_c.astype(jnp.int32)
+                .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+                over_s.astype(jnp.int32)
+                .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+            ],
+            axis=-1,
+        )
+        bi, bj = i0 // block, j0 // block
+        prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
+        block_hits = jax.lax.dynamic_update_slice(
+            block_hits, prev_bh + bh, (bi, bj, 0)
+        )
+        return (row_stats, block_hits), None
+
+    init = (
+        jnp.zeros((n_pad, 8), jnp.int32),
+        jnp.zeros((nb, nb, 2), jnp.int32),
+    )
+    (row_stats, block_hits), _ = jax.lax.scan(body, init, pairs_ij)
+    return row_stats, block_hits
 
 
 def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
@@ -247,6 +353,7 @@ def sweep_mxu_async(
     word_chunk: Optional[int] = None,
     hbm_budget_bytes: int = 13 << 30,
     stats_engine: str = "auto",
+    schedule: str = "auto",
 ):
     """Dispatch the full sweep; return (device_results, finalize).
 
@@ -259,24 +366,30 @@ def sweep_mxu_async(
     if strip is None:
         strip = auto_strip(n_pad, block)
     assert n_pad % strip == 0 and strip % block == 0
+    ns = n_pad // strip
+    nb = n_pad // block
+    if schedule == "auto":
+        # each strip compiles its own program (distinct suffix shape);
+        # beyond ~8 strips the one-shape block-pair scan wins on compile
+        # time (~80 s per shape through the remote tunnel)
+        schedule = "scan" if ns > 8 else "strips"
     if word_chunk is None:
         # Chunk the contraction when the unpacked int8 operands would
         # exceed what HBM has left after the residents (packed words +
-        # the per-strip int32 counts block); pick the largest 128-multiple
-        # divisor of w_words whose unpacked chunk (both operands) fits.
+        # the int32 counts block); pick the largest 128-multiple divisor
+        # of w_words whose unpacked chunk (both operands) fits.
         word_chunk = 0
-        resident = n_pad * w_words * 4 + strip * n_pad * 4
+        j_rows = strip if schedule == "scan" else n_pad
+        resident = n_pad * w_words * 4 + strip * j_rows * 4
         budget = max(512 << 20, hbm_budget_bytes - resident)
-        if (strip + n_pad) * w_words * 32 > budget:
-            target = max(128, budget // ((strip + n_pad) * 32))
+        if (strip + j_rows) * w_words * 32 > budget:
+            target = max(128, budget // ((strip + j_rows) * 32))
             base = w_words // 128
             best = 1
             for d in range(1, base + 1):
                 if base % d == 0 and d * 128 <= target:
                     best = d
             word_chunk = best * 128
-    ns = n_pad // strip
-    nb = n_pad // block
 
     classes = jnp.asarray(classes, jnp.int32)
     if weights is None:
@@ -290,6 +403,32 @@ def sweep_mxu_async(
             "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         )
 
+    if schedule == "scan":
+        ii, jj = np.triu_indices(ns)
+        pairs_ij = jnp.asarray(
+            (np.stack([ii, jj], axis=1) * strip).astype(np.int32)
+        )
+        rs, bh = _scan_sweep(
+            words, classes, wts, pairs_ij,
+            bs=strip, n=n, threshold=threshold, block=block,
+            w_thresh=w_thresh, word_chunk=word_chunk,
+        )
+
+        def finalize_scan(device_results):
+            rs, bh = jax.device_get(device_results)
+            from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+                upper_triangle_tiles,
+            )
+
+            ti, tj = upper_triangle_tiles(n_pad, block)
+            return (
+                rs.astype(np.int64),
+                bh[ti, tj],
+                (ti, tj, block),
+            )
+
+        return (rs, bh), finalize_scan
+
     # Dispatch every strip asynchronously, then fetch all results in ONE
     # device→host transfer — each synchronizing readback costs a full
     # ~30 ms round trip through the axon tunnel.
@@ -297,24 +436,23 @@ def sweep_mxu_async(
     for si in range(ns):
         i0 = si * strip
         if ns == 1:
-            wa = wb = words
             ca = cb = classes
         else:
-            wa = jax.lax.dynamic_slice_in_dim(words, i0, strip, 0)
-            wb = jax.lax.dynamic_slice_in_dim(words, i0, n_pad - i0, 0)
+            # class slices are tiny; the big word operands are sliced
+            # INSIDE the jit with static offsets (no device copies)
             ca = jax.lax.dynamic_slice_in_dim(classes, i0, strip)
             cb = jax.lax.dynamic_slice_in_dim(classes, i0, n_pad - i0)
         if stats_engine == "pallas":
             rs, th_local = _strip_stats_pallas(
-                wa, wb, ca, cb, wts,
-                i0=i0, n=n, threshold=threshold, block=block,
+                words, ca, cb, wts,
+                i0=i0, strip=strip, n=n, threshold=threshold, block=block,
                 w_thresh=w_thresh, word_chunk=word_chunk,
             )
             device_results.append((rs, th_local))
         else:
             rs, bh = _strip_stats(
-                wa, wb, ca, cb, wts,
-                i0=i0, j0=i0, n=n, threshold=threshold, block=block,
+                words, ca, cb, wts,
+                i0=i0, strip=strip, n=n, threshold=threshold, block=block,
                 w_thresh=w_thresh, word_chunk=word_chunk,
             )
             device_results.append((rs, bh))
@@ -364,6 +502,7 @@ def sweep_mxu(
     word_chunk: Optional[int] = None,
     hbm_budget_bytes: int = 13 << 30,
     stats_engine: str = "auto",
+    schedule: str = "auto",
 ):
     """Full upper-triangle sweep on the MXU (synchronous).
 
@@ -389,6 +528,6 @@ def sweep_mxu(
         words, classes, n, threshold,
         strip=strip, block=block, weights=weights, w_thresh=w_thresh,
         word_chunk=word_chunk, hbm_budget_bytes=hbm_budget_bytes,
-        stats_engine=stats_engine,
+        stats_engine=stats_engine, schedule=schedule,
     )
     return finalize(device_results)
