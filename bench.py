@@ -39,23 +39,29 @@ GOLDEN = {
 def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float) -> float:
     import scipy.sparse as sp
 
-    t0 = time.perf_counter()
-    b = sp.csr_matrix(
-        (
-            np.ones(idx.nnz, np.int32),
-            (idx.incidence_protein, idx.incidence_rank),
-        ),
-        shape=(table.n, idx.n_repeated),
-    )
-    c = (b @ b.T).tocoo()
-    i, j, v = c.row, c.col, c.data
-    m = i < j
-    cls = table.amr_class_ids
-    cross = cls[i[m]] != cls[j[m]]
-    # same reductions as the device sweep
-    _ = int(v[m][cross].sum()), int(cross.sum()), int((v[m][cross] > 10).sum())
-    dt = time.perf_counter() - t0
-    return n_pairs / dt
+    best = float("inf")
+    for _ in range(2):  # best-of-2: the single shared CPU core is noisy
+        t0 = time.perf_counter()
+        b = sp.csr_matrix(
+            (
+                np.ones(idx.nnz, np.int32),
+                (idx.incidence_protein, idx.incidence_rank),
+            ),
+            shape=(table.n, idx.n_repeated),
+        )
+        c = (b @ b.T).tocoo()
+        i, j, v = c.row, c.col, c.data
+        m = i < j
+        cls = table.amr_class_ids
+        cross = cls[i[m]] != cls[j[m]]
+        # same reductions as the device sweep
+        _ = (
+            int(v[m][cross].sum()),
+            int(cross.sum()),
+            int((v[m][cross] > 10).sum()),
+        )
+        best = min(best, time.perf_counter() - t0)
+    return n_pairs / best
 
 
 def main():

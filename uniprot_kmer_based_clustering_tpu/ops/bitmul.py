@@ -91,11 +91,11 @@ def _strip_stats(
     """
     j0 = i0
     n_pad = words.shape[0]
-    words_a = jax.lax.slice_in_dim(words, i0, i0 + strip, axis=0)
-    words_b = jax.lax.slice_in_dim(words, i0, n_pad, axis=0)
-    s = words_a.shape[0]
-    j = words_b.shape[0]
-    counts = _strip_counts(words_a, words_b, weights, word_chunk=word_chunk)
+    s = strip
+    j = n_pad - i0
+    counts = _counts_window(
+        words, weights, i0, i0, s=s, jr=j, word_chunk=word_chunk
+    )
 
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j), 1)
@@ -136,33 +136,27 @@ def _strip_stats(
     return row_stats, bh
 
 
-@functools.partial(
-    jax.jit, static_argnames=("word_chunk",)
-)
-def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
-    """Matmul-only variant of :func:`_strip_stats`: int32 counts [S, J].
+def _counts_window(words, weights, ia, ja, *, s, jr, word_chunk=0):
+    """int32 counts [s, jr] for the row windows (ia..ia+s) × (ja..ja+jr).
 
-    Used with the Pallas statistics epilogue (ops.stats_pallas), which
-    replaces XLA's fused mask/reduce chain (~59 ms on the bundled square —
-    XLA materializes several full [N, N] intermediates) with a single
-    tile-walk read of the counts (~2 ms).
+    Both row windows are sliced from the FULL packed matrix inside each
+    word-chunk scan step (a [rows, word_chunk] dynamic slice) — slicing
+    the row window up front makes XLA materialize it as a scan-invariant
+    operand, a second near-full copy of the packed matrix at scale (the
+    100k OOM, twice: once as a host-side pre-transpose, once as an
+    in-program row slice). `ia`/`ja` may be traced (the scan schedule).
     """
-    s = words_a.shape[0]
-    j = words_b.shape[0]
-    w_words = words_a.shape[1]
+    w_words = words.shape[1]
     if word_chunk and word_chunk < w_words:
         assert w_words % word_chunk == 0
         n_chunks = w_words // word_chunk
 
         def body(counts, kc):
-            # dynamic word-column slices — NOT a pre-transposed stack,
-            # which would materialize a full second copy of the packed
-            # matrix (the 100k-run OOM: words is ~10 GB there)
-            ca = jax.lax.dynamic_slice_in_dim(
-                words_a, kc * word_chunk, word_chunk, 1
+            ca = jax.lax.dynamic_slice(
+                words, (ia, kc * word_chunk), (s, word_chunk)
             )
-            cb = jax.lax.dynamic_slice_in_dim(
-                words_b, kc * word_chunk, word_chunk, 1
+            cb = jax.lax.dynamic_slice(
+                words, (ja, kc * word_chunk), (jr, word_chunk)
             )
             cw = jax.lax.dynamic_slice_in_dim(
                 weights, kc * word_chunk * 32, word_chunk * 32, 0
@@ -180,7 +174,60 @@ def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
 
         counts, _ = jax.lax.scan(
             body,
-            jnp.zeros((s, j), jnp.int32),
+            jnp.zeros((s, jr), jnp.int32),
+            jnp.arange(n_chunks, dtype=jnp.int32),
+        )
+        return counts
+    wa = jax.lax.dynamic_slice(words, (ia, 0), (s, w_words))
+    wb = jax.lax.dynamic_slice(words, (ja, 0), (jr, w_words))
+    a = unpack_words_to_int8(wa)
+    b = unpack_words_to_int8(wb, weights)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("word_chunk",)
+)
+def _strip_counts(words_a, words_b, weights, *, word_chunk: int = 0):
+    """Explicit-operand counts (tests / small inputs): int32 [S, J]."""
+    return _counts_window_pair(
+        words_a, words_b, weights, word_chunk=word_chunk
+    )
+
+
+def _counts_window_pair(words_a, words_b, weights, *, word_chunk=0):
+    """Counts for two distinct operand arrays (full windows)."""
+    w_words = words_a.shape[1]
+    if word_chunk and word_chunk < w_words:
+        s, jr = words_a.shape[0], words_b.shape[0]
+        n_chunks = w_words // word_chunk
+
+        def body(counts, kc):
+            ca = jax.lax.dynamic_slice(
+                words_a, (0, kc * word_chunk), (s, word_chunk)
+            )
+            cb = jax.lax.dynamic_slice(
+                words_b, (0, kc * word_chunk), (jr, word_chunk)
+            )
+            cw = jax.lax.dynamic_slice_in_dim(
+                weights, kc * word_chunk * 32, word_chunk * 32, 0
+            )
+            a = unpack_words_to_int8(ca)
+            b = unpack_words_to_int8(cb, cw)
+            return (
+                counts
+                + jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ),
+                None,
+            )
+
+        counts, _ = jax.lax.scan(
+            body,
+            jnp.zeros((s, jr), jnp.int32),
             jnp.arange(n_chunks, dtype=jnp.int32),
         )
         return counts
@@ -213,9 +260,10 @@ def _strip_stats_pallas(
     )
 
     n_pad = words.shape[0]
-    words_a = jax.lax.slice_in_dim(words, i0, i0 + strip, axis=0)
-    words_b = jax.lax.slice_in_dim(words, i0, n_pad, axis=0)
-    counts = _strip_counts(words_a, words_b, weights, word_chunk=word_chunk)
+    counts = _counts_window(
+        words, weights, i0, i0, s=strip, jr=n_pad - i0,
+        word_chunk=word_chunk,
+    )
     row_stats, tile_hits, _ = stats_from_counts(
         counts, classes_a, classes_b,
         i_off=i0, j_off=i0, n=n, threshold=threshold,
@@ -261,11 +309,11 @@ def _scan_sweep(
     def body(carry, ij):
         row_stats, block_hits = carry
         i0, j0 = ij[0], ij[1]
-        wa = jax.lax.dynamic_slice(words, (i0, 0), (bs, w_words))
-        wb = jax.lax.dynamic_slice(words, (j0, 0), (bs, w_words))
         ca = jax.lax.dynamic_slice(classes, (i0,), (bs,))
         cb = jax.lax.dynamic_slice(classes, (j0,), (bs,))
-        counts = _strip_counts(wa, wb, weights, word_chunk=word_chunk)
+        counts = _counts_window(
+            words, weights, i0, j0, s=bs, jr=bs, word_chunk=word_chunk
+        )
 
         gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
         gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
