@@ -66,7 +66,7 @@ def main():
     from uniprot_kmer_based_clustering_tpu.kmers import (
         build_index,
         encode_kmers,
-        pack_bitsets,
+        pack_bitsets_device,
     )
     from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
 
@@ -78,13 +78,15 @@ def main():
     t0 = time.perf_counter()
     codes, koff = encode_kmers(seq_buf, offsets, 5)
     idx = build_index(codes, koff, 5)
-    bitset = pack_bitsets(
+    # pack on device: the throttled host writes RAM at ~85 MB/s, so the
+    # ~9 GB matrix is scattered on-chip from the 256 MB incidence list
+    bitset = pack_bitsets_device(
         idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
         row_multiple=3584,
     )
     t_index = time.perf_counter() - t0
 
-    words = jnp.asarray(bitset.words)
+    words = bitset.words
     cls = np.full(bitset.n_pad, -1, np.int32)
     cls[:n] = classes
     cls = jnp.asarray(cls)

@@ -32,3 +32,17 @@ def test_empty_rows():
         row_multiple=8, word_multiple=128,
     )
     assert not bs.words.any()
+
+
+def test_device_pack_matches_host(rng):
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
+        pack_bitsets_device,
+    )
+
+    n, k = 300, 900
+    keys = rng.choice(n * k, size=5000, replace=False)
+    ip = (keys // k).astype(np.int32)
+    ir = (keys % k).astype(np.int32)
+    a = pack_bitsets(ip, ir, n, k, row_multiple=16, word_multiple=128)
+    b = pack_bitsets_device(ip, ir, n, k, row_multiple=16, word_multiple=128)
+    assert np.array_equal(a.words, np.asarray(b.words))

@@ -12,4 +12,5 @@ from uniprot_kmer_based_clustering_tpu.kmers.index import (  # noqa: F401
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import (  # noqa: F401
     BitsetMatrix,
     pack_bitsets,
+    pack_bitsets_device,
 )
