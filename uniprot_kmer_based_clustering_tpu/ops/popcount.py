@@ -138,12 +138,18 @@ def _sweep_kernel(
     i0 = i_of_t_ref[t] * tile
     j0 = j_of_t_ref[t] * tile
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
     a = a_ref[...]
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     crow = crow_ref[...]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, _STAT_LANES), 1)
+    is_max_lane = (lanes == 3) | (lanes == 7)
 
-    def body(c, _):
+    def body(c, acc):
+        # acc is a [tile, 128] VALUE carried through the loop — per-lane
+        # slice stores on a ref lower to catastrophic relayouts in Mosaic
+        # (see ops.stats_pallas.accumulate_stats_block); instead the 8
+        # stat columns are scattered into their lanes with iota-mask
+        # selects and merged full-width.
         brow = b_ref[pl.ds(c, 1), :]                        # [1, W]
         x = jax.lax.population_count(a & brow)
         cnt = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True)  # [T, 1]
@@ -156,38 +162,46 @@ def _sweep_kernel(
 
         czero = jnp.where(cross, cnt, 0)
         szero = jnp.where(same, cnt, 0)
-        acc_ref[:, 0:1] += czero
-        acc_ref[:, 1:2] += (cross & (cnt >= 1)).astype(jnp.int32)
-        acc_ref[:, 2:3] += (cross & (cnt > threshold)).astype(jnp.int32)
-        acc_ref[:, 3:4] = jnp.maximum(acc_ref[:, 3:4], czero)
-        acc_ref[:, 4:5] += szero
-        acc_ref[:, 5:6] += (same & (cnt >= 1)).astype(jnp.int32)
-        acc_ref[:, 6:7] += (same & (cnt > threshold)).astype(jnp.int32)
-        acc_ref[:, 7:8] = jnp.maximum(acc_ref[:, 7:8], szero)
-        return 0
+        cols = (
+            czero,
+            (cross & (cnt >= 1)).astype(jnp.int32),
+            (cross & (cnt > threshold)).astype(jnp.int32),
+            czero,
+            szero,
+            (same & (cnt >= 1)).astype(jnp.int32),
+            (same & (cnt > threshold)).astype(jnp.int32),
+            szero,
+        )
+        colmat = jnp.zeros((tile, _STAT_LANES), jnp.int32)
+        for lane, col in enumerate(cols):
+            colmat = jnp.where(lanes == lane, col, colmat)
+        return jnp.where(
+            is_max_lane, jnp.maximum(acc, colmat), acc + colmat
+        )
 
-    jax.lax.fori_loop(0, tile, body, 0, unroll=False)
+    acc = jax.lax.fori_loop(
+        0, tile, body,
+        jnp.zeros((tile, _STAT_LANES), jnp.int32),
+        unroll=False,
+    )
+    acc_ref[...] = acc
 
     first = first_of_t_ref[t] == 1
-    zero = jnp.zeros((tile, 1), jnp.int32)
-    for lane in range(_NSTATS):
-        prev = jnp.where(first, zero, row_stats_ref[:, lane : lane + 1])
-        cur = acc_ref[:, lane : lane + 1]
-        if lane % 4 == 3:  # max lanes
-            row_stats_ref[:, lane : lane + 1] = jnp.maximum(prev, cur)
-        else:
-            row_stats_ref[:, lane : lane + 1] = prev + cur
+    prev = jnp.where(first, 0, row_stats_ref[...])
+    row_stats_ref[...] = jnp.where(
+        is_max_lane, jnp.maximum(prev, acc), prev + acc
+    )
 
     # tile_hits blocks are 8 sublanes per tile (TPU min tile height); the
     # hits live in row 0, rows 1-7 are zero. Built with iota masks
     # (scatter is not lowerable in Mosaic).
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 1)
+    hl = jax.lax.broadcasted_iota(jnp.int32, (8, _STAT_LANES), 1)
     hits = jnp.zeros((8, _STAT_LANES), jnp.int32)
     for lane, src in enumerate((2, 6, 1, 5)):
         hits = hits + jnp.where(
-            (sub == 0) & (lanes == lane),
-            jnp.sum(acc_ref[:, src : src + 1]),
+            (sub == 0) & (hl == lane),
+            jnp.sum(acc[:, src : src + 1]),
             0,
         )
     tile_hits_ref[...] = hits
