@@ -130,20 +130,47 @@ def pack_bitsets_device(
     w = _round_up(max(n_bits, 1), 32) // 32
     w_pad = _round_up(w, word_multiple)
 
-    @functools.partial(jax.jit, static_argnames=("n_pad", "w_pad"))
-    def scatter(p, r, *, n_pad, w_pad):
-        words = jnp.zeros((n_pad, w_pad), jnp.uint32)
+    # Three scale lessons are baked in here:
+    #   * the buffer is DONATED through every scatter call so XLA updates
+    #     in place (separate operand/result allocations double the matrix
+    #     — 2 × 9.2 GB OOM);
+    #   * 2-D scatter indices [nnz, 2] get a T(8,128) minor-dim layout —
+    #     a 64× padding blowup (15 GB for 32M incidences) — so the
+    #     incidences are scattered in bounded chunks (~512 MB of padded
+    #     index transient per call);
+    #   * a flat 1-D index does NOT work around the blowup: jax
+    #     canonicalizes indices to int32 (x64 off), overflowing past 2³¹
+    #     words.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter_chunk(words, p, r):
         bit = jnp.left_shift(
             jnp.uint32(1), (r & 31).astype(jnp.uint32)
         )
         return words.at[p, r >> 5].add(bit)
 
-    words = scatter(
-        jnp.asarray(incidence_protein, jnp.int32),
-        jnp.asarray(incidence_rank, jnp.int32),
-        n_pad=n_pad,
-        w_pad=w_pad,
-    )
+    ip = np.asarray(incidence_protein, np.int32)
+    ir = np.asarray(incidence_rank, np.int32)
+    chunk = 1 << 20
+    # pad the tail chunk with (0, 0) plus a zero bit value so every call
+    # shares one compiled shape
+    words = jnp.zeros((n_pad, w_pad), jnp.uint32)
+    nnz = ip.shape[0]
+    if nnz == 0:
+        return BitsetMatrix(words=words, n=n, n_bits=n_bits)
+    n_chunks = -(-nnz // chunk)
+    for c in range(n_chunks):
+        lo, hi = c * chunk, min((c + 1) * chunk, nnz)
+        if hi - lo == chunk:
+            p_c, r_c = ip[lo:hi], ir[lo:hi]
+        else:
+            # pad with out-of-bounds rows — OOB scatter updates are
+            # dropped (jax indexing semantics) — so the tail shares the
+            # same compiled shape
+            p_c = np.full(chunk, n_pad, np.int32)
+            r_c = np.zeros(chunk, np.int32)
+            p_c[: hi - lo] = ip[lo:hi]
+            r_c[: hi - lo] = ir[lo:hi]
+        words = scatter_chunk(words, jnp.asarray(p_c), jnp.asarray(r_c))
     return BitsetMatrix(words=words, n=n, n_bits=n_bits)
 
 
