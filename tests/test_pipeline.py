@@ -125,3 +125,13 @@ def test_golden_full_dataset(arg_fasta):
     assert int(cross.sum()) == 4350628
     assert int((v[cross] > 10).sum()) == 465
     assert int(v[cross].max()) == 567
+
+
+def test_cluster_fasta_api(toy_fasta):
+    """The one-call library entry point."""
+    import uniprot_kmer_based_clustering_tpu as ukc
+
+    result = ukc.cluster_fasta(toy_fasta, k=5, threshold=4)
+    assert result.pairwise.pairs.shape[1] == 3
+    assert result.cluster_labels is not None
+    assert result.parity_report()["proteins"] == 60

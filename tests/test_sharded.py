@@ -105,3 +105,30 @@ def test_doc_freq_psum_matches_host():
             expect[c] = expect.get(c, 0) + 1
     got = {int(c): int(freq[c]) for c in np.nonzero(freq)[0]}
     assert got == expect
+
+
+def test_ring_weighted_matches_mxu():
+    """BLOSUM-weighted ring sweep == single-chip weighted MXU sweep."""
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+
+    bs, classes, n = _problem(1024)
+    rng = np.random.default_rng(17)
+    wts = rng.integers(1, 50, size=bs.w_pad * 32).astype(np.int8)
+    w = jnp.asarray(bs.words)
+    rs_ref, th_ref, tiles_ref = sweep_mxu(
+        w, jnp.asarray(classes), n, 40, weights=wts,
+        strip=bs.n_pad, block=128,
+    )
+
+    SUM = [0, 1, 2, 4, 5, 6]
+    MAX = [3, 7]
+    for d in (1, 4):
+        mesh = make_mesh(d)
+        rs, th, tl = sharded_pairwise_similarity(
+            mesh, bs.words, classes, n, 40, block_tile=128, weights=wts
+        )
+        assert np.array_equal(rs[:, SUM].sum(axis=0), rs_ref[:, SUM].sum(axis=0)), d
+        assert np.array_equal(rs[:, MAX].max(axis=0), rs_ref[:, MAX].max(axis=0)), d
+        ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
+        px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
+        assert np.array_equal(px, ps), d

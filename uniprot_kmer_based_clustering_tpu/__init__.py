@@ -29,3 +29,20 @@ Layout:
 __version__ = "0.1.0"
 
 from uniprot_kmer_based_clustering_tpu.config import PipelineConfig  # noqa: F401
+
+
+def cluster_fasta(fasta_path: str, **config_kwargs):
+    """One-call library entry point: FASTA → similarity pairs + clusters.
+
+    ``config_kwargs`` are :class:`PipelineConfig` fields (k, threshold,
+    weighting, cluster, sampling, …). Returns the full
+    :class:`~uniprot_kmer_based_clustering_tpu.pipeline.PipelineResult`
+    (parity counters, pair list, cluster labels, stage timings).
+
+    >>> result = cluster_fasta("proteins.fasta", k=5, threshold=10)
+    >>> result.pairwise.pairs        # (i, j, shared_kmers), sorted
+    >>> result.cluster_labels        # per-protein cluster label
+    """
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+    return run_pipeline(fasta_path, PipelineConfig(**config_kwargs))
