@@ -54,3 +54,30 @@ def test_cli_bad_args():
 
     with pytest.raises(SystemExit):
         main(["run", "x.fasta", "--k", "6"])
+
+
+def test_cli_mesh_shape_matches_single_chip(toy_fasta, tmp_path, capsys):
+    """--mesh-shape 2x4 (hierarchical ring) == single-chip xla run."""
+    out1 = str(tmp_path / "out_1chip")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--out", out1, "--cpu",
+    ])
+    assert rc == 0
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out2 = str(tmp_path / "out_2d")
+    rc = main([
+        "run", toy_fasta, "--threshold", "2",
+        "--mesh-shape", "2x4", "--out", out2, "--cpu",
+    ])
+    assert rc == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("proteins", "pairs_over_threshold", "max_shared",
+                "cross_amr_pairs"):
+        if key in p1:
+            assert p1[key] == p2[key], key
+    assert (
+        open(os.path.join(out1, "pairs.tsv")).read()
+        == open(os.path.join(out2, "pairs.tsv")).read()
+    )

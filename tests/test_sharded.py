@@ -132,3 +132,59 @@ def test_ring_weighted_matches_mxu():
         ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
         px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
         assert np.array_equal(px, ps), d
+
+
+@pytest.mark.parametrize("hc,cc", [(1, 8), (2, 4), (4, 2), (8, 1), (2, 2), (2, 3), (3, 2)])
+def test_ring_2d_matches_oracle(hc, cc):
+    """Hierarchical (hosts × chips) ring == single-chip sweep, any H × C."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_pairwise_similarity_2d,
+    )
+
+    d = hc * cc
+    n_pad = 128 * d * (2 if d <= 4 else 1)
+    bs, classes, n = _problem(n_pad)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh_2d(hc, cc)
+    rs, th, tl = sharded_pairwise_similarity_2d(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(
+        rs[:, MAX_LANES].max(axis=0), rsx[:, MAX_LANES].max(axis=0)
+    )
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=THR)
+    assert np.array_equal(px, ps)
+
+
+def test_ring_2d_weighted_matches_mxu():
+    """BLOSUM-weighted 2-D ring == single-chip weighted MXU sweep."""
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_pairwise_similarity_2d,
+    )
+
+    bs, classes, n = _problem(1024)
+    rng = np.random.default_rng(17)
+    wts = rng.integers(1, 50, size=bs.w_pad * 32).astype(np.int8)
+    w = jnp.asarray(bs.words)
+    rs_ref, th_ref, tiles_ref = sweep_mxu(
+        w, jnp.asarray(classes), n, 40, weights=wts,
+        strip=bs.n_pad, block=128,
+    )
+    mesh = make_mesh_2d(2, 4)
+    rs, th, tl = sharded_pairwise_similarity_2d(
+        mesh, bs.words, classes, n, 40, block_tile=128, weights=wts
+    )
+    assert np.array_equal(rs[:, SUM_LANES].sum(axis=0), rs_ref[:, SUM_LANES].sum(axis=0))
+    assert np.array_equal(rs[:, MAX_LANES].max(axis=0), rs_ref[:, MAX_LANES].max(axis=0))
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
+    px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
+    assert np.array_equal(px, ps)

@@ -63,7 +63,12 @@ def cmd_run(args) -> int:
 
         init_distributed()
     mesh = None
-    if (args.devices and args.devices > 1) or args.distributed:
+    if args.mesh_shape:
+        from uniprot_kmer_based_clustering_tpu.parallel import make_mesh_2d
+
+        hc, cc = (int(x) for x in args.mesh_shape.lower().split("x"))
+        mesh = make_mesh_2d(hc, cc)
+    elif (args.devices and args.devices > 1) or args.distributed:
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
 
         # --distributed with no explicit count spans every chip in the
@@ -199,6 +204,9 @@ def main(argv=None) -> int:
                    help="keep same-AMR-class pairs too")
     r.add_argument("--devices", type=int, default=0,
                    help="shard the sweep over N devices")
+    r.add_argument("--mesh-shape", default=None, metavar="HxC",
+                   help="hierarchical (hosts x chips) mesh for the 2-D "
+                        "ring sweep, e.g. 2x4 (one DCN hop per outer step)")
     r.add_argument("--checkpoint-dir", default=None)
     r.add_argument("--out", default="ukc_out")
     r.add_argument("--diamond", action="store_true",

@@ -74,7 +74,7 @@ def connected_components_device(pairs_i, pairs_j, *, n: int):
     return labels
 
 
-def connected_components_sharded(mesh, pairs, n: int, axis: str = "p"):
+def connected_components_sharded(mesh, pairs, n: int, axis=None):
     """Mesh-sharded min-label propagation with collective label merge.
 
     The edge list is sharded over the mesh axis (each device/host holds a
@@ -94,7 +94,20 @@ def connected_components_sharded(mesh, pairs, n: int, axis: str = "p"):
     except AttributeError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-    d = mesh.shape[axis]
+    if axis is None:
+        # shard over every mesh axis — works for the 1-D protein mesh and
+        # the hierarchical (hosts × chips) mesh alike
+        axis = (
+            mesh.axis_names[0]
+            if len(mesh.axis_names) == 1
+            else tuple(mesh.axis_names)
+        )
+    if isinstance(axis, tuple):
+        d = 1
+        for a in axis:
+            d *= mesh.shape[a]
+    else:
+        d = mesh.shape[axis]
     pairs = np.asarray(pairs)[:, :2].astype(np.int32)
     m = pairs.shape[0]
     m_pad = max(d, -(-m // d) * d)

@@ -1,10 +1,13 @@
 from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: F401
     init_distributed,
     make_mesh,
+    make_mesh_2d,
     pad_for_mesh,
 )
 from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     doc_freq_psum,
     make_ring_sweep,
+    make_ring_sweep_2d,
     sharded_pairwise_similarity,
+    sharded_pairwise_similarity_2d,
 )

@@ -55,6 +55,28 @@ def make_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(
+    n_hosts: int,
+    n_chips: int,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+) -> Mesh:
+    """(hosts × chips) mesh for the hierarchical 2-D ring sweep.
+
+    On a real pod, ``jax.devices()`` orders devices process-major, so the
+    host axis of the reshape is the actual host boundary: ``ppermute`` over
+    `chip_axis` stays on ICI and only the `host_axis` rotation crosses DCN.
+    """
+    devs = jax.devices()
+    need = n_hosts * n_chips
+    if need > len(devs):
+        raise ValueError(
+            f"requested {need} devices, only {len(devs)} available"
+        )
+    grid = np.array(devs[:need]).reshape(n_hosts, n_chips)
+    return Mesh(grid, (host_axis, chip_axis))
+
+
 def pad_for_mesh(n: int, n_devices: int, multiple: int) -> int:
     """Smallest N_pad ≥ n divisible by n_devices·multiple (so every device
     holds the same number of whole tiles)."""

@@ -247,6 +247,201 @@ def sharded_pairwise_similarity(
     return row_stats, tile_hits, (ti, tj, block_tile)
 
 
+def make_ring_sweep_2d(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    block_tile: int,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+    weighted: bool = False,
+):
+    """Two-level hierarchical ring for (hosts × chips) meshes.
+
+    The flat 1-D ring crosses DCN on every rotation step (the two
+    host-boundary links), so the step time is bottlenecked by DCN
+    bandwidth. Here the moving copy rotates over the host axis ONCE per
+    outer step (the only DCN transfer) and then circulates within each
+    host over the chip axis — C inner ICI steps amortize one DCN hop,
+    the ring-attention-at-scale layout the task's scaling model
+    prescribes (collectives ride ICI, not DCN).
+
+    Pair coverage (every unordered block pair exactly once, any H × C):
+      * outer step 0: the intra-host triangular chip ring (inner steps
+        C//2+1, even-C final step halved — the 1-D schedule per host);
+      * outer steps 1..H//2: the stationary host pairs against the host
+        sh hops up-ring; ALL C×C chip-block pairs are needed, covered by
+        C full inner rotations; for even H the final outer step would
+        visit each host pair twice, so only hosts h < H//2 contribute.
+
+    Same outputs/attribution as :func:`make_ring_sweep`.
+    """
+    hc = mesh.shape[host_axis]
+    cc = mesh.shape[chip_axis]
+
+    def step(words_local, classes_local, weights):
+        h = jax.lax.axis_index(host_axis)
+        c = jax.lax.axis_index(chip_axis)
+        block = words_local.shape[0]
+        nb_local = block // block_tile
+        nb = nb_local * hc * cc
+
+        row_base = (h * cc + c) * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        row_stats = jnp.zeros((block, 8), jnp.int32)
+        hits = jnp.zeros((nb, nb, 2), jnp.int32)
+
+        moving_w = words_local
+        moving_c = classes_local
+        outer_steps = hc // 2 + 1
+
+        for sh in range(outer_steps):
+            if sh > 0:
+                perm_h = [((i + 1) % hc, i) for i in range(hc)]
+                moving_w = jax.lax.ppermute(moving_w, host_axis, perm_h)
+                moving_c = jax.lax.ppermute(moving_c, host_axis, perm_h)
+            inner_w = moving_w
+            inner_c = moving_c
+            inner_steps = cc if sh > 0 else (cc // 2 + 1)
+            for sc in range(inner_steps):
+                if sc > 0:
+                    perm_c = [((i + 1) % cc, i) for i in range(cc)]
+                    inner_w = jax.lax.ppermute(inner_w, chip_axis, perm_c)
+                    inner_c = jax.lax.ppermute(inner_c, chip_axis, perm_c)
+
+                moving_h = (h + sh) % hc
+                moving_chip = (c + sc) % cc
+                moving_base = (moving_h * cc + moving_chip) * block
+                gj = moving_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block), 1
+                )
+
+                if sh == 0 and sc == 0:
+                    active = jnp.bool_(True)
+                    triangle = True
+                elif sh == 0 and 2 * sc == cc:
+                    active = c < (cc // 2)      # even-C intra-host dedup
+                    triangle = False
+                elif 2 * sh == hc:
+                    active = h < (hc // 2)      # even-H host-pair dedup
+                    triangle = False
+                else:
+                    active = jnp.bool_(True)
+                    triangle = False
+
+                counts = _block_counts(
+                    words_local, inner_w, weights if weighted else None
+                )
+                stats, over_c, over_s = _pair_stats(
+                    counts, gi, gj, classes_local, inner_c,
+                    n, threshold, active, triangle,
+                )
+                add = row_stats + stats
+                mx = jnp.maximum(row_stats, stats)
+                lane = jnp.arange(8)[None, :]
+                row_stats = jnp.where(lane % 4 == 3, mx, add)
+
+                bh = jnp.stack(
+                    [
+                        over_c.astype(jnp.int32)
+                        .reshape(nb_local, block_tile, nb_local, block_tile)
+                        .sum(axis=(1, 3)),
+                        over_s.astype(jnp.int32)
+                        .reshape(nb_local, block_tile, nb_local, block_tile)
+                        .sum(axis=(1, 3)),
+                    ],
+                    axis=-1,
+                )
+                bi = (h * cc + c) * nb_local
+                bj = (moving_h * cc + moving_chip) * nb_local
+                hits = jax.lax.dynamic_update_slice(
+                    hits,
+                    jax.lax.dynamic_slice(
+                        hits, (bi, bj, 0), (nb_local, nb_local, 2)
+                    )
+                    + bh,
+                    (bi, bj, 0),
+                )
+
+        hits = jax.lax.psum(
+            jax.lax.psum(hits, chip_axis), host_axis
+        )
+        return row_stats, hits
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P((host_axis, chip_axis), None),
+            P((host_axis, chip_axis)),
+            P(None),
+        ),
+        out_specs=(
+            P((host_axis, chip_axis), None),
+            P(None, None, None),
+        ),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_pairwise_similarity_2d(
+    mesh: Mesh,
+    words: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    block_tile: int = 128,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+    weights: np.ndarray | None = None,
+):
+    """Hierarchical (hosts × chips) ring sweep; single-chip engine format."""
+    hc = mesh.shape[host_axis]
+    cc = mesh.shape[chip_axis]
+    d = hc * cc
+    n_pad, w_words = words.shape
+    assert n_pad % (d * block_tile) == 0, (
+        f"N_pad={n_pad} must be divisible by H×C×block_tile="
+        f"{d * block_tile}"
+    )
+    spec = P((host_axis, chip_axis), None)
+    words_s = jax.device_put(jnp.asarray(words), NamedSharding(mesh, spec))
+    classes_s = jax.device_put(
+        jnp.asarray(classes, jnp.int32),
+        NamedSharding(mesh, P((host_axis, chip_axis))),
+    )
+    weighted = weights is not None
+    if weights is None:
+        weights = np.ones(w_words * 32, np.int8)
+    weights_s = jax.device_put(
+        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+    )
+    fn = make_ring_sweep_2d(
+        mesh, n, threshold, block_tile, host_axis, chip_axis, weighted
+    )
+    row_stats, hits = fn(words_s, classes_s, weights_s)
+    if jax.process_count() > 1:
+        row_stats = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, P(None, None)),
+        )(row_stats)
+    row_stats, hits = jax.device_get((row_stats, hits))
+    row_stats = row_stats.astype(np.int64)
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block_tile)
+    tile_hits = hits[ti, tj] + np.where(
+        (ti != tj)[:, None], hits[tj, ti], 0
+    )
+    return row_stats, tile_hits, (ti, tj, block_tile)
+
+
 def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
     """Distributed dense doc-freq for k=5: per-shard bincount over the 21^k
     universe, merged with one psum (replaces the reference's global mutexed

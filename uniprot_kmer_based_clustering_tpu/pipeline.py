@@ -249,15 +249,28 @@ def _sharded_similarity(
     bitset, table, config, mesh, weights=None
 ) -> PairwiseResult:
     """Mesh-parallel sweep + single-host extraction."""
+    import functools
+
     import jax.numpy as jnp
 
     from uniprot_kmer_based_clustering_tpu.parallel.mesh import pad_for_mesh
     from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
         sharded_pairwise_similarity,
+        sharded_pairwise_similarity_2d,
     )
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
         extract_pairs,
     )
+
+    if len(mesh.axis_names) == 2:
+        # hierarchical (hosts × chips) ring: one DCN hop per outer step,
+        # inner rotations on ICI
+        h_ax, c_ax = mesh.axis_names
+        sweep = functools.partial(
+            sharded_pairwise_similarity_2d, host_axis=h_ax, chip_axis=c_ax
+        )
+    else:
+        sweep = sharded_pairwise_similarity
 
     d = mesh.devices.size
     block_tile = 128
@@ -274,7 +287,7 @@ def _sharded_similarity(
         if weights is not None
         else config.threshold
     )
-    row_stats, tile_hits, tiles = sharded_pairwise_similarity(
+    row_stats, tile_hits, tiles = sweep(
         mesh, words, classes, bitset.n, threshold, block_tile,
         weights=weights,
     )
