@@ -81,3 +81,25 @@ def test_cli_mesh_shape_matches_single_chip(toy_fasta, tmp_path, capsys):
         open(os.path.join(out1, "pairs.tsv")).read()
         == open(os.path.join(out2, "pairs.tsv")).read()
     )
+
+
+def test_cli_shard_axis_kmers_matches_single_chip(toy_fasta, tmp_path, capsys):
+    """--shard-axis kmers (contraction sharding) == single-chip run."""
+    out1 = str(tmp_path / "out_rows")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--out", out1, "--cpu",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    out2 = str(tmp_path / "out_kaxis")
+    rc = main([
+        "run", toy_fasta, "--threshold", "2", "--devices", "4",
+        "--shard-axis", "kmers", "--out", out2, "--cpu",
+    ])
+    assert rc == 0
+    assert (
+        open(os.path.join(out1, "pairs.tsv")).read()
+        == open(os.path.join(out2, "pairs.tsv")).read()
+    )

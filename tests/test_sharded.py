@@ -188,3 +188,56 @@ def test_ring_2d_weighted_matches_mxu():
     ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
     px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
     assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_kaxis_matches_oracle(d):
+    """Contraction-axis (k-mer) sharded sweep == single-chip sweep."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_similarity_kaxis,
+    )
+
+    bs, classes, n = _problem(640)
+    assert bs.w_pad % d == 0
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d, axis="k")
+    rs, th, tl = sharded_pairwise_similarity_kaxis(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(
+        rs[:, MAX_LANES].max(axis=0), rsx[:, MAX_LANES].max(axis=0)
+    )
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=THR)
+    assert np.array_equal(px, ps)
+
+
+def test_kaxis_weighted_matches_mxu():
+    """BLOSUM-weighted K-axis sweep == single-chip weighted MXU sweep."""
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_similarity_kaxis,
+    )
+
+    bs, classes, n = _problem(640)
+    rng = np.random.default_rng(17)
+    wts = rng.integers(1, 50, size=bs.w_pad * 32).astype(np.int8)
+    w = jnp.asarray(bs.words)
+    rs_ref, th_ref, tiles_ref = sweep_mxu(
+        w, jnp.asarray(classes), n, 40, weights=wts,
+        strip=bs.n_pad, block=128,
+    )
+    mesh = make_mesh(4, axis="k")
+    rs, th, tl = sharded_pairwise_similarity_kaxis(
+        mesh, bs.words, classes, n, 40, block_tile=128, weights=wts
+    )
+    assert np.array_equal(rs[:, SUM_LANES].sum(axis=0), rs_ref[:, SUM_LANES].sum(axis=0))
+    assert np.array_equal(rs[:, MAX_LANES].max(axis=0), rs_ref[:, MAX_LANES].max(axis=0))
+    ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
+    px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
+    assert np.array_equal(px, ps)

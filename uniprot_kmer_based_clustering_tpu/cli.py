@@ -73,7 +73,10 @@ def cmd_run(args) -> int:
 
         # --distributed with no explicit count spans every chip in the
         # slice (the pod-launch default, scripts/launch_pod.sh)
-        mesh = make_mesh(args.devices if args.devices > 1 else None)
+        mesh = make_mesh(
+            args.devices if args.devices > 1 else None,
+            axis="k" if args.shard_axis == "kmers" else "p",
+        )
 
     import contextlib
 
@@ -204,6 +207,11 @@ def main(argv=None) -> int:
                    help="keep same-AMR-class pairs too")
     r.add_argument("--devices", type=int, default=0,
                    help="shard the sweep over N devices")
+    r.add_argument("--shard-axis", default="rows",
+                   choices=("rows", "kmers"),
+                   help="rows: ring-rotate protein blocks (compute "
+                        "scaling); kmers: shard the bitset k-mer axis, "
+                        "psum partial counts (HBM scaling for --k 7)")
     r.add_argument("--mesh-shape", default=None, metavar="HxC",
                    help="hierarchical (hosts x chips) mesh for the 2-D "
                         "ring sweep, e.g. 2x4 (one DCN hop per outer step)")

@@ -442,6 +442,147 @@ def sharded_pairwise_similarity_2d(
     return row_stats, tile_hits, (ti, tj, block_tile)
 
 
+def make_kaxis_sweep(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    block_tile: int,
+    axis: str = "k",
+    weighted: bool = False,
+):
+    """Contraction-axis (k-mer-axis) sharded sweep — the Ulysses/TP
+    analogue of SURVEY.md §5: each device holds a *column* slice of the
+    packed bitset (`[N_pad, W/D]` words, i.e. a shard of the k-mer
+    universe) and computes partial shared-k-mer counts over its slice;
+    one ``psum`` per row-block merges them into exact counts.
+
+    This is the memory-scaling axis: the ring sweep replicates the full
+    K extent per device (row-sharded), which the 7-mer universe at large
+    corpus scale can outgrow — K-sharding divides bitset + unpacked
+    operand HBM by D at the cost of an [block_tile, N_pad] int32
+    all-reduce per row block (N²·4 bytes total, riding ICI).
+
+    Row-block schedule under one ``lax.scan`` (one compiled shape): for
+    each block the upper triangle (gi < gj) is computed against all
+    columns, so every unordered pair is counted exactly once. Outputs are
+    replicated and match the single-chip engine format.
+    """
+    d_count = mesh.shape[axis]
+
+    def step(words_local, classes, weights_local):
+        n_pad = words_local.shape[0]
+        nb = n_pad // block_tile
+        a_full = unpack_words_to_int8(
+            words_local, weights_local if weighted else None
+        )
+        b_full = unpack_words_to_int8(words_local)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_tile, n_pad), 1)
+
+        def body(carry, bi):
+            row_stats, hits = carry
+            r0 = bi * block_tile
+            a = jax.lax.dynamic_slice(
+                a_full, (r0, 0), (block_tile, a_full.shape[1])
+            )
+            ca = jax.lax.dynamic_slice(classes, (r0,), (block_tile,))
+            partial = jax.lax.dot_general(
+                a, b_full, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            counts = jax.lax.psum(partial, axis)
+            gi = r0 + jax.lax.broadcasted_iota(
+                jnp.int32, (block_tile, n_pad), 0
+            )
+            stats, over_c, over_s = _pair_stats(
+                counts, gi, col, ca, classes,
+                n, threshold, jnp.bool_(True), True,
+            )
+            prev = jax.lax.dynamic_slice(
+                row_stats, (r0, 0), (block_tile, 8)
+            )
+            add = prev + stats
+            mx = jnp.maximum(prev, stats)
+            lane = jnp.arange(8)[None, :]
+            row_stats = jax.lax.dynamic_update_slice(
+                row_stats, jnp.where(lane % 4 == 3, mx, add), (r0, 0)
+            )
+            bh = jnp.stack(
+                [
+                    over_c.astype(jnp.int32)
+                    .reshape(block_tile, nb, block_tile)
+                    .sum(axis=(0, 2)),
+                    over_s.astype(jnp.int32)
+                    .reshape(block_tile, nb, block_tile)
+                    .sum(axis=(0, 2)),
+                ],
+                axis=-1,
+            )
+            hits = jax.lax.dynamic_update_slice(
+                hits, bh[None], (bi, 0, 0)
+            )
+            return (row_stats, hits), None
+
+        row_stats = jnp.zeros((n_pad, 8), jnp.int32)
+        hits = jnp.zeros((nb, nb, 2), jnp.int32)
+        (row_stats, hits), _ = jax.lax.scan(
+            body, (row_stats, hits), jnp.arange(nb)
+        )
+        return row_stats, hits
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None), P(axis)),
+        out_specs=(P(None, None), P(None, None, None)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_pairwise_similarity_kaxis(
+    mesh: Mesh,
+    words: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    block_tile: int = 128,
+    axis: str = "k",
+    weights: np.ndarray | None = None,
+):
+    """K-axis-sharded sweep; single-chip engine output format."""
+    d_count = mesh.shape[axis]
+    n_pad, w_words = words.shape
+    assert n_pad % block_tile == 0, (n_pad, block_tile)
+    assert w_words % d_count == 0, (
+        f"W={w_words} packed words must divide over {d_count} devices"
+    )
+    words_s = jax.device_put(
+        jnp.asarray(words), NamedSharding(mesh, P(None, axis))
+    )
+    classes_s = jax.device_put(
+        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
+    )
+    weighted = weights is not None
+    if weights is None:
+        weights = np.ones(w_words * 32, np.int8)
+    weights_s = jax.device_put(
+        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(axis))
+    )
+    fn = make_kaxis_sweep(mesh, n, threshold, block_tile, axis, weighted)
+    row_stats, hits = fn(words_s, classes_s, weights_s)
+    row_stats, hits = jax.device_get((row_stats, hits))
+    row_stats = row_stats.astype(np.int64)
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block_tile)
+    tile_hits = hits[ti, tj] + np.where(
+        (ti != tj)[:, None], hits[tj, ti], 0
+    )
+    return row_stats, tile_hits, (ti, tj, block_tile)
+
+
 def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
     """Distributed dense doc-freq for k=5: per-shard bincount over the 21^k
     universe, merged with one psum (replaces the reference's global mutexed

@@ -257,6 +257,7 @@ def _sharded_similarity(
     from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
         sharded_pairwise_similarity,
         sharded_pairwise_similarity_2d,
+        sharded_pairwise_similarity_kaxis,
     )
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
         extract_pairs,
@@ -269,6 +270,11 @@ def _sharded_similarity(
         sweep = functools.partial(
             sharded_pairwise_similarity_2d, host_axis=h_ax, chip_axis=c_ax
         )
+    elif mesh.axis_names == ("k",):
+        # contraction-axis sharding: bitset columns (k-mer universe)
+        # divided over devices, counts merged by psum — the HBM-scaling
+        # axis for the 7-mer universe
+        sweep = sharded_pairwise_similarity_kaxis
     else:
         sweep = sharded_pairwise_similarity
 
