@@ -78,6 +78,38 @@ pairs = extract_pairs(
     jnp.asarray(words), classes, tile_hits, tiles, n=n, threshold=10
 )
 
+# Hierarchical 2-D ring: host axis = the real process boundary (gloo/DCN
+# analogue), chip axis = the 2 local devices. Must be bit-identical to
+# the flat ring.
+from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh_2d,
+)
+from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: E402
+    sharded_pairwise_similarity_2d,
+    sharded_pairwise_similarity_kaxis,
+)
+
+rs2, th2, _ = sharded_pairwise_similarity_2d(
+    make_mesh_2d(nproc, d // nproc), words, classes, n,
+    threshold=10, block_tile=128,
+)
+assert np.array_equal(th2, tile_hits), "2-D ring != flat ring"
+agg2 = np.concatenate(
+    [rs2[:, SUM_LANES].sum(axis=0), rs2[:, MAX_LANES].max(axis=0)]
+)
+assert np.array_equal(agg2, agg), "2-D ring aggregate mismatch"
+
+# Contraction-axis sharding across both processes: partial counts merged
+# by a cross-host psum.
+rs_k, th_k, _ = sharded_pairwise_similarity_kaxis(
+    make_mesh(axis="k"), words, classes, n, threshold=10, block_tile=128
+)
+assert np.array_equal(th_k, tile_hits), "k-axis != flat ring"
+agg_k = np.concatenate(
+    [rs_k[:, SUM_LANES].sum(axis=0), rs_k[:, MAX_LANES].max(axis=0)]
+)
+assert np.array_equal(agg_k, agg), "k-axis aggregate mismatch"
+
 # Distributed doc-freq over a tiny 5-mer code matrix.
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
