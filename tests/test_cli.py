@@ -103,3 +103,32 @@ def test_cli_shard_axis_kmers_matches_single_chip(toy_fasta, tmp_path, capsys):
         open(os.path.join(out1, "pairs.tsv")).read()
         == open(os.path.join(out2, "pairs.tsv")).read()
     )
+
+
+def test_cli_dump_proteins(toy_fasta, tmp_path):
+    """proteins.tsv: reference protein-Debug parity (decoded k-mers, degree)."""
+    out = str(tmp_path / "out_dp")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--out", out, "--dump-proteins", "--cpu",
+    ])
+    assert rc == 0
+    rows = open(os.path.join(out, "proteins.tsv")).read().strip().splitlines()
+    assert rows[0].split("\t") == [
+        "protein", "id", "amr_class", "length", "degree", "repeated_kmers"
+    ]
+    assert len(rows) - 1 == 60
+    prows = open(os.path.join(out, "pairs.tsv")).read().strip().splitlines()[1:]
+    deg = {}
+    for r in prows:
+        i, j = r.split("\t")[:2]
+        deg[i] = deg.get(i, 0) + 1
+        deg[j] = deg.get(j, 0) + 1
+    total_kmers = 0
+    for r in rows[1:]:
+        p, _id, _cls, length, degree, kmers = r.split("\t")
+        assert int(degree) == deg.get(p, 0)
+        ks = [k for k in kmers.split(",") if k]
+        assert all(len(k) == 5 for k in ks)
+        total_kmers += len(ks)
+    assert total_kmers > 0  # incidences exist on the toy set

@@ -149,6 +149,29 @@ def cmd_run(args) -> int:
             ):
                 f.write(f"{row[0]}\t{row[1]}\t{','.join(kmers)}\n")
 
+    if args.dump_proteins:
+        # the reference's protein Debug dump (decoded k-mer strings,
+        # src/protein.rs:65-74) + vertex degree (src/graph/vertex.rs:159-166)
+        from uniprot_kmer_based_clustering_tpu.similarity.kmers_of_pairs import (
+            protein_kmer_strings,
+        )
+
+        degree = [0] * table.n
+        for i, j, _ in pairs:
+            degree[int(i)] += 1
+            degree[int(j)] += 1
+        with open(os.path.join(args.out, "proteins.tsv"), "w") as f:
+            f.write(
+                "protein\tid\tamr_class\tlength\tdegree\trepeated_kmers\n"
+            )
+            for i, kmers in enumerate(
+                protein_kmer_strings(result.index, result.bitset)
+            ):
+                f.write(
+                    f"{i}\t{table.ids[i]}\t{table.amr_classes[i]}\t"
+                    f"{table.lengths[i]}\t{degree[i]}\t{','.join(kmers)}\n"
+                )
+
     if config.run_diamond:
         from uniprot_kmer_based_clustering_tpu.align import (
             align_pairs,
@@ -221,6 +244,9 @@ def main(argv=None) -> int:
                    help="run diamond blastp on surviving pairs")
     r.add_argument("--dump-kmers", action="store_true",
                    help="write each pair's shared k-mers (decoded)")
+    r.add_argument("--dump-proteins", action="store_true",
+                   help="write per-protein decoded repeated k-mers + pair "
+                        "degree (the reference's protein Debug dump)")
     r.add_argument("--cpu", action="store_true", help="force CPU backend")
     r.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "

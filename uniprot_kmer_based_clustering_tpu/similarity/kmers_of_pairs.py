@@ -68,3 +68,23 @@ def shared_kmer_strings(
         codes = index.repeated_codes[ranks]
         out.append([decode_kmer(int(c), index.k) for c in codes])
     return out
+
+
+def protein_kmer_strings(
+    index: KmerIndex, bitset, rows=None
+) -> List[List[str]]:
+    """Decoded repeated-k-mer strings per protein — the reference's
+    protein Debug representation (src/protein.rs:65-74 prints each
+    protein's k-mers via ``five_mer_back_to_amino_acid``; post-re-hash
+    those are exactly the repeated k-mers)."""
+    if rows is None:
+        rows = range(bitset.n)
+    out = []
+    for i in rows:
+        bits = np.unpackbits(
+            bitset.words[int(i)].view(np.uint8), bitorder="little"
+        )
+        ranks = np.nonzero(bits[: index.n_repeated])[0]
+        codes = index.repeated_codes[ranks]
+        out.append([decode_kmer(int(c), index.k) for c in codes])
+    return out
