@@ -19,7 +19,11 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+# UKC_NATIVE_DIR lets installed (non-checkout) layouts point at a native
+# source/build tree outside the package.
+_NATIVE_DIR = os.environ.get(
+    "UKC_NATIVE_DIR", os.path.join(_REPO_ROOT, "native")
+)
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libukc_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
