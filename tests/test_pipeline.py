@@ -67,6 +67,29 @@ def test_sharded_pipeline_matches(toy_fasta):
     assert np.array_equal(single.pairwise.pairs, sharded.pairwise.pairs)
 
 
+def test_elastic_resume_across_mesh_sizes(toy_fasta, tmp_path):
+    """Checkpoints are device-topology-independent (elastic recovery):
+    a run checkpointed single-chip resumes on an 8-device mesh — and
+    back — with bit-identical results. The reference has no recovery
+    story at all (SURVEY.md §5: any panic aborts the 12 h job)."""
+    from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+
+    cfg = PipelineConfig(**CFG)
+    r1 = run_pipeline(toy_fasta, cfg, checkpoint_dir=str(tmp_path))
+    # resume the same artifacts on a larger topology
+    r8 = run_pipeline(
+        toy_fasta, cfg, checkpoint_dir=str(tmp_path), mesh=make_mesh(8)
+    )
+    assert r1.parity_report() == r8.parity_report()
+    assert np.array_equal(r1.pairwise.pairs, r8.pairwise.pairs)
+    assert np.array_equal(r1.cluster_labels, r8.cluster_labels)
+    # and shrink back down
+    r2 = run_pipeline(
+        toy_fasta, cfg, checkpoint_dir=str(tmp_path), mesh=make_mesh(2)
+    )
+    assert np.array_equal(r1.pairwise.pairs, r2.pairwise.pairs)
+
+
 @pytest.mark.golden
 def test_golden_full_dataset_7mer(arg_fasta):
     """7-mer config (BASELINE config #2) goldens, derived once from the
