@@ -368,19 +368,31 @@ def _scan_sweep(
 def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
     """Pick the stationary strip size.
 
-    Strips of ~3584 rows × the j ≥ strip-start column suffix skip the
-    lower triangle at strip granularity (~2/3 of the square's MACs for 3
-    strips) and, measured on v5e with async dispatch + batched readback,
-    run at full matmul rate: 138 ms vs 191 ms for the square on the
-    bundled dataset. (Earlier measurements that favored the square were
-    dominated by per-strip host round trips through the remote tunnel.)
-    Small problems stay one full-square call — fewest compiled shapes.
-    The strip also shrinks to keep its int32 counts block under
-    `budget_bytes`.
+    ns strips of [n_pad/ns rows × the j ≥ strip-start column suffix] skip
+    the lower triangle at strip granularity — (ns+1)/(2·ns) of the full
+    square's MACs — and, with async dispatch + batched readback, run at
+    full matmul rate. Each strip is its own compiled shape and tunnel
+    compiles cost ~80 s, so ns is capped at 8 (past which
+    sweep_mxu_async's auto schedule switches to the one-shape scan
+    anyway). Measured on the bundled dataset (v5e): square 191 ms,
+    ns=3 112 ms, ns=7 97 ms — ns=7 tracks the MAC model (0.571 of the
+    square). Small problems stay one full-square call — fewest compiled
+    shapes; large-N strips also shrink to keep each int32 counts block
+    under `budget_bytes`.
     """
     if n_pad <= 3584:
         return n_pad
-    cap = min(3584, max(block, budget_bytes // (n_pad * 4)))
+    cap = max(block, budget_bytes // (n_pad * 4))
+    if n_pad > 8192:
+        # smallest block-multiple divisor with ns ≤ 8 — the most
+        # triangle skipped for a bounded compiled-shape count
+        for mult in range(1, cap // block + 1):
+            s = mult * block
+            if n_pad % s == 0 and n_pad // s <= 8:
+                return s
+    # mid-size problems (or budget-capped large ones): largest divisor
+    # ≤ min(cap, 3584); favors few shapes over the last MAC savings
+    cap = min(3584, cap)
     best = block
     for mult in range(1, cap // block + 1):
         s = mult * block
