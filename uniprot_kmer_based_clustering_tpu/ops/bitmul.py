@@ -383,9 +383,13 @@ def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
     if n_pad <= 3584:
         return n_pad
     cap = max(block, budget_bytes // (n_pad * 4))
-    if n_pad > 8192:
+    if 8192 < n_pad <= 16384:
         # smallest block-multiple divisor with ns ≤ 8 — the most
-        # triangle skipped for a bounded compiled-shape count
+        # triangle skipped for a bounded compiled-shape count. Only in
+        # this window: above it the one-compiled-shape scan schedule
+        # (auto-selected when ns > 8) has a better MAC ratio AND no
+        # per-strip compiles; its per-step slicing overhead only matters
+        # at bundled scale, where strips measure faster (97 vs 118 ms).
         for mult in range(1, cap // block + 1):
             s = mult * block
             if n_pad % s == 0 and n_pad // s <= 8:
