@@ -108,6 +108,29 @@ def test_golden_full_dataset_7mer(arg_fasta):
     assert idx.n_repeated == 288551
     assert idx.nnz == 2929337
 
+    # pairwise stage goldens (scipy oracle; cross-checked on the TPU MXU
+    # engine): cross-AMR pairs 22,732; Σ shared 7-mers 99,250; pairs
+    # sharing > 10 → 463 (max shared 565)
+    import scipy.sparse as sp
+
+    b = sp.csr_matrix(
+        (
+            np.ones(idx.nnz, np.int32),
+            (idx.incidence_protein, idx.incidence_rank),
+        ),
+        shape=(table.n, idx.n_repeated),
+    )
+    c = (b @ b.T).tocoo()
+    i, j, v = c.row, c.col, c.data
+    m = i < j
+    cls = table.amr_class_ids
+    cross = cls[i[m]] != cls[j[m]]
+    vm = v[m][cross]
+    assert int(cross.sum()) == 22732
+    assert int(vm.sum()) == 99250
+    assert int((vm > 10).sum()) == 463
+    assert int(vm.max()) == 565
+
 
 @pytest.mark.golden
 def test_golden_full_dataset(arg_fasta):
