@@ -172,23 +172,31 @@ def cmd_run(args) -> int:
                     f"{table.lengths[i]}\t{degree[i]}\t{','.join(kmers)}\n"
                 )
 
-    if config.run_diamond:
+    align_mode = args.align
+    if config.run_diamond and align_mode == "none":
+        align_mode = "diamond"  # --diamond back-compat
+    if align_mode != "none" and len(pairs):
         from uniprot_kmer_based_clustering_tpu.align import (
             align_pairs,
+            align_pairs_sw,
             diamond_available,
         )
 
-        if diamond_available():
-            out = align_pairs(
-                table, pairs, os.path.join(args.out, "blastp_output.tsv")
-            )
-            print(f"wrote {out}", file=sys.stderr)
-        else:
+        tsv = os.path.join(args.out, "blastp_output.tsv")
+        if align_mode == "auto":
+            align_mode = "diamond" if diamond_available() else "sw"
+        if align_mode == "diamond" and not diamond_available():
             print(
-                "diamond not found on PATH — skipping alignment "
-                "(pair list is the parity boundary)",
+                "diamond not found on PATH — falling back to the "
+                "TPU Smith-Waterman aligner (--align sw)",
                 file=sys.stderr,
             )
+            align_mode = "sw"
+        if align_mode == "diamond":
+            out = align_pairs(table, pairs, tsv)
+        else:
+            out = align_pairs_sw(table, pairs, tsv)
+        print(f"wrote {out} ({align_mode})", file=sys.stderr)
 
     print(json.dumps(stats["parity"]))
     return 0
@@ -241,7 +249,14 @@ def main(argv=None) -> int:
     r.add_argument("--checkpoint-dir", default=None)
     r.add_argument("--out", default="ukc_out")
     r.add_argument("--diamond", action="store_true",
-                   help="run diamond blastp on surviving pairs")
+                   help="run diamond blastp on surviving pairs "
+                        "(alias for --align diamond)")
+    r.add_argument("--align", default="none",
+                   choices=("none", "diamond", "sw", "auto"),
+                   help="alignment backend for surviving pairs: diamond "
+                        "subprocesses (the reference's), sw = on-device "
+                        "batched Smith-Waterman (no external binary), "
+                        "auto = diamond if installed else sw")
     r.add_argument("--dump-kmers", action="store_true",
                    help="write each pair's shared k-mers (decoded)")
     r.add_argument("--dump-proteins", action="store_true",
