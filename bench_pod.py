@@ -1,0 +1,175 @@
+"""Mesh scaling benchmark: ring-sweep pairs/s/chip at any device count.
+
+The north-star targets (BASELINE.md) ask for pairs/s/chip measured at
+1 chip, 1 host (all chips), and N ≥ 2 hosts with ≥80% scaling
+efficiency. This harness measures all three with the same code path:
+
+  python bench_pod.py                      # all local devices, flat ring
+  UKC_POD_DEVICES=4 python bench_pod.py    # first 4 devices
+  UKC_POD_MESH=2x4 python bench_pod.py     # hierarchical (hosts × chips)
+  # multi-host: run under scripts/launch_pod.sh-style per-host processes
+  # with UKC_POD_DISTRIBUTED=1
+
+Prints one JSON line: pairs/s/chip on the mesh, the single-device
+reference (measured in-process on device 0), and efficiency =
+(mesh pairs/s) / (devices × single-device pairs/s). The sweep result is
+golden-gated like bench.py.
+
+On this environment only one real TPU chip is attached, so the mesh
+collapses to D=1 and efficiency reads 1.0 by construction — the harness
+exists so the identical command produces the 1-host / N-host numbers on
+a pod slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+FASTA = os.environ.get("UKC_BENCH_FASTA", "/root/reference/uniprot_arg.fasta")
+GOLDEN = (5_300_233, 4_350_628, 465, 567)
+
+
+def _steady(fn, args, reps=5):
+    import jax
+
+    out = fn(*args)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    # pull a scalar to host: block_until_ready can return early through
+    # the axon tunnel (CLAUDE.md)
+    np.asarray(jax.device_get(out[0]))[:1]
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main():
+    import jax
+
+    if os.environ.get("UKC_POD_DISTRIBUTED"):
+        from uniprot_kmer_based_clustering_tpu.parallel import (
+            init_distributed,
+        )
+
+        init_distributed()
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+        pack_bitsets,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh,
+        make_mesh_2d,
+        pad_for_mesh,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        make_ring_sweep,
+        make_ring_sweep_2d,
+    )
+
+    table = read_fasta(FASTA)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+
+    mesh_spec = os.environ.get("UKC_POD_MESH")
+    if mesh_spec:
+        hc, cc = (int(x) for x in mesh_spec.lower().split("x"))
+        mesh = make_mesh_2d(hc, cc)
+        axes = ("h", "c")
+    else:
+        nd = os.environ.get("UKC_POD_DEVICES")
+        mesh = make_mesh(int(nd) if nd else None)
+        axes = ("p",)
+    d = int(mesh.devices.size)
+
+    block_tile = 128
+    n_pad = pad_for_mesh(table.n, d, block_tile)
+    bitset = pack_bitsets(
+        idx.incidence_protein,
+        idx.incidence_rank,
+        table.n,
+        idx.n_repeated,
+        row_multiple=n_pad,
+        word_multiple=128,
+    )
+    classes = np.full(bitset.n_pad, -1, np.int32)
+    classes[: table.n] = table.amr_class_ids
+    weights = np.ones(bitset.w_pad * 32, np.int8)
+    n_pairs = table.n * (table.n - 1) / 2.0
+
+    def run_mesh(mesh, axes):
+        row_spec = P(axes if len(axes) > 1 else axes[0], None)
+        cls_spec = P(axes if len(axes) > 1 else axes[0])
+        words_s = jax.device_put(
+            jnp.asarray(bitset.words), NamedSharding(mesh, row_spec)
+        )
+        classes_s = jax.device_put(
+            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, cls_spec)
+        )
+        weights_s = jax.device_put(
+            jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+        )
+        if len(axes) > 1:
+            fn = make_ring_sweep_2d(
+                mesh, table.n, 10, block_tile, axes[0], axes[1]
+            )
+        else:
+            fn = make_ring_sweep(mesh, table.n, 10, block_tile, axes[0])
+        dt, out = _steady(fn, (words_s, classes_s, weights_s))
+        row_stats = np.asarray(jax.device_get(out[0])).astype(np.int64)
+        got = (
+            int(row_stats[:, 0].sum()),
+            int(row_stats[:, 1].sum()),
+            int(row_stats[:, 2].sum()),
+            int(row_stats[:, 3].max()),
+        )
+        return dt, got
+
+    dt_mesh, got = run_mesh(mesh, axes)
+    if got != GOLDEN:
+        print(json.dumps({"error": f"golden parity FAILED: {got}"}))
+        return
+
+    # single-device reference with the same engine (process 0's device);
+    # only meaningful single-process — on a pod the published 1-chip
+    # number travels via UKC_1CHIP_PAIRS_PER_S instead.
+    env_ref = os.environ.get("UKC_1CHIP_PAIRS_PER_S")
+    if env_ref:
+        one_chip = float(env_ref)
+    elif d == 1:
+        one_chip = n_pairs / dt_mesh
+    elif jax.process_count() == 1:
+        dt_one, _ = run_mesh(make_mesh(1), ("p",))
+        one_chip = n_pairs / dt_one
+    else:
+        one_chip = None
+
+    per_chip = n_pairs / dt_mesh / d
+    rec = {
+        "metric": "ring_sweep_scaling",
+        "devices": d,
+        "hosts": int(jax.process_count()),
+        "mesh": mesh_spec or f"{d}",
+        "pairs_per_s": round(n_pairs / dt_mesh, 1),
+        "pairs_per_s_per_chip": round(per_chip, 1),
+        "sweep_seconds": round(dt_mesh, 4),
+        "parity": "golden-exact",
+    }
+    if one_chip:
+        rec["one_chip_pairs_per_s"] = round(one_chip, 1)
+        rec["scaling_efficiency"] = round(n_pairs / dt_mesh / (d * one_chip), 4)
+    if jax.process_index() == 0:
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
