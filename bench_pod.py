@@ -36,14 +36,17 @@ GOLDEN = (5_300_233, 4_350_628, 465, 567)
 def _steady(fn, args, reps=5):
     import jax
 
-    out = fn(*args)  # compile + warm
-    jax.block_until_ready(out)
+    # Two warm iterations, each synced with a REAL host fetch —
+    # block_until_ready can return early through the axon tunnel, which
+    # leaks compile/first-execution residue into the timed loop
+    # (measured: 1.5 s first timed loop vs 0.18 s steady without this).
+    for _ in range(2):
+        out = fn(*args)
+        np.asarray(jax.device_get(out[0])).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    # pull a scalar to host: block_until_ready can return early through
-    # the axon tunnel (CLAUDE.md)
-    np.asarray(jax.device_get(out[0]))[:1]
+    np.asarray(jax.device_get(out[0])).ravel()[:1]
     return (time.perf_counter() - t0) / reps, out
 
 

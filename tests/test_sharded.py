@@ -241,3 +241,41 @@ def test_kaxis_weighted_matches_mxu():
     ps = extract_pairs(w, classes, th, tl, n=n, threshold=40, weights=jnp.asarray(wts))
     px = extract_pairs(w, classes, th_ref, tiles_ref, n=n, threshold=40, weights=jnp.asarray(wts))
     assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [1, 4])
+def test_ring_pallas_stats_interpret(d):
+    """Ring sweep with the Pallas stats epilogue (interpret mode on CPU)
+    == the XLA stats path, bit-exactly."""
+    bs, classes, n = _problem(1024)
+    mesh = make_mesh(d)
+    rs_x, th_x, _ = sharded_pairwise_similarity(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        stats_engine="xla",
+    )
+    rs_p, th_p, _ = sharded_pairwise_similarity(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        stats_engine="pallas_interpret",
+    )
+    assert np.array_equal(rs_p, rs_x)
+    assert np.array_equal(th_p, th_x)
+
+
+def test_ring_2d_pallas_stats_interpret():
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_pairwise_similarity_2d,
+    )
+
+    bs, classes, n = _problem(1024)
+    mesh = make_mesh_2d(2, 4)
+    rs_x, th_x, _ = sharded_pairwise_similarity_2d(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        stats_engine="xla",
+    )
+    rs_p, th_p, _ = sharded_pairwise_similarity_2d(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        stats_engine="pallas_interpret",
+    )
+    assert np.array_equal(rs_p, rs_x)
+    assert np.array_equal(th_p, th_x)

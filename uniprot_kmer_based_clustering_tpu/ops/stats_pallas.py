@@ -158,8 +158,12 @@ def stats_from_counts(
     w_thresh: int = 1,
     tile: int = 512,
     interpret: bool = False,
+    vma=None,
 ):
     """Tile-walk statistics over a counts block at global offset (i_off, j_off).
+
+    `vma`: set of mesh axis names when called inside ``shard_map`` (the
+    outputs vary per device; shard_map's check requires it declared).
 
     Tiles entirely below the pair diagonal (every local (gi, gj) has
     gj ≤ gi) are skipped — on the [N_pad, N_pad] square this visits only
@@ -223,8 +227,14 @@ def stats_from_counts(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s, _STAT_LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, _STAT_LANES), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (s, _STAT_LANES), jnp.int32,
+                **({"vma": frozenset(vma)} if vma is not None else {}),
+            ),
+            jax.ShapeDtypeStruct(
+                (nt * 8, _STAT_LANES), jnp.int32,
+                **({"vma": frozenset(vma)} if vma is not None else {}),
+            ),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

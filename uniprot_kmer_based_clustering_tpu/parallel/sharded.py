@@ -88,6 +88,87 @@ def _pair_stats(counts, gi, gj, ca, cb, n, threshold, active, triangle):
     return stats, over_c, over_s
 
 
+def _resolve_stats_engine(stats_engine: str) -> str:
+    # "auto" is XLA: inside shard_map the fused mask/reduce chain costs
+    # only ~25 ms on the bundled full square (the matmul dominates at
+    # ~155 ms), while pallas_call under shard_map measures 8-15× slower
+    # than the identical kernel outside it on this jax/Mosaic stack
+    # (1.4-2.7 s vs 0.17 s total) — keep the kernel available for when
+    # that lowering is fixed, and as the interpret-mode correctness
+    # cross-check.
+    if stats_engine == "auto":
+        return "xla"
+    return stats_engine
+
+
+def _step_stats_pallas(
+    counts, ca, cb, triangle: bool, threshold: int, block_tile: int,
+    interpret: bool = False, vma=(),
+):
+    """Per-ring-step statistics via the Pallas tile-walk epilogue
+    (ops/stats_pallas.py) — ~10× the XLA mask/reduce chain on TPU.
+
+    The kernel's global-index masks are neutralized with static fake
+    offsets: i_off=0 / j_off=0 keeps the in-kernel gi<gj triangle for
+    the diagonal step (it is local there), j_off=block makes it
+    vacuously true off-diagonal; n=2³⁰ disables the gj<n bound — rows
+    past the real n have all-zero bitsets, so they contribute zeros to
+    every sum/max and fail the ≥ w_thresh pair gates (self-masking
+    padding, same argument as the XLA path's class -1 rows).
+    """
+    from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
+        stats_from_counts,
+    )
+
+    s = counts.shape[0]
+    rs, th, (ti, tj, _) = stats_from_counts(
+        counts, ca, cb,
+        i_off=0, j_off=0 if triangle else s, n=2**30,
+        threshold=threshold, w_thresh=1, tile=block_tile,
+        interpret=interpret, vma=vma,
+    )
+    nb_local = s // block_tile
+    bh = (
+        jnp.zeros((nb_local, nb_local, 2), jnp.int32)
+        .at[jnp.asarray(ti), jnp.asarray(tj)]
+        .set(th)
+    )
+    return rs, bh
+
+
+def _step_stats(
+    counts, gi, gj, ca, cb, n, threshold, active, triangle,
+    block_tile: int, stats_engine: str, vma=(),
+):
+    """One ring step's (row_stats [block, 8], block_hits dense
+    [nb_local, nb_local, 2]) with the `active` dedup gate applied."""
+    block = counts.shape[0]
+    nb_local = block // block_tile
+    if stats_engine.startswith("pallas"):
+        stats, bh = _step_stats_pallas(
+            counts, ca, cb, triangle, threshold, block_tile,
+            interpret=stats_engine == "pallas_interpret", vma=vma,
+        )
+        stats = jnp.where(active, stats, 0)
+        bh = jnp.where(active, bh, 0)
+        return stats, bh
+    stats, over_c, over_s = _pair_stats(
+        counts, gi, gj, ca, cb, n, threshold, active, triangle
+    )
+    bh = jnp.stack(
+        [
+            over_c.astype(jnp.int32)
+            .reshape(nb_local, block_tile, nb_local, block_tile)
+            .sum(axis=(1, 3)),
+            over_s.astype(jnp.int32)
+            .reshape(nb_local, block_tile, nb_local, block_tile)
+            .sum(axis=(1, 3)),
+        ],
+        axis=-1,
+    )
+    return stats, bh
+
+
 def make_ring_sweep(
     mesh: Mesh,
     n: int,
@@ -95,14 +176,20 @@ def make_ring_sweep(
     block_tile: int,
     axis: str = "p",
     weighted: bool = False,
+    stats_engine: str = "auto",
 ):
     """Build the jitted ring-sweep step for a given mesh.
 
     Returns a function (words_sharded [N_pad, W] uint32, classes_sharded
     [N_pad] int32) → (row_stats [N_pad, 8] row-sharded,
     block_hits [nb, nb, 2] replicated) where nb = N_pad // block_tile.
+
+    `stats_engine`: "pallas" fuses the per-step statistics through the
+    Mosaic tile-walk kernel (TPU); "xla" uses the portable mask/reduce
+    chain; "auto" picks by platform; "pallas_interpret" for CPU tests.
     """
     d_count = mesh.shape[axis]
+    stats_engine = _resolve_stats_engine(stats_engine)
 
     def step(words_local, classes_local, weights):
         dev = jax.lax.axis_index(axis)
@@ -147,9 +234,10 @@ def make_ring_sweep(
             counts = _block_counts(
                 words_local, moving_w, weights if weighted else None
             )
-            stats, over_c, over_s = _pair_stats(
+            stats, bh = _step_stats(
                 counts, gi, gj, classes_local, moving_c,
-                n, threshold, active, triangle,
+                n, threshold, active, triangle, block_tile, stats_engine,
+                vma=(axis,),
             )
             # max lanes (3, 7) take maximum; others add
             add = row_stats + stats
@@ -157,17 +245,6 @@ def make_ring_sweep(
             lane = jnp.arange(8)[None, :]
             row_stats = jnp.where(lane % 4 == 3, mx, add)
 
-            bh = jnp.stack(
-                [
-                    over_c.astype(jnp.int32)
-                    .reshape(nb_local, block_tile, nb_local, block_tile)
-                    .sum(axis=(1, 3)),
-                    over_s.astype(jnp.int32)
-                    .reshape(nb_local, block_tile, nb_local, block_tile)
-                    .sum(axis=(1, 3)),
-                ],
-                axis=-1,
-            )
             hits = jax.lax.dynamic_update_slice(
                 hits,
                 jax.lax.dynamic_slice(
@@ -187,6 +264,9 @@ def make_ring_sweep(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None)),
         out_specs=(P(axis, None), P(None, None, None)),
+        # pallas_call inside shard_map trips JAX's vma consistency check
+        # (jax-ml/jax: "pass check_vma=False as a temporary workaround")
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -200,6 +280,7 @@ def sharded_pairwise_similarity(
     block_tile: int = 128,
     axis: str = "p",
     weights: np.ndarray | None = None,
+    stats_engine: str = "auto",
 ):
     """Run the ring sweep on a mesh; returns (row_stats np[N_pad, 8] int64,
     tile_hits np[nT, 2], tiles) in the single-chip engine format."""
@@ -221,7 +302,9 @@ def sharded_pairwise_similarity(
     weights_s = jax.device_put(
         jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
     )
-    fn = make_ring_sweep(mesh, n, threshold, block_tile, axis, weighted)
+    fn = make_ring_sweep(
+        mesh, n, threshold, block_tile, axis, weighted, stats_engine
+    )
     row_stats, hits = fn(words_s, classes_s, weights_s)
     if jax.process_count() > 1:
         # Multi-host: row_stats is row-sharded across processes; replicate
@@ -255,6 +338,7 @@ def make_ring_sweep_2d(
     host_axis: str = "h",
     chip_axis: str = "c",
     weighted: bool = False,
+    stats_engine: str = "auto",
 ):
     """Two-level hierarchical ring for (hosts × chips) meshes.
 
@@ -278,6 +362,7 @@ def make_ring_sweep_2d(
     """
     hc = mesh.shape[host_axis]
     cc = mesh.shape[chip_axis]
+    stats_engine = _resolve_stats_engine(stats_engine)
 
     def step(words_local, classes_local, weights):
         h = jax.lax.axis_index(host_axis)
@@ -335,26 +420,16 @@ def make_ring_sweep_2d(
                 counts = _block_counts(
                     words_local, inner_w, weights if weighted else None
                 )
-                stats, over_c, over_s = _pair_stats(
+                stats, bh = _step_stats(
                     counts, gi, gj, classes_local, inner_c,
-                    n, threshold, active, triangle,
+                    n, threshold, active, triangle, block_tile,
+                    stats_engine, vma=(host_axis, chip_axis),
                 )
                 add = row_stats + stats
                 mx = jnp.maximum(row_stats, stats)
                 lane = jnp.arange(8)[None, :]
                 row_stats = jnp.where(lane % 4 == 3, mx, add)
 
-                bh = jnp.stack(
-                    [
-                        over_c.astype(jnp.int32)
-                        .reshape(nb_local, block_tile, nb_local, block_tile)
-                        .sum(axis=(1, 3)),
-                        over_s.astype(jnp.int32)
-                        .reshape(nb_local, block_tile, nb_local, block_tile)
-                        .sum(axis=(1, 3)),
-                    ],
-                    axis=-1,
-                )
                 bi = (h * cc + c) * nb_local
                 bj = (moving_h * cc + moving_chip) * nb_local
                 hits = jax.lax.dynamic_update_slice(
@@ -383,6 +458,7 @@ def make_ring_sweep_2d(
             P((host_axis, chip_axis), None),
             P(None, None, None),
         ),
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -397,6 +473,7 @@ def sharded_pairwise_similarity_2d(
     host_axis: str = "h",
     chip_axis: str = "c",
     weights: np.ndarray | None = None,
+    stats_engine: str = "auto",
 ):
     """Hierarchical (hosts × chips) ring sweep; single-chip engine format."""
     hc = mesh.shape[host_axis]
@@ -420,7 +497,8 @@ def sharded_pairwise_similarity_2d(
         jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
     )
     fn = make_ring_sweep_2d(
-        mesh, n, threshold, block_tile, host_axis, chip_axis, weighted
+        mesh, n, threshold, block_tile, host_axis, chip_axis, weighted,
+        stats_engine,
     )
     row_stats, hits = fn(words_s, classes_s, weights_s)
     if jax.process_count() > 1:
