@@ -51,3 +51,57 @@ def test_device_bitset_matches_host(rng):
     words = np.asarray(words)
     assert words.shape == host_bs.words.shape
     assert np.array_equal(words, host_bs.words)
+
+
+def test_device_sorted_bitset_matches_host_k7(rng):
+    """Sort-based device build (the k=7 path) == host, bit for bit."""
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        build_bitset_device_sorted,
+    )
+
+    aas = "CSTAGPDEQNHRKMILVWYF"
+    seqs = [
+        "".join(aas[i] for i in rng.integers(0, 20, int(n)))
+        for n in rng.integers(10, 60, 40)
+    ]
+    seqs += [seqs[0][:30] + s[:20] for s in seqs[:10]]
+    buf = np.frombuffer("".join(seqs).encode(), np.uint8)
+    offs = np.cumsum([0] + [len(s) for s in seqs])
+    n = len(seqs)
+
+    for k in (5, 7):
+        codes, koff = encode_kmers(buf, offs, k)
+        idx = build_index(codes, koff, k)
+        host_bs = pack_bitsets(
+            idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
+            row_multiple=8, word_multiple=128,
+        )
+        lmax = max(len(s) for s in seqs)
+        mat = np.zeros((n, lmax), np.int32)
+        lengths = np.array([len(s) for s in seqs], np.int32)
+        for i, s in enumerate(seqs):
+            mat[i, : len(s)] = residues_to_indices(
+                np.frombuffer(s.encode(), np.uint8)
+            )
+        words, ucodes, counts, n_repeated = build_bitset_device_sorted(
+            mat, lengths, n, k, row_multiple=8, word_multiple=128
+        )
+        assert n_repeated == idx.n_repeated, k
+        assert np.array_equal(ucodes, idx.codes), k
+        assert np.array_equal(counts, idx.doc_freq), k
+        assert np.array_equal(np.asarray(words), host_bs.words), k
+
+
+def test_pipeline_device_index_k7_matches_host(toy_fasta):
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+    cfg = dict(tile=16, strip=32, word_block=128, engine="xla",
+               threshold=2, k=7)
+    r_host = run_pipeline(toy_fasta, PipelineConfig(**cfg))
+    r_dev = run_pipeline(
+        toy_fasta, PipelineConfig(**{**cfg, "index_engine": "device"})
+    )
+    assert r_host.parity_report() == r_dev.parity_report()
+    assert np.array_equal(r_host.pairwise.pairs, r_dev.pairwise.pairs)
+    assert np.array_equal(r_host.bitset.words, r_dev.bitset.words)

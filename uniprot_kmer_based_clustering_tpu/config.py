@@ -49,10 +49,10 @@ class PipelineConfig:
     word_block: int = 512           # k-mer-word-axis block inside the kernel
     index_engine: str = "host"      # "host" | "device": where the doc-freq
                                     # index + bitset are built. "device"
-                                    # (k=5 only) runs the dense-universe
-                                    # bincount/rank/scatter on TPU —
-                                    # bit-identical, ~3x faster warm, and
-                                    # the path that distributes via psum.
+                                    # runs on TPU — k=5: dense-universe
+                                    # bincount/rank/scatter (distributes
+                                    # via psum); k=7: global-sort build.
+                                    # Bit-identical to host either way.
 
     # --- clustering (reference src/tree.rs) ---
     cluster: str = "components"     # "components" | "tree" | "none"
@@ -74,11 +74,6 @@ class PipelineConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")
-        if self.index_engine == "device" and self.k != 5:
-            raise ValueError(
-                "index_engine='device' requires k=5 (dense 21^5 universe); "
-                "the 21^7 universe uses the host sort path"
-            )
         if self.strip is not None and self.strip % self.tile != 0:
             raise ValueError("strip must be a multiple of tile")
         if self.tile % 8 != 0:

@@ -94,6 +94,26 @@ class KmerIndex:
             nnz_count=int(doc_freq[repeated].sum()),
         )
 
+    @classmethod
+    def from_sparse_freq(
+        cls, codes: np.ndarray, doc_freq: np.ndarray, k: int
+    ) -> "KmerIndex":
+        """Index view over (ascending codes, doc-freq) pairs — the sorted
+        device path's output (k=7: the 21⁷ universe has no dense form)."""
+        codes = np.asarray(codes, np.int64)
+        doc_freq = np.asarray(doc_freq, np.int64)
+        repeated = doc_freq >= 2
+        return cls(
+            k=k,
+            codes=codes,
+            doc_freq=doc_freq,
+            repeated_codes=codes[repeated],
+            incidence_protein=np.zeros(0, np.int32),
+            incidence_rank=np.zeros(0, np.int32),
+            hash_doc_freq=doc_freq[repeated],
+            nnz_count=int(doc_freq[repeated].sum()),
+        )
+
     def multigraph_edge_count(self) -> int:
         """Σ f(f−1)/2 over rank-space docfreq — the number of edge slots the
         reference materializes (src/graph/mod.rs:44-48): 258,621,291 on the

@@ -211,10 +211,12 @@ def run_pipeline(
 
 
 def _device_index(table: ProteinTable, config: PipelineConfig):
-    """k=5 index + bitset built entirely on device (kmers/index_device.py).
+    """Index + bitset built entirely on device (kmers/index_device.py).
 
-    Bit-identical to the host path; random10 sampling stays host-side
-    (the reference's sampler is positional, src/protein.rs:83-94).
+    k=5 uses the dense 21⁵ bincount; k=7 the global-sort build (the 21⁷
+    universe has no dense form). Bit-identical to the host path;
+    random10 sampling stays host-side (the reference's sampler is
+    positional, src/protein.rs:83-94).
     """
     if config.sampling != "all":
         raise ValueError("index_engine='device' supports sampling='all'")
@@ -225,6 +227,7 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
     )
     from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
         build_bitset_device,
+        build_bitset_device_sorted,
     )
 
     lengths = table.lengths.astype(_np.int32)
@@ -234,10 +237,18 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
     for i in range(table.n):
         s, e = table.offsets[i], table.offsets[i + 1]
         mat[i, : e - s] = res[s:e]
-    words, freq, n_repeated = build_bitset_device(
-        mat, lengths, table.n, row_multiple=_row_multiple(config, table.n)
-    )
-    index = KmerIndex.from_dense_freq(_np.asarray(freq), config.k)
+    if config.k == 5:
+        words, freq, n_repeated = build_bitset_device(
+            mat, lengths, table.n,
+            row_multiple=_row_multiple(config, table.n),
+        )
+        index = KmerIndex.from_dense_freq(_np.asarray(freq), config.k)
+    else:
+        words, codes, counts, n_repeated = build_bitset_device_sorted(
+            mat, lengths, table.n, config.k,
+            row_multiple=_row_multiple(config, table.n),
+        )
+        index = KmerIndex.from_sparse_freq(codes, counts, config.k)
     assert index.n_repeated == n_repeated
     bitset = BitsetMatrix(
         words=_np.asarray(words), n=table.n, n_bits=n_repeated
