@@ -228,7 +228,9 @@ def main(argv=None) -> int:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--weighting", default="none", choices=("none", "blosum62"))
     r.add_argument("--cluster", default="components",
-                   choices=("components", "tree", "none"))
+                   choices=("components", "tree", "agglomerative", "none"),
+                   help="agglomerative = batched MXU mutual-argmax "
+                        "signature merges (the TPU-native tree)")
     r.add_argument("--engine", default="auto",
                    choices=("auto", "mxu", "popcount", "xla"))
     r.add_argument("--index-engine", default="host",

@@ -55,7 +55,9 @@ class PipelineConfig:
                                     # Bit-identical to host either way.
 
     # --- clustering (reference src/tree.rs) ---
-    cluster: str = "components"     # "components" | "tree" | "none"
+    cluster: str = "components"     # "components" | "tree" |
+                                    # "agglomerative" (batched MXU
+                                    # mutual-argmax merges) | "none"
 
     # --- alignment backend (reference src/graph/mod.rs:195-319) ---
     run_diamond: bool = False       # shell out to diamond when available
@@ -68,7 +70,7 @@ class PipelineConfig:
             raise ValueError(f"unknown sampling mode {self.sampling!r}")
         if self.weighting not in ("none", "blosum62"):
             raise ValueError(f"unknown weighting mode {self.weighting!r}")
-        if self.cluster not in ("components", "tree", "none"):
+        if self.cluster not in ("components", "tree", "agglomerative", "none"):
             raise ValueError(f"unknown cluster mode {self.cluster!r}")
         if self.engine not in ("auto", "mxu", "popcount", "xla"):
             raise ValueError(f"unknown engine {self.engine!r}")

@@ -1,3 +1,7 @@
+from uniprot_kmer_based_clustering_tpu.models.agglomerative import (  # noqa: F401
+    AgglomerativeResult,
+    agglomerative_cluster,
+)
 from uniprot_kmer_based_clustering_tpu.models.components import (  # noqa: F401
     connected_components,
     connected_components_device,

@@ -192,6 +192,13 @@ def run_pipeline(
                 )
             else:
                 labels = connected_components(table.n, pairwise.pairs)
+    elif config.cluster == "agglomerative":
+        with timers.stage("cluster"):
+            from uniprot_kmer_based_clustering_tpu.models.agglomerative import (
+                agglomerative_cluster,
+            )
+
+            labels = agglomerative_cluster(bitset, table.n).labels
     elif config.cluster == "tree":
         with timers.stage("cluster"):
             from uniprot_kmer_based_clustering_tpu.models.tree import (
