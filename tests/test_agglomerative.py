@@ -131,3 +131,25 @@ def test_cli_agglomerative(toy_fasta, tmp_path):
     assert len(labels) == 60
     # toy data is built from 4 shared templates → strong merging
     assert len(set(labels.values())) < 60
+
+
+def test_device_loop_matches_host_loop(rng):
+    """lax.while_loop implementation == the host-looped version, for
+    labels, dendrogram, and round count."""
+    from uniprot_kmer_based_clustering_tpu.models.agglomerative import (
+        agglomerative_cluster_device,
+    )
+
+    for seed, min_shared in ((1, 1), (2, 3), (3, 2)):
+        r = np.random.default_rng(seed)
+        n, k = 40, 160
+        dense = r.random((n, k)) < 0.2
+        dense[1] = dense[0]
+        dense[7] = dense[6] | (r.random(k) < 0.05)
+        rows, cols = np.nonzero(dense)
+        bs = _bitset(rows, cols, n, k)
+        a = agglomerative_cluster(bs, n, min_shared=min_shared)
+        b = agglomerative_cluster_device(bs, n, min_shared=min_shared)
+        assert np.array_equal(a.labels, b.labels), (seed, min_shared)
+        assert np.array_equal(a.merges, b.merges), (seed, min_shared)
+        assert a.rounds == b.rounds, (seed, min_shared)

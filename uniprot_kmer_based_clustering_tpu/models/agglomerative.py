@@ -138,3 +138,93 @@ def agglomerative_cluster(
         merges=np.asarray(merges, np.int64).reshape(-1, 3),
         rounds=rounds,
     )
+
+
+def agglomerative_cluster_device(
+    bitset, n: int, min_shared: int = 1, max_rounds: int = 10_000
+) -> AgglomerativeResult:
+    """Fully device-resident agglomerative clustering (one jit, zero
+    per-round host traffic). Identical output to
+    :func:`agglomerative_cluster` — asserted in tests.
+
+    Winner = the lower index of each mutual pair, so a cluster's
+    representative is always its minimum member (every merge's winner is
+    the smaller of two cluster minima) — labels resolve by on-device
+    pointer jumping, no host union-find.
+    """
+    words = np.asarray(bitset.words)
+    n_pad = words.shape[0]
+    active = np.zeros(n_pad, bool)
+    active[:n] = True
+    parent, merges, mcount, rounds = _agglomerate_device_gated(
+        jnp.asarray(words), jnp.asarray(active), min_shared, max_rounds
+    )
+    parent, merges, mcount, rounds = jax.device_get(
+        (parent, merges, mcount, rounds)
+    )
+    labels = parent[:n].astype(np.int32)
+    return AgglomerativeResult(
+        labels=labels,
+        merges=merges[: int(mcount)].astype(np.int64),
+        rounds=int(rounds),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_shared", "max_rounds"))
+def _agglomerate_device_gated(sigs, active0, min_shared: int, max_rounds: int):
+    """min_shared-gated variant (separate jit so the gate is static)."""
+    npad = sigs.shape[0]
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    eye = jnp.eye(npad, dtype=bool)
+
+    def cond(state):
+        return state[5] & (state[6] < max_rounds)
+
+    def body(state):
+        sigs, active, parent, merges, mcount, _, r = state
+        a = unpack_words_to_int8(sigs)
+        counts = jax.lax.dot_general(
+            a, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        ok = (
+            active[None, :] & active[:, None] & ~eye
+        )
+        counts = jnp.where(ok, counts, -1)
+        best_j = jnp.argmax(counts, axis=1).astype(jnp.int32)
+        best_c = jnp.take_along_axis(counts, best_j[:, None], axis=1)[:, 0]
+        m = (
+            active
+            & (best_c >= min_shared)
+            & (best_j[best_j] == iota)
+            & (iota < best_j)
+        )
+        merged = sigs & sigs[best_j]
+        sigs = jnp.where(m[:, None], merged, sigs)
+        loser_idx = jnp.where(m, best_j, npad)
+        active = active.at[loser_idx].set(False, mode="drop")
+        parent = parent.at[loser_idx].set(iota, mode="drop")
+        pos = jnp.where(m, mcount + jnp.cumsum(m.astype(jnp.int32)) - 1, npad)
+        rows = jnp.stack([iota, best_j, best_c], axis=1).astype(jnp.int32)
+        merges = merges.at[pos].set(rows, mode="drop")
+        nmerge = jnp.sum(m.astype(jnp.int32))
+        return (
+            sigs, active, parent, merges, mcount + nmerge,
+            nmerge > 0, r + 1,
+        )
+
+    state = (sigs, active0, iota, jnp.zeros((npad, 3), jnp.int32),
+             jnp.int32(0), jnp.bool_(True), jnp.int32(0))
+    sigs, active, parent, merges, mcount, _, rounds = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    def pj_body(s):
+        p, _ = s
+        p2 = p[p]
+        return p2, jnp.any(p2 != p)
+
+    parent, _ = jax.lax.while_loop(
+        lambda s: s[1], pj_body, (parent, jnp.bool_(True))
+    )
+    return parent, merges, mcount, rounds

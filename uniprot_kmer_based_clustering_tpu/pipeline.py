@@ -198,6 +198,12 @@ def run_pipeline(
                 agglomerative_cluster,
             )
 
+            # host-looped rounds: best cold wall time on this tunnel
+            # (the one-jit lax.while_loop variant,
+            # agglomerative_cluster_device, is 6.3x faster warm — 12.7 s
+            # vs 80.6 s on the bundled dataset — but its compile costs
+            # ~4.5 min through the remote tunnel; prefer it for repeated
+            # in-process runs)
             labels = agglomerative_cluster(bitset, table.n).labels
     elif config.cluster == "tree":
         with timers.stage("cluster"):
