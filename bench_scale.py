@@ -31,8 +31,14 @@ def synth_proteins(n: int, seed: int = 0):
     """
     rng = np.random.default_rng(seed)
     aas = np.frombuffer(b"CSTAGPDEQNHRKMILVWYF", np.uint8)
+    # defaults auto-scale so the packed bitset stays single-chip: past
+    # ~50k proteins the repeated-k-mer universe (dominated by
+    # same-template mutation collisions) must be capped or the matrix
+    # outgrows the 15.75 GB HBM (100k at the small-N defaults → 31 GB)
     n_templates = int(
-        os.environ.get("UKC_SCALE_TEMPLATES", max(50, n // 100))
+        os.environ.get(
+            "UKC_SCALE_TEMPLATES", max(50, min(250, n // 100))
+        )
     )
     n_classes = 15
     lengths = rng.integers(150, 500, n_templates)
@@ -42,7 +48,9 @@ def synth_proteins(n: int, seed: int = 0):
     # smaller collision-mutant k-mer universe; the repeated-k-mer count —
     # and so the packed bitset size — is dominated by same-template
     # same-position mutation collisions at high proteins-per-template).
-    mut_div = int(os.environ.get("UKC_SCALE_MUTDIV", "12"))
+    mut_div = int(
+        os.environ.get("UKC_SCALE_MUTDIV", "12" if n <= 50_000 else "50")
+    )
     seqs = []
     classes = np.empty(n, np.int32)
     for i in range(n):

@@ -129,6 +129,15 @@ def pack_bitsets_device(
     n_pad = _round_up(max(n, 1), row_multiple)
     w = _round_up(max(n_bits, 1), 32) // 32
     w_pad = _round_up(w, word_multiple)
+    gb = n_pad * w_pad * 4 / 2**30
+    if gb > 13.0:
+        raise ValueError(
+            f"packed bitset would be {gb:.1f} GB — beyond one chip's "
+            f"HBM (~15.75 GB with working space). Shard rows over a "
+            f"mesh (parallel.sharded_pairwise_similarity) or the k-mer "
+            f"axis (sharded_pairwise_similarity_kaxis), or reduce the "
+            f"repeated-k-mer universe."
+        )
 
     # Three scale lessons are baked in here:
     #   * the buffer is DONATED through every scatter call so XLA updates
