@@ -108,3 +108,35 @@ def test_native_index_matches_numpy(toy_fasta):
         assert np.array_equal(a.incidence_protein, b.incidence_protein), k
         assert np.array_equal(a.incidence_rank, b.incidence_rank), k
         assert np.array_equal(a.hash_doc_freq, b.hash_doc_freq), k
+
+
+def test_parsers_agree_on_messy_fasta(tmp_path):
+    """Wrapped sequences, CRLF, blank lines, no trailing newline: the
+    native and numpy parsers produce identical tables."""
+    import numpy as np
+
+    from uniprot_kmer_based_clustering_tpu.io import native
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    content = (
+        ">P1|F|U|beta_lactam|g1\r\n"
+        "MKT\r\nLLV\r\n"
+        "\r\n"
+        ">P2|F|U|MLS|g2\n"
+        "ACDEFGHIK\n"
+        ">P3|F|U|bacitracin|g3\nMKVT"
+    )
+    p = tmp_path / "messy.fasta"
+    p.write_bytes(content.encode())
+    got_native = native.parse_fasta(str(p))
+    if got_native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ids_n, buf_n, off_n = got_native
+    ids_h, buf_h, off_h = parse_fasta_bytes(p.read_bytes())
+    assert ids_n == ids_h
+    assert np.array_equal(buf_n, buf_h)
+    assert np.array_equal(off_n, off_h)
+    assert bytes(buf_h[off_h[0]:off_h[1]]) == b"MKTLLV"
+    assert bytes(buf_h[off_h[2]:off_h[3]]) == b"MKVT"
