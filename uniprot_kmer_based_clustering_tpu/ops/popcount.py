@@ -384,17 +384,27 @@ def sweep(words, classes, n, threshold, tile=512, word_block=512,
     on_tpu = jax.devices()[0].platform == "tpu"
     if use_pallas and (on_tpu or interpret):
         if pallas_tile is None:
-            # 2 input blocks × 2 (pipeline double-buffering) must fit VMEM
-            # (16 MB) together with outputs/scratch.
-            cap = 128 if words.shape[1] * 4 * 128 * 4 < (14 << 20) else 64
-            pallas_tile = math.gcd(words.shape[0], cap)
-        row_stats, tile_hits, tiles = sweep_pallas(
-            words, classes, n, threshold, pallas_tile,
-            interpret=interpret and not on_tpu,
-        )
-        return (
-            np.asarray(row_stats, dtype=np.int64),
-            np.asarray(tile_hits),
-            tiles,
-        )
+            # 2 input blocks × 2 (pipeline double-buffering) must fit the
+            # 16 MB VMEM together with outputs/scratch: 4·tile·W·4 bytes
+            # ≤ ~12 MB. At UniProt-scale widths (e.g. 24,576 words at the
+            # 100k synthetic run) that caps the tile at 32 rows; below 8
+            # rows (the sublane minimum) no tile fits and the XLA
+            # formulation takes over.
+            w_pad = words.shape[1]
+            cap = min(128, (12 << 20) // (16 * w_pad))
+            pallas_tile = 0
+            for d in range(cap - cap % 8, 7, -8):
+                if words.shape[0] % d == 0:
+                    pallas_tile = d
+                    break
+        if pallas_tile >= 8:
+            row_stats, tile_hits, tiles = sweep_pallas(
+                words, classes, n, threshold, pallas_tile,
+                interpret=interpret and not on_tpu,
+            )
+            return (
+                np.asarray(row_stats, dtype=np.int64),
+                np.asarray(tile_hits),
+                tiles,
+            )
     return sweep_xla(words, classes, n, threshold, tile)
