@@ -153,3 +153,24 @@ def test_device_loop_matches_host_loop(rng):
         assert np.array_equal(a.labels, b.labels), (seed, min_shared)
         assert np.array_equal(a.merges, b.merges), (seed, min_shared)
         assert a.rounds == b.rounds, (seed, min_shared)
+
+
+def test_cli_dendrogram_output(toy_fasta, tmp_path):
+    import os
+
+    from uniprot_kmer_based_clustering_tpu.cli import main
+
+    out = str(tmp_path / "out_dendro")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--cluster", "agglomerative", "--out", out, "--cpu",
+    ])
+    assert rc == 0
+    rows = open(os.path.join(out, "dendrogram.tsv")).read().strip().splitlines()
+    assert rows[0] == "winner\tloser\tshared_kmers"
+    crows = open(os.path.join(out, "clusters.tsv")).read().strip().splitlines()[1:]
+    n_clusters = len({r.split("\t")[3] for r in crows})
+    assert len(rows) - 1 == 60 - n_clusters  # one merge per lost cluster
+    for r in rows[1:]:
+        w, l, c = map(int, r.split("\t"))
+        assert w < l and c >= 1

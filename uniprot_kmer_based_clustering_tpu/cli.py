@@ -122,6 +122,12 @@ def cmd_run(args) -> int:
                     f"{result.cluster_labels[i]}\n"
                 )
 
+    if result.dendrogram is not None and len(result.dendrogram):
+        with open(os.path.join(args.out, "dendrogram.tsv"), "w") as f:
+            f.write("winner\tloser\tshared_kmers\n")
+            for w, l, c in result.dendrogram:
+                f.write(f"{w}\t{l}\t{c}\n")
+
     stats = {
         "config": {
             k: v for k, v in vars(args).items()

@@ -40,6 +40,9 @@ class PipelineResult:
     pairwise: PairwiseResult
     cluster_labels: Optional[np.ndarray]
     timings: Dict[str, float]
+    # agglomerative mode: ordered (winner, loser, shared_count) merge
+    # list — the dendrogram (the hierarchy the reference's tree encodes)
+    dendrogram: Optional[np.ndarray] = None
 
     def parity_report(self) -> Dict[str, int]:
         """The counters the reference prints to stderr, plus the pair gate —
@@ -177,6 +180,7 @@ def run_pipeline(
     )
 
     labels = None
+    dendrogram = None
     if config.cluster == "components":
         with timers.stage("cluster"):
             if mesh is not None:
@@ -204,7 +208,9 @@ def run_pipeline(
             # vs 80.6 s on the bundled dataset — but its compile costs
             # ~4.5 min through the remote tunnel; prefer it for repeated
             # in-process runs)
-            labels = agglomerative_cluster(bitset, table.n).labels
+            agg = agglomerative_cluster(bitset, table.n)
+            labels = agg.labels
+            dendrogram = agg.merges
     elif config.cluster == "tree":
         with timers.stage("cluster"):
             from uniprot_kmer_based_clustering_tpu.models.tree import (
@@ -220,6 +226,7 @@ def run_pipeline(
         pairwise=pairwise,
         cluster_labels=labels,
         timings=timers.as_dict(),
+        dendrogram=dendrogram,
     )
 
 
