@@ -16,6 +16,7 @@ recovery. Deterministic: pairs are produced sorted by (i, j).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -28,20 +29,67 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
     sweep_mxu,
     unpack_words_to_int8,
 )
-from uniprot_kmer_based_clustering_tpu.ops.popcount import (
-    pairwise_counts_xla,
-    sweep,
+from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "weighted", "cross_amr_only", "cap"),
 )
+def _extract_batch(
+    words, weights, classes, i0s, j0s, valid_t, n, threshold,
+    *, tile: int, weighted: bool, cross_amr_only: bool, cap: int,
+):
+    """Recompute a batch of hit tiles and compact the surviving pairs on
+    device into one fixed-capacity buffer.
 
+    Fetching dense [tile, tile] count blocks dominated extraction at
+    dense-homology scale — 2 GB of readback through the ~30 MB/s remote
+    tunnel for a 30k run. Compacting on device (cumsum positions +
+    mode="drop" scatter per scan step) fetches only ~12 bytes per
+    surviving pair. Returns (gi [cap], gj [cap], cnt [cap], count).
+    """
+    npad = words.shape[0]
 
-@jax.jit
-def _weighted_counts_xla(words_a, words_b, weights):
-    """int32 [A, B] BLOSUM-weighted shared-k-mer scores for one tile pair."""
-    a = unpack_words_to_int8(words_a)
-    b = unpack_words_to_int8(words_b, weights)
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    def step(carry, idx):
+        cursor, bi, bj, bc = carry
+        i0 = i0s[idx]
+        j0 = j0s[idx]
+        a = jax.lax.dynamic_slice_in_dim(words, i0, tile, 0)
+        b = jax.lax.dynamic_slice_in_dim(words, j0, tile, 0)
+        ai = unpack_words_to_int8(a, weights if weighted else None)
+        bi_ = unpack_words_to_int8(b)
+        counts = jax.lax.dot_general(
+            ai, bi_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        ca = jax.lax.dynamic_slice(classes, (i0,), (tile,))
+        cb = jax.lax.dynamic_slice(classes, (j0,), (tile,))
+        mask = (
+            (counts > threshold)
+            & (gi < gj)
+            & (gj < n)
+            & valid_t[idx]
+        )
+        if cross_amr_only:
+            mask &= ca[:, None] != cb[None, :]
+        fm = mask.ravel()
+        pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
+        pos = jnp.where(fm, pos, cap)  # out of bounds → dropped
+        bi = bi.at[pos].set(gi.ravel(), mode="drop")
+        bj = bj.at[pos].set(gj.ravel(), mode="drop")
+        bc = bc.at[pos].set(counts.ravel(), mode="drop")
+        return (cursor + jnp.sum(fm.astype(jnp.int32)), bi, bj, bc), None
+
+    z = jnp.zeros(cap, jnp.int32)
+    (cursor, bi, bj, bc), _ = jax.lax.scan(
+        step,
+        (jnp.int32(0), z, z, z),
+        jnp.arange(i0s.shape[0]),
     )
+    return bi, bj, bc, cursor
 
 
 @dataclasses.dataclass
@@ -100,50 +148,64 @@ def extract_pairs(
     """
     ti, tj, tile = tiles
     want = tile_hits[:, 0] > 0
+    hits_per_tile = tile_hits[:, 0].astype(np.int64)
     if not cross_amr_only:
         want |= tile_hits[:, 1] > 0
+        hits_per_tile = hits_per_tile + tile_hits[:, 1]
     hit_tiles = np.nonzero(want)[0]
-    classes_np = np.asarray(classes)
-    if weights is not None:
-        weights = jnp.asarray(weights, jnp.int8)
+    if len(hit_tiles) == 0:
+        return np.zeros((0, 3), dtype=np.int64)
+    weighted = weights is not None
+    weights_j = jnp.asarray(
+        weights if weighted else np.ones(1, np.int8), jnp.int8
+    )
+    words = jnp.asarray(words)
+    classes_j = jnp.asarray(classes, jnp.int32)
 
-    # Dispatch hit tiles asynchronously and fetch count blocks in batched
-    # device→host transfers (each synchronizing readback costs a ~30 ms
-    # round trip through the remote tunnel). Batching is bounded so the
-    # in-flight [tile, tile] int32 buffers never exceed ~batch MB of HBM —
-    # dense-homology scale runs can have tens of thousands of hit tiles.
+    # Tiles recompute on the MXU and the surviving pairs are COMPACTED on
+    # device (fetching dense count blocks costs ~1 MB/tile through the
+    # remote tunnel — 2 GB at a 30k dense-homology run; compaction
+    # fetches ~12 B per surviving pair). Batches are padded to one
+    # compiled shape: `batch` tiles whose known hit totals (from the
+    # sweep's tile_hits) fit the `cap` output buffer.
     batch = 128
-    host_counts = []
-    for lo in range(0, len(hit_tiles), batch):
-        device_counts = []
-        for t in hit_tiles[lo : lo + batch]:
-            i, j = int(ti[t]), int(tj[t])
-            a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
-            b = jax.lax.dynamic_slice_in_dim(words, j * tile, tile, 0)
-            if weights is None:
-                device_counts.append(pairwise_counts_xla(a, b))
-            else:
-                device_counts.append(_weighted_counts_xla(a, b, weights))
-        host_counts.extend(jax.device_get(device_counts))
+    cap = max(1 << 18, tile * tile)
+    groups = []
+    cur, cur_hits = [], 0
+    for t in hit_tiles:
+        h = int(hits_per_tile[t])
+        if cur and (len(cur) == batch or cur_hits + h > cap):
+            groups.append(cur)
+            cur, cur_hits = [], 0
+        cur.append(t)
+        cur_hits += h
+    groups.append(cur)
 
+    device_parts = []
+    for g in groups:
+        i0s = np.zeros(batch, np.int32)
+        j0s = np.zeros(batch, np.int32)
+        valid_t = np.zeros(batch, bool)
+        i0s[: len(g)] = ti[g] * tile
+        j0s[: len(g)] = tj[g] * tile
+        valid_t[: len(g)] = True
+        device_parts.append(
+            _extract_batch(
+                words, weights_j, classes_j,
+                jnp.asarray(i0s), jnp.asarray(j0s), jnp.asarray(valid_t),
+                np.int32(n), np.int32(threshold),
+                tile=tile, weighted=weighted,
+                cross_amr_only=cross_amr_only, cap=cap,
+            )
+        )
     out = []
-    for t, counts in zip(hit_tiles, host_counts):
-        i, j = int(ti[t]), int(tj[t])
-        gi = i * tile + np.arange(tile)[:, None]
-        gj = j * tile + np.arange(tile)[None, :]
-        mask = (counts > threshold) & (gi < gj) & (gj < n)
-        if cross_amr_only:
-            mask &= classes_np[np.clip(gi, 0, n - 1)] != classes_np[
-                np.clip(gj, 0, n - 1)
-            ]
-        r, c = np.nonzero(mask)
+    for bi, bj, bc, cnt in jax.device_get(device_parts):
+        m = int(cnt)
         out.append(
             np.stack(
-                [gi[r, 0], gj[0, c], counts[r, c]], axis=1
+                [bi[:m], bj[:m], bc[:m]], axis=1
             ).astype(np.int64)
         )
-    if not out:
-        return np.zeros((0, 3), dtype=np.int64)
     pairs = np.concatenate(out, axis=0)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     return pairs[order]
