@@ -104,11 +104,22 @@ def main():
     rs, th, _ = sweep_mxu(words, cls, n, 10)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rs, th, _ = sweep_mxu(words, cls, n, 10)
+    rs, th, tl = sweep_mxu(words, cls, n, 10)
     t_sweep = time.perf_counter() - t0
+
+    # exact pair recovery (device-compacted; the reference's final edge
+    # list) — the full production path, not just the sweep
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        extract_pairs,
+    )
+
+    t0 = time.perf_counter()
+    pairs = extract_pairs(words, np.asarray(cls), th, tl, n=n, threshold=10)
+    t_extract = time.perf_counter() - t0
 
     n_pairs = n * (n - 1) / 2.0
     tot = rs.sum(axis=0)
+    assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
     print(json.dumps({
         "metric": "pairwise_similarity_scale",
         "value": round(n_pairs / t_sweep, 1),
@@ -122,6 +133,7 @@ def main():
         "synth_seconds": round(t_synth, 1),
         "cross_amr_pairs": int(tot[1]),
         "pairs_over_threshold": int(tot[2]),
+        "extract_seconds": round(t_extract, 1),
         "device": str(jax.devices()[0]),
     }))
 
