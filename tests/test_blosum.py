@@ -135,3 +135,59 @@ def test_pipeline_weighted_e2e(toy_fasta):
     assert r.pairwise.cross_weight > raw.pairwise.cross_weight
     if len(r.pairwise.pairs):
         assert r.pairwise.pairs[:, 2].min() > 80
+
+
+import pytest
+
+
+@pytest.mark.golden
+def test_golden_weighted_full_dataset(arg_fasta):
+    """BLOSUM62-weighted config (BASELINE config #3) full-dataset
+    constants, derived via the scipy oracle and cross-checked against
+    the TPU MXU engine: Σ weighted cross score 124,363,524; pairs over
+    the scaled gate (10 × mean weight) 465; max weighted score 14,781."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+    from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+        rank_weights_int8,
+    )
+
+    table = read_fasta(arg_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+    w_bits = -(-idx.n_repeated // 32) * 32
+    wts = rank_weights_int8(idx.repeated_codes, 5, w_bits)
+
+    b = sp.csr_matrix(
+        (
+            wts[idx.incidence_rank].astype(np.int64),
+            (idx.incidence_protein, idx.incidence_rank),
+        ),
+        shape=(table.n, idx.n_repeated),
+    )
+    u = sp.csr_matrix(
+        (
+            np.ones(idx.nnz, np.int64),
+            (idx.incidence_protein, idx.incidence_rank),
+        ),
+        shape=(table.n, idx.n_repeated),
+    )
+    c = (b @ u.T).tocoo()
+    i, j, v = c.row, c.col, c.data
+    m = i < j
+    cls = table.amr_class_ids
+    cross = cls[i[m]] != cls[j[m]]
+    vm = v[m][cross]
+    gate = PipelineConfig(weighting="blosum62").effective_weighted_threshold(
+        wts
+    )
+    assert int(vm.sum()) == 124363524
+    assert int((vm > gate).sum()) == 465
+    assert int(vm.max()) == 14781
