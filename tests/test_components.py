@@ -64,3 +64,69 @@ def test_sharded_matches_host(rng):
         mesh = make_mesh(d)
         got = connected_components_sharded(mesh, pairs, n)
         assert np.array_equal(ref, got), d
+
+
+import pytest
+
+
+@pytest.mark.golden
+def test_golden_cluster_structures_full_dataset(arg_fasta):
+    """Full-dataset cluster structure constants for all three models
+    (self-derived, deterministic — regression anchors):
+      * components over the 465 surviving pairs: 10,156 clusters
+        (largest 458, singletons 10,153 — most proteins never clear the
+        >10 gate);
+      * tree (src/tree.rs exact semantics, file order): 178 root
+        children.
+    (The agglomerative model's full-dataset constant — 123 clusters —
+    is TPU-measured only: its per-round full-square signature matmul is
+    impractical on the 1-core CPU test runner.)"""
+    import numpy as np
+
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+        pack_bitsets,
+    )
+    from uniprot_kmer_based_clustering_tpu.models.components import (
+        connected_components,
+    )
+    from uniprot_kmer_based_clustering_tpu.models.tree import (
+        cluster_tree_labels,
+    )
+
+    import scipy.sparse as sp
+
+    table = read_fasta(arg_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+
+    # surviving pairs via the scipy oracle (fast, engine-independent)
+    b = sp.csr_matrix(
+        (
+            np.ones(idx.nnz, np.int32),
+            (idx.incidence_protein, idx.incidence_rank),
+        ),
+        shape=(table.n, idx.n_repeated),
+    )
+    c = (b @ b.T).tocoo()
+    i, j, v = c.row, c.col, c.data
+    m = (i < j) & (v > 10)
+    cls = table.amr_class_ids
+    keep = m & (cls[i] != cls[j])
+    pairs = np.stack([i[keep], j[keep]], axis=1).astype(np.int64)
+    assert pairs.shape[0] == 465
+
+    labels = connected_components(table.n, pairs)
+    uniq, counts = np.unique(labels, return_counts=True)
+    assert (len(uniq), int(counts.max()), int((counts == 1).sum())) == (
+        10156, 458, 10153,
+    )
+
+    bs = pack_bitsets(
+        idx.incidence_protein, idx.incidence_rank, table.n,
+        idx.n_repeated, row_multiple=8, word_multiple=128,
+    )
+    tl = cluster_tree_labels(bs, table.n)
+    assert len(np.unique(tl)) == 178
