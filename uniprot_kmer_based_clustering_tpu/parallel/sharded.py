@@ -169,6 +169,17 @@ def _step_stats(
     return stats, bh
 
 
+def _merge_row_stats(row_stats, stats):
+    """Accumulate one step's stats: max lanes (3, 7) take maximum, the
+    sum lanes add."""
+    lane = jnp.arange(8)[None, :]
+    return jnp.where(
+        lane % 4 == 3,
+        jnp.maximum(row_stats, stats),
+        row_stats + stats,
+    )
+
+
 def make_ring_sweep(
     mesh: Mesh,
     n: int,
@@ -239,11 +250,7 @@ def make_ring_sweep(
                 n, threshold, active, triangle, block_tile, stats_engine,
                 vma=(axis,),
             )
-            # max lanes (3, 7) take maximum; others add
-            add = row_stats + stats
-            mx = jnp.maximum(row_stats, stats)
-            lane = jnp.arange(8)[None, :]
-            row_stats = jnp.where(lane % 4 == 3, mx, add)
+            row_stats = _merge_row_stats(row_stats, stats)
 
             hits = jax.lax.dynamic_update_slice(
                 hits,
@@ -425,10 +432,7 @@ def make_ring_sweep_2d(
                     n, threshold, active, triangle, block_tile,
                     stats_engine, vma=(host_axis, chip_axis),
                 )
-                add = row_stats + stats
-                mx = jnp.maximum(row_stats, stats)
-                lane = jnp.arange(8)[None, :]
-                row_stats = jnp.where(lane % 4 == 3, mx, add)
+                row_stats = _merge_row_stats(row_stats, stats)
 
                 bi = (h * cc + c) * nb_local
                 bj = (moving_h * cc + moving_chip) * nb_local
@@ -578,11 +582,8 @@ def make_kaxis_sweep(
             prev = jax.lax.dynamic_slice(
                 row_stats, (r0, 0), (block_tile, 8)
             )
-            add = prev + stats
-            mx = jnp.maximum(prev, stats)
-            lane = jnp.arange(8)[None, :]
             row_stats = jax.lax.dynamic_update_slice(
-                row_stats, jnp.where(lane % 4 == 3, mx, add), (r0, 0)
+                row_stats, _merge_row_stats(prev, stats), (r0, 0)
             )
             bh = jnp.stack(
                 [
