@@ -122,11 +122,23 @@ def main():
             jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
         )
         if len(axes) > 1:
-            fn = make_ring_sweep_2d(
+            raw = make_ring_sweep_2d(
                 mesh, table.n, 10, block_tile, axes[0], axes[1]
             )
         else:
-            fn = make_ring_sweep(mesh, table.n, 10, block_tile, axes[0])
+            raw = make_ring_sweep(mesh, table.n, 10, block_tile, axes[0])
+
+        # replicate row_stats before any host fetch: it is row-sharded
+        # across processes and device_get cannot read non-addressable
+        # shards (the all-gather rides DCN once)
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
+        )
+
+        def fn(*a):
+            rs, hits = raw(*a)
+            return rep(rs), hits
+
         dt, out = _steady(fn, (words_s, classes_s, weights_s))
         row_stats = np.asarray(jax.device_get(out[0])).astype(np.int64)
         got = (

@@ -112,3 +112,33 @@ def test_threshold_zero_includes_all_sharing_pairs(problem):
     r = pairwise_similarity(bs, classes, cfg)
     assert r.pairs.shape[0] == brute["cp"]
     assert r.pairs[:, 2].min() >= 1
+
+
+def test_extract_pairs_accepts_length_n_classes():
+    """Public-API contract: classes may be length n (not n_pad); edge
+    tiles must not silently misalign (lax.dynamic_slice clamps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep_xla
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        extract_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    n, k = 300, 900  # n_pad rounds to 512 — the last tile is mostly pad
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.08)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=512, word_multiple=128,
+    )
+    classes_n = rng.integers(0, 3, n).astype(np.int32)
+    classes_pad = np.full(bs.n_pad, -1, np.int32)
+    classes_pad[:n] = classes_n
+    w = jnp.asarray(bs.words)
+    rs, th, tl = sweep_xla(w, jnp.asarray(classes_pad), n, 3, tile=128)
+    p_pad = extract_pairs(w, classes_pad, th, tl, n=n, threshold=3)
+    p_n = extract_pairs(w, classes_n, th, tl, n=n, threshold=3)
+    assert len(p_pad) > 0
+    assert np.array_equal(p_pad, p_n)

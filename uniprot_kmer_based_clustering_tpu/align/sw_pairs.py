@@ -34,12 +34,11 @@ from uniprot_kmer_based_clustering_tpu.kmers.encode import (
 )
 
 
-def _pair_batches(table: ProteinTable, pairs, batch: int):
+def _pair_batches(table: ProteinTable, pairs, batch: int, res):
     """Yield (rows, q_idx, q_len, s_idx, s_len) padded batches.
 
     Reference vertex order: ref = vertices_key[0] (our lower index i,
     the diamond path's makedb side = subject), query = j."""
-    res = residues_to_indices(table.seq_buf).astype(np.int32)
     lengths = table.lengths.astype(np.int64)
     offsets = table.offsets
     for lo in range(0, len(pairs), batch):
@@ -71,13 +70,18 @@ def align_pairs_sw(
     host traceback reproduces every score exactly (a full device/host
     cross-check on real data for free); False skips the device pass
     (pure-host mode, e.g. when no accelerator is attached).
+
+    Cost model: the device pass is O(pairs) on chip; the outfmt-6 fields
+    come from the host traceback, ~20 ms/pair in numpy — sized for the
+    alignment-gate survivor list (465 on the bundled data), not for
+    dumping millions of pairs.
     """
     pairs = np.asarray(pairs)
     res = residues_to_indices(table.seq_buf).astype(np.int32)
     offsets = table.offsets
     lines: List[str] = []
     for rows, q_idx, q_len, s_idx, s_len in _pair_batches(
-        table, pairs, batch
+        table, pairs, batch, res
     ):
         dev = (
             sw_scores_device(q_idx, q_len, s_idx, s_len)[0]

@@ -64,11 +64,20 @@ def cmd_run(args) -> int:
         init_distributed()
     mesh = None
     if args.mesh_shape:
+        if args.shard_axis == "kmers":
+            raise SystemExit(
+                "--mesh-shape (2-D ring) and --shard-axis kmers are "
+                "mutually exclusive sharding layouts"
+            )
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh_2d
 
         hc, cc = (int(x) for x in args.mesh_shape.lower().split("x"))
         mesh = make_mesh_2d(hc, cc)
-    elif (args.devices and args.devices > 1) or args.distributed:
+    elif (
+        (args.devices and args.devices > 1)
+        or args.distributed
+        or args.shard_axis == "kmers"  # spans all devices if no count
+    ):
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
 
         # --distributed with no explicit count spans every chip in the

@@ -180,6 +180,52 @@ def _merge_row_stats(row_stats, stats):
     )
 
 
+def _stage_inputs(mesh, words, classes, weights, row_spec, cls_spec):
+    """device_put the sweep inputs with the mesh's shardings; default the
+    weights to ones (unweighted) — shared by all three sharded wrappers."""
+    words_s = jax.device_put(
+        jnp.asarray(words), NamedSharding(mesh, row_spec)
+    )
+    classes_s = jax.device_put(
+        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, cls_spec)
+    )
+    weighted = weights is not None
+    if weights is None:
+        weights = np.ones(words.shape[1] * 32, np.int8)
+    weights_s = jax.device_put(
+        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+    )
+    return words_s, classes_s, weights_s, weighted
+
+
+def _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile):
+    """Fetch + convert a sharded sweep's outputs to the single-chip
+    engine format. Multi-host: row_stats may be row-sharded across
+    processes — replicate via one all-gather (rides DCN once,
+    SURVEY.md §5) before fetching, since device_get cannot read
+    non-addressable shards."""
+    if jax.process_count() > 1:
+        row_stats = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, P(None, None)),
+        )(row_stats)
+    row_stats, hits = jax.device_get((row_stats, hits))
+    row_stats = row_stats.astype(np.int64)
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block_tile)
+    # Ring steps may attribute an unordered block pair to either
+    # orientation; fold both into the upper-triangle enumeration (the
+    # k-axis sweep fills only the upper triangle, so the fold adds 0).
+    tile_hits = hits[ti, tj] + np.where(
+        (ti != tj)[:, None], hits[tj, ti], 0
+    )
+    return row_stats, tile_hits, (ti, tj, block_tile)
+
+
 def make_ring_sweep(
     mesh: Mesh,
     n: int,
@@ -195,9 +241,10 @@ def make_ring_sweep(
     [N_pad] int32) → (row_stats [N_pad, 8] row-sharded,
     block_hits [nb, nb, 2] replicated) where nb = N_pad // block_tile.
 
-    `stats_engine`: "pallas" fuses the per-step statistics through the
-    Mosaic tile-walk kernel (TPU); "xla" uses the portable mask/reduce
-    chain; "auto" picks by platform; "pallas_interpret" for CPU tests.
+    `stats_engine`: "xla" (the default behind "auto") is the fused
+    mask/reduce chain — measured fastest inside shard_map on this stack
+    (see _resolve_stats_engine); "pallas" keeps the Mosaic tile-walk
+    epilogue available; "pallas_interpret" for CPU tests.
     """
     d_count = mesh.shape[axis]
     stats_engine = _resolve_stats_engine(stats_engine)
@@ -272,8 +319,9 @@ def make_ring_sweep(
         in_specs=(P(axis, None), P(axis), P(None)),
         out_specs=(P(axis, None), P(None, None, None)),
         # pallas_call inside shard_map trips JAX's vma consistency check
-        # (jax-ml/jax: "pass check_vma=False as a temporary workaround")
-        check_vma=False,
+        # (jax-ml/jax suggests check_vma=False as the workaround); the
+        # check stays ON for the default XLA engine
+        check_vma=not stats_engine.startswith("pallas"),
     )
     return jax.jit(sharded)
 
@@ -297,44 +345,14 @@ def sharded_pairwise_similarity(
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
     )
-    words_s = jax.device_put(
-        jnp.asarray(words), NamedSharding(mesh, P(axis, None))
-    )
-    classes_s = jax.device_put(
-        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(axis))
-    )
-    weighted = weights is not None
-    if weights is None:
-        weights = np.ones(w_words * 32, np.int8)
-    weights_s = jax.device_put(
-        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+    words_s, classes_s, weights_s, weighted = _stage_inputs(
+        mesh, words, classes, weights, P(axis, None), P(axis)
     )
     fn = make_ring_sweep(
         mesh, n, threshold, block_tile, axis, weighted, stats_engine
     )
     row_stats, hits = fn(words_s, classes_s, weights_s)
-    if jax.process_count() > 1:
-        # Multi-host: row_stats is row-sharded across processes; replicate
-        # via all-gather (rides DCN once, SURVEY.md §5) so every host can
-        # read the full array.
-        row_stats = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(mesh, P(None, None)),
-        )(row_stats)
-    row_stats, hits = jax.device_get((row_stats, hits))
-    row_stats = row_stats.astype(np.int64)
-
-    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
-        upper_triangle_tiles,
-    )
-
-    ti, tj = upper_triangle_tiles(n_pad, block_tile)
-    # Ring steps may attribute an unordered block pair to either
-    # orientation; fold both into the upper-triangle enumeration.
-    tile_hits = hits[ti, tj] + np.where(
-        (ti != tj)[:, None], hits[tj, ti], 0
-    )
-    return row_stats, tile_hits, (ti, tj, block_tile)
+    return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
 def make_ring_sweep_2d(
@@ -462,7 +480,7 @@ def make_ring_sweep_2d(
             P((host_axis, chip_axis), None),
             P(None, None, None),
         ),
-        check_vma=False,
+        check_vma=not stats_engine.startswith("pallas"),
     )
     return jax.jit(sharded)
 
@@ -488,40 +506,16 @@ def sharded_pairwise_similarity_2d(
         f"N_pad={n_pad} must be divisible by H×C×block_tile="
         f"{d * block_tile}"
     )
-    spec = P((host_axis, chip_axis), None)
-    words_s = jax.device_put(jnp.asarray(words), NamedSharding(mesh, spec))
-    classes_s = jax.device_put(
-        jnp.asarray(classes, jnp.int32),
-        NamedSharding(mesh, P((host_axis, chip_axis))),
-    )
-    weighted = weights is not None
-    if weights is None:
-        weights = np.ones(w_words * 32, np.int8)
-    weights_s = jax.device_put(
-        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+    words_s, classes_s, weights_s, weighted = _stage_inputs(
+        mesh, words, classes, weights,
+        P((host_axis, chip_axis), None), P((host_axis, chip_axis)),
     )
     fn = make_ring_sweep_2d(
         mesh, n, threshold, block_tile, host_axis, chip_axis, weighted,
         stats_engine,
     )
     row_stats, hits = fn(words_s, classes_s, weights_s)
-    if jax.process_count() > 1:
-        row_stats = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(mesh, P(None, None)),
-        )(row_stats)
-    row_stats, hits = jax.device_get((row_stats, hits))
-    row_stats = row_stats.astype(np.int64)
-
-    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
-        upper_triangle_tiles,
-    )
-
-    ti, tj = upper_triangle_tiles(n_pad, block_tile)
-    tile_hits = hits[ti, tj] + np.where(
-        (ti != tj)[:, None], hits[tj, ti], 0
-    )
-    return row_stats, tile_hits, (ti, tj, block_tile)
+    return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
 def make_kaxis_sweep(
@@ -643,23 +637,13 @@ def sharded_pairwise_similarity_kaxis(
     weighted = weights is not None
     if weights is None:
         weights = np.ones(w_words * 32, np.int8)
+    # weights shard over the k axis (column slices), unlike the rings
     weights_s = jax.device_put(
         jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(axis))
     )
     fn = make_kaxis_sweep(mesh, n, threshold, block_tile, axis, weighted)
     row_stats, hits = fn(words_s, classes_s, weights_s)
-    row_stats, hits = jax.device_get((row_stats, hits))
-    row_stats = row_stats.astype(np.int64)
-
-    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
-        upper_triangle_tiles,
-    )
-
-    ti, tj = upper_triangle_tiles(n_pad, block_tile)
-    tile_hits = hits[ti, tj] + np.where(
-        (ti != tj)[:, None], hits[tj, ti], 0
-    )
-    return row_stats, tile_hits, (ti, tj, block_tile)
+    return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
 def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):

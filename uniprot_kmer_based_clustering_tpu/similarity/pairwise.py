@@ -160,6 +160,14 @@ def extract_pairs(
         weights if weighted else np.ones(1, np.int8), jnp.int8
     )
     words = jnp.asarray(words)
+    # accept length-n classes (public-API contract): pad to n_pad so the
+    # in-jit dynamic_slice at edge tiles stays aligned with gi/gj
+    # (dynamic_slice CLAMPS out-of-range starts instead of erroring)
+    classes = np.asarray(classes, np.int32)
+    if classes.shape[0] < words.shape[0]:
+        classes = np.concatenate(
+            [classes, np.full(words.shape[0] - classes.shape[0], -1, np.int32)]
+        )
     classes_j = jnp.asarray(classes, jnp.int32)
 
     # Tiles recompute on the MXU and the surviving pairs are COMPACTED on
