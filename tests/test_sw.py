@@ -188,3 +188,21 @@ def test_cli_align_sw(toy_fasta, tmp_path):
         assert 1 <= ss <= se <= slen
         assert 0.0 <= float(cols[9]) <= 100.0
         assert float(cols[11]) > 0
+
+
+def test_align_pairs_sw_windowed_equals_full(toy_fasta, tmp_path):
+    """Window-bounded traceback (device ends) == full host DP output."""
+    import numpy as np
+
+    from uniprot_kmer_based_clustering_tpu import cluster_fasta
+    from uniprot_kmer_based_clustering_tpu.align import align_pairs_sw
+
+    res = cluster_fasta(
+        toy_fasta, engine="xla", threshold=2, tile=16, strip=32,
+        word_block=128,
+    )
+    w = str(tmp_path / "w.tsv")
+    f = str(tmp_path / "f.tsv")
+    align_pairs_sw(res.table, res.pairwise.pairs, w)
+    align_pairs_sw(res.table, res.pairwise.pairs, f, device_scores=False)
+    assert open(w).read() == open(f).read()

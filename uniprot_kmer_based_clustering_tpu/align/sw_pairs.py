@@ -24,9 +24,12 @@ from typing import List, Optional
 import numpy as np
 
 from uniprot_kmer_based_clustering_tpu.align.diamond import TSV_HEADER
-from uniprot_kmer_based_clustering_tpu.align.sw_host import sw_align_host
+from uniprot_kmer_based_clustering_tpu.align.sw_host import (
+    LocalAlignment,
+    sw_align_host,
+)
 from uniprot_kmer_based_clustering_tpu.align.sw_device import (
-    sw_scores_device,
+    sw_ends_and_starts_device,
 )
 from uniprot_kmer_based_clustering_tpu.io.fasta import ProteinTable
 from uniprot_kmer_based_clustering_tpu.kmers.encode import (
@@ -66,15 +69,17 @@ def align_pairs_sw(
 ) -> str:
     """Align every (i, j, …) pair, write the combined TSV, return path.
 
-    ``device_scores=True`` runs the batched TPU kernel and asserts the
-    host traceback reproduces every score exactly (a full device/host
-    cross-check on real data for free); False skips the device pass
-    (pure-host mode, e.g. when no accelerator is attached).
-
-    Cost model: the device pass is O(pairs) on chip; the outfmt-6 fields
-    come from the host traceback, ~20 ms/pair in numpy — sized for the
-    alignment-gate survivor list (465 on the bundled data), not for
-    dumping millions of pairs.
+    ``device_scores=True`` runs the batched TPU two-pass kernel for
+    every pair's score + start/end coordinates; the host exact DP then
+    tracebacks only the bounded [q_start..q_end]×[s_start..s_end]
+    window (asserting it reproduces the device score — a full
+    device/host cross-check on real data for free). Pairs where
+    co-optimal-alignment ties make the two device passes pick different
+    alignments fall back to the full host DP, so output is always a
+    true optimum. With ``device_scores=False`` everything runs on the
+    full host DP (pure-host mode, e.g. when no accelerator is
+    attached) — ~20 ms/pair at mean protein length, vs window-bounded
+    cost when the device pass narrows it.
     """
     pairs = np.asarray(pairs)
     res = residues_to_indices(table.seq_buf).astype(np.int32)
@@ -84,7 +89,7 @@ def align_pairs_sw(
         table, pairs, batch, res
     ):
         dev = (
-            sw_scores_device(q_idx, q_len, s_idx, s_len)[0]
+            sw_ends_and_starts_device(q_idx, q_len, s_idx, s_len)
             if device_scores
             else None
         )
@@ -92,12 +97,35 @@ def align_pairs_sw(
             i, j = int(row[0]), int(row[1])
             q = res[offsets[j] : offsets[j + 1]]
             s = res[offsets[i] : offsets[i + 1]]
-            a = sw_align_host(q, s)
-            if dev is not None and a.score != int(dev[r]):
-                raise AssertionError(
-                    f"device/host SW divergence on pair ({i},{j}): "
-                    f"{int(dev[r])} vs {a.score}"
-                )
+            if dev is None:
+                a = sw_align_host(q, s)
+            else:
+                score, qs, qe, ss, se = (int(x[r]) for x in dev)
+                if score == 0:
+                    a = LocalAlignment(0, 0, 0, 0, 0, 0, 0, 0)
+                else:
+                    w = sw_align_host(q[qs - 1 : qe], s[ss - 1 : se])
+                    if w.score == score:
+                        a = LocalAlignment(
+                            score=w.score,
+                            q_start=qs - 1 + w.q_start,
+                            q_end=qs - 1 + w.q_end,
+                            s_start=ss - 1 + w.s_start,
+                            s_end=ss - 1 + w.s_end,
+                            length=w.length,
+                            identities=w.identities,
+                            gaps=w.gaps,
+                        )
+                    else:
+                        # co-optimal tie: the forward/reverse device
+                        # passes bounded different alignments — take the
+                        # exact full DP for this pair
+                        a = sw_align_host(q, s)
+                        if a.score != score:
+                            raise AssertionError(
+                                f"device/host SW divergence on pair "
+                                f"({i},{j}): {score} vs {a.score}"
+                            )
             qlen, slen = len(q), len(s)
             ev = a.evalue(qlen, slen)
             lines.append(
