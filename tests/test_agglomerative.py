@@ -174,3 +174,23 @@ def test_cli_dendrogram_output(toy_fasta, tmp_path):
     for r in rows[1:]:
         w, l, c = map(int, r.split("\t"))
         assert w < l and c >= 1
+
+
+def test_cli_min_shared_gate(toy_fasta, tmp_path):
+    """Raising --min-shared can only produce more (or equal) clusters."""
+    import os
+
+    from uniprot_kmer_based_clustering_tpu.cli import main
+
+    counts = {}
+    for ms in (1, 40):
+        out = str(tmp_path / f"out_ms{ms}")
+        rc = main([
+            "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+            "--cluster", "agglomerative", "--min-shared", str(ms),
+            "--out", out, "--cpu",
+        ])
+        assert rc == 0
+        rows = open(os.path.join(out, "clusters.tsv")).read().splitlines()[1:]
+        counts[ms] = len({r.split("\t")[3] for r in rows})
+    assert counts[40] >= counts[1]

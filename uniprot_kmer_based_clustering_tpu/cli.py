@@ -37,6 +37,7 @@ def _build_config(args):
         cross_amr_only=not args.all_pairs,
         weighting=args.weighting,
         cluster=args.cluster,
+        min_shared=args.min_shared,
         engine=args.engine,
         index_engine=args.index_engine,
         run_diamond=args.diamond,
@@ -242,6 +243,10 @@ def main(argv=None) -> int:
     r.add_argument("--sampling", default="all", choices=("all", "random10"))
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--weighting", default="none", choices=("none", "blosum62"))
+    r.add_argument("--min-shared", type=int, default=1,
+                   help="agglomerative merge gate: min shared k-mers "
+                        "between cluster signatures (tree.rs balance() "
+                        "uses any-shared = 1)")
     r.add_argument("--cluster", default="components",
                    choices=("components", "tree", "agglomerative", "none"),
                    help="agglomerative = batched MXU mutual-argmax "

@@ -58,6 +58,10 @@ class PipelineConfig:
     cluster: str = "components"     # "components" | "tree" |
                                     # "agglomerative" (batched MXU
                                     # mutual-argmax merges) | "none"
+    min_shared: int = 1             # agglomerative merge gate: minimum
+                                    # shared k-mers between cluster
+                                    # intersection signatures (tree.rs
+                                    # balance() uses "any" = 1)
 
     # --- alignment backend (reference src/graph/mod.rs:195-319) ---
     run_diamond: bool = False       # shell out to diamond when available

@@ -208,7 +208,9 @@ def run_pipeline(
             # vs 80.6 s on the bundled dataset — but its compile costs
             # ~4.5 min through the remote tunnel; prefer it for repeated
             # in-process runs)
-            agg = agglomerative_cluster(bitset, table.n)
+            agg = agglomerative_cluster(
+                bitset, table.n, min_shared=config.min_shared
+            )
             labels = agg.labels
             dendrogram = agg.merges
     elif config.cluster == "tree":
