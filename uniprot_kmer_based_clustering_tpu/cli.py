@@ -6,13 +6,17 @@ Here:
 
   uniprot-kmer-cluster run <fasta> [--k {5,7}] [--threshold N]
       [--sampling {all,random10}] [--weighting {none,blosum62}]
-      [--cluster {components,tree,none}] [--engine {auto,mxu,popcount,xla}]
-      [--all-pairs] [--devices N] [--checkpoint-dir DIR] [--out DIR]
-      [--diamond] [--dump-kmers]
+      [--cluster {components,tree,agglomerative,none}] [--min-shared N]
+      [--engine {auto,mxu,popcount,xla}] [--index-engine {host,device}]
+      [--devices N] [--mesh-shape HxC] [--shard-axis {rows,kmers}]
+      [--distributed] [--align {none,diamond,sw,auto}] [--all-pairs]
+      [--checkpoint-dir DIR] [--out DIR] [--dump-kmers]
+      [--dump-proteins] [--profile DIR] [--cpu] [--verbose]
 
 writes structured artifacts to --out: pairs.tsv, clusters.tsv,
-stats.json (parity counters + timings), and optionally
-blastp_output.tsv (diamond) and per-pair shared-k-mer dumps.
+dendrogram.tsv (agglomerative), stats.json (parity counters +
+timings), blastp_output.tsv (--align), pair_kmers.tsv / proteins.tsv
+(the reference's Debug-dump content).
 """
 
 from __future__ import annotations
