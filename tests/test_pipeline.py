@@ -181,3 +181,32 @@ def test_cluster_fasta_api(toy_fasta):
     assert result.pairwise.pairs.shape[1] == 3
     assert result.cluster_labels is not None
     assert result.parity_report()["proteins"] == 60
+
+
+def test_checkpoint_survives_engine_and_cluster_changes(toy_fasta, tmp_path):
+    """Stage artifacts are engine-independent by the framework's core
+    invariant — switching engine, devices, or cluster-only knobs must
+    resume from (not invalidate) the index/pairs checkpoints."""
+    base = PipelineConfig(**CFG)
+    k_idx = base.cache_key("index", "f")
+    k_pairs = base.cache_key("pairs", "f")
+    same = [
+        PipelineConfig(**{**CFG, "engine": "mxu"}),
+        PipelineConfig(**{**CFG, "cluster": "agglomerative",
+                          "min_shared": 5}),
+        PipelineConfig(**{**CFG, "tile": 8}),
+    ]
+    for cfg in same:
+        assert cfg.cache_key("index", "f") == k_idx
+        assert cfg.cache_key("pairs", "f") == k_pairs
+    # semantic knobs DO invalidate
+    assert PipelineConfig(**{**CFG, "k": 7}).cache_key("index", "f") != k_idx
+    assert (
+        PipelineConfig(**{**CFG, "threshold": 9}).cache_key("pairs", "f")
+        != k_pairs
+    )
+    # threshold does not touch the index artifact
+    assert (
+        PipelineConfig(**{**CFG, "threshold": 9}).cache_key("index", "f")
+        == k_idx
+    )

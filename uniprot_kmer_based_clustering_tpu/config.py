@@ -109,10 +109,27 @@ class PipelineConfig:
             return self.threshold
         return int(self.threshold * int(round(float(pos.mean()))))
 
+    # Which config fields each checkpointed stage's artifact actually
+    # depends on. Engines are deliberately absent: all sweep engines and
+    # mesh shapes produce bit-identical artifacts (the core invariant),
+    # so a resumed run may switch engine/devices freely; cluster-only
+    # knobs must not invalidate the expensive index/pairs artifacts.
+    _STAGE_FIELDS = {
+        "index": ("k", "sampling", "seed"),
+        "pairs": (
+            "k", "sampling", "seed",
+            "threshold", "weighted_threshold", "cross_amr_only",
+            "weighting",
+        ),
+    }
+
     def cache_key(self, stage: str, extra: str = "") -> str:
         """Stable hash identifying a stage's artifact for checkpoint/resume."""
+        cfg = dataclasses.asdict(self)
+        fields = self._STAGE_FIELDS.get(stage)
+        if fields is not None:
+            cfg = {k: cfg[k] for k in fields}
         payload = json.dumps(
-            {"stage": stage, "extra": extra, **dataclasses.asdict(self)},
-            sort_keys=True,
+            {"stage": stage, "extra": extra, **cfg}, sort_keys=True
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
