@@ -28,31 +28,12 @@ def rng():
 
 @pytest.fixture(scope="session")
 def toy_fasta(tmp_path_factory):
-    """Small synthetic FASTA with reference-format headers.
+    """Deterministic toy dataset (tests/_toy_data.py — shared with the
+    multi-process worker)."""
+    from tests._toy_data import write_toy_fasta
 
-    Proteins are point-mutated copies of 4 shared templates so that k-mer
-    sharing (within and across AMR classes) actually occurs, mirroring the
-    homology structure of the real dataset.
-    """
-    rng = np.random.default_rng(42)
-    aas = "CSTAGPDEQNHRKMILVWYF"
-    classes = ["beta_lactam", "bacitracin", "MLS"]
-    templates = [
-        "".join(aas[j] for j in rng.integers(0, 20, int(n)))
-        for n in rng.integers(60, 120, 4)
-    ]
     path = tmp_path_factory.mktemp("data") / "toy.fasta"
-    lines = []
-    for i in range(60):
-        cls = classes[i % len(classes)]
-        t = list(templates[i % len(templates)])
-        n_mut = max(1, len(t) // 8)
-        for p in rng.integers(0, len(t), n_mut):
-            t[p] = aas[int(rng.integers(0, 20))]
-        lines.append(f">P{i:05d}|FEATURES|UNIPROT|{cls}|gene{i}")
-        lines.append("".join(t))
-    path.write_text("\n".join(lines) + "\n")
-    return str(path)
+    return write_toy_fasta(str(path))
 
 
 @pytest.fixture(scope="session")

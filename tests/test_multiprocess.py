@@ -24,9 +24,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_ring_sweep(tmp_path):
+def _run_workers(worker_name, tmp_path, extra_args=(), timeout=240):
+    """Launch a 2-process gloo cluster of `worker_name`; return the two
+    result npz paths (argv = pid nproc port *extra_args out_npz)."""
     port = _free_port()
-    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    worker = os.path.join(os.path.dirname(__file__), worker_name)
     outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
     env = {
@@ -37,18 +39,20 @@ def test_two_process_ring_sweep(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), outs[i]],
+            [sys.executable, worker, str(i), "2", str(port)]
+            + list(extra_args)
+            + [outs[i]],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
-            cwd=os.path.dirname(os.path.dirname(worker)),
+            cwd=repo_root,
         )
         for i in range(2)
     ]
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -56,6 +60,11 @@ def test_two_process_ring_sweep(tmp_path):
         logs.append(out.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    return outs
+
+
+def test_two_process_ring_sweep(tmp_path):
+    outs = _run_workers("_mp_worker.py", tmp_path)
 
     a = np.load(outs[0])
     b = np.load(outs[1])
@@ -110,3 +119,38 @@ def test_two_process_ring_sweep(tmp_path):
         freq[np.unique(row)] += 1
     assert a["freq_nnz"][0] == int((freq > 0).sum())
     assert a["freq_nnz"][1] == int(freq.sum())
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """End-to-end `run_pipeline` over a real 2-process distributed mesh
+    (the production CLI path on a 2-host slice): both processes must
+    produce the identical replicated result, equal to the single-process
+    pipeline on the same FASTA."""
+    from tests._toy_data import write_toy_fasta
+
+    fasta = write_toy_fasta(str(tmp_path / "toy.fasta"))
+    outs = _run_workers(
+        "_mp_pipeline_worker.py", tmp_path, extra_args=[fasta], timeout=300
+    )
+
+    a = np.load(outs[0])
+    b = np.load(outs[1])
+    for key in ("pairs", "labels", "report"):
+        assert np.array_equal(a[key], b[key]), key
+
+    # single-process oracle (same config as the workers)
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+    ref = run_pipeline(
+        fasta,
+        PipelineConfig(
+            tile=16, strip=32, word_block=128, engine="xla", threshold=2
+        ),
+    )
+    rep = ref.parity_report()
+    assert np.array_equal(
+        a["report"], np.array([rep[k] for k in sorted(rep)], dtype=np.int64)
+    )
+    assert np.array_equal(a["pairs"], ref.pairwise.pairs)
+    assert np.array_equal(a["labels"], ref.cluster_labels)
