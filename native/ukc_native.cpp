@@ -57,9 +57,14 @@ int ukc_fasta_stats(const uint8_t* data, int64_t len, int64_t* n_records,
       if (data[i] == '>') {
         n++;
         seen_header = true;
+        // id = first whitespace-delimited token after '>' (leading
+        // whitespace skipped), matching io/fasta.py parse_fasta_bytes
         int64_t k = i + 1;
+        while (k < e && (data[k] == ' ' || data[k] == '\t')) k++;
+        int64_t start = k;
         while (k < e && data[k] != ' ' && data[k] != '\t') k++;
-        idb += k - (i + 1);
+        if (k == start) return -2;  // header with no id
+        idb += k - start;
       } else {
         if (!seen_header) return -1;  // sequence before first header
         seqb += e - i;
@@ -89,9 +94,11 @@ int ukc_fasta_parse(const uint8_t* data, int64_t len, uint8_t* id_buf,
       if (data[i] == '>') {
         rec++;
         int64_t k = i + 1;
+        while (k < e && (data[k] == ' ' || data[k] == '\t')) k++;
+        int64_t start = k;
         while (k < e && data[k] != ' ' && data[k] != '\t') k++;
-        std::memcpy(id_buf + idp, data + i + 1, k - (i + 1));
-        idp += k - (i + 1);
+        std::memcpy(id_buf + idp, data + start, k - start);
+        idp += k - start;
         id_off[rec + 1] = idp;
         seq_off[rec + 1] = seqp;
       } else {

@@ -86,3 +86,18 @@ def test_dense_device_doc_freq_matches_host():
     assert freq.sum() == idx.nnz + (idx.doc_freq == 1).sum()
     assert np.array_equal(np.nonzero(freq)[0], idx.codes)
     assert np.array_equal(freq[idx.codes], idx.doc_freq)
+
+
+def test_rank_of_with_no_repeated_codes():
+    """Degenerate dataset where every k-mer is unique: rank_of returns
+    -1s (the documented contract) instead of indexing an empty array."""
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+    from uniprot_kmer_based_clustering_tpu.kmers.index import build_index
+
+    seqs = ["CSTAG", "PDEQN"]  # disjoint single 5-mers
+    buf = np.frombuffer("".join(seqs).encode(), np.uint8)
+    offs = np.cumsum([0] + [len(s) for s in seqs])
+    codes, koff = encode_kmers(buf, offs, 5)
+    idx = build_index(codes, koff, 5)
+    assert idx.n_repeated == 0
+    assert np.array_equal(idx.rank_of(codes), np.full(codes.shape, -1))

@@ -140,3 +140,34 @@ def test_parsers_agree_on_messy_fasta(tmp_path):
     assert np.array_equal(off_n, off_h)
     assert bytes(buf_h[off_h[0]:off_h[1]]) == b"MKTLLV"
     assert bytes(buf_h[off_h[2]:off_h[3]]) == b"MKVT"
+
+
+def test_parsers_reject_empty_header_id(tmp_path):
+    """A header with no id token is a loud ValueError in BOTH parsers
+    (not an IndexError, not a silent empty id)."""
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    for bad in (b">\nMKT\n", b">   \nMKT\n"):
+        with pytest.raises(ValueError):
+            parse_fasta_bytes(bad)
+        p = tmp_path / "bad.fasta"
+        p.write_bytes(bad)
+        with pytest.raises(ValueError):
+            native.parse_fasta(str(p))
+
+
+def test_parsers_agree_on_padded_header(tmp_path):
+    """Leading whitespace after '>' is skipped before the id token in
+    both parsers (io/fasta.py split(None) semantics)."""
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    data = b"> id1|a|b|c desc\nMKTLL\n>\tid2|x|y|z\nWWWWW\n"
+    p = tmp_path / "pad.fasta"
+    p.write_bytes(data)
+    py_ids, py_seq, py_off = parse_fasta_bytes(data)
+    ids, seq, off = native.parse_fasta(str(p))
+    assert ids == py_ids == ["id1|a|b|c", "id2|x|y|z"]
+    assert np.array_equal(seq, py_seq)
+    assert np.array_equal(off, py_off)

@@ -210,3 +210,16 @@ def test_checkpoint_survives_engine_and_cluster_changes(toy_fasta, tmp_path):
         PipelineConfig(**{**CFG, "threshold": 9}).cache_key("index", "f")
         == k_idx
     )
+
+
+def test_checkpoint_resume_skips_sweep(toy_fasta, tmp_path):
+    """Resume actually loads the saved pairs artifact: the O(N²) sweep
+    stage (the expensive one) does not run again."""
+    cfg = PipelineConfig(**CFG)
+    r1 = run_pipeline(toy_fasta, cfg, checkpoint_dir=str(tmp_path))
+    assert "sweep" in r1.timings
+    r2 = run_pipeline(toy_fasta, cfg, checkpoint_dir=str(tmp_path))
+    assert "sweep" not in r2.timings, "sweep recomputed despite checkpoint"
+    assert r1.parity_report() == r2.parity_report()
+    assert np.array_equal(r1.pairwise.pairs, r2.pairwise.pairs)
+    assert np.array_equal(r1.cluster_labels, r2.cluster_labels)

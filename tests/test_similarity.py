@@ -142,3 +142,16 @@ def test_extract_pairs_accepts_length_n_classes():
     p_n = extract_pairs(w, classes_n, th, tl, n=n, threshold=3)
     assert len(p_pad) > 0
     assert np.array_equal(p_pad, p_n)
+
+
+def test_sweep_xla_rejects_misaligned_tile():
+    """n_pad not a multiple of tile must fail loudly — a floored tile
+    grid would silently skip tail rows (or sweep nothing at all)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep_xla
+
+    w = jnp.zeros((96, 8), jnp.uint32)
+    with pytest.raises(ValueError, match="multiple of tile"):
+        sweep_xla(w, jnp.full(96, -1, jnp.int32), 90, 3, tile=64)

@@ -107,7 +107,12 @@ def parse_fasta_bytes(data: bytes) -> tuple[List[str], np.ndarray, np.ndarray]:
         if line.startswith(b">"):
             flush()
             # id = first whitespace-delimited token after '>'
-            ids.append(line[1:].split(None, 1)[0].decode("ascii"))
+            tokens = line[1:].split(None, 1)
+            if not tokens:
+                raise ValueError(
+                    f"FASTA header with no id (record {len(ids) + 1})"
+                )
+            ids.append(tokens[0].decode("ascii"))
         else:
             if not ids:
                 raise ValueError("FASTA sequence data before first header")

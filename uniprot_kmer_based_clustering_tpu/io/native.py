@@ -44,15 +44,23 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH):
+        src = os.path.join(_NATIVE_DIR, "ukc_native.cpp")
+        stale = os.path.exists(_SO_PATH) and (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if stale or not os.path.exists(_SO_PATH):
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
-                _build_failed = True
-                return None
+                # a stale-but-working library beats no library; only a
+                # missing one is fatal
+                if not os.path.exists(_SO_PATH):
+                    _build_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:

@@ -11,8 +11,8 @@ Reference semantics (``src/protein.rs:9-54``):
     both supported k.
   * every overlapping window is taken: positions 0..len−k inclusive,
     i.e. len−k+1 k-mers per protein (``Protein::new``, src/protein.rs:113-122).
-  * "random10" sampling mode: ⌊(len−k+1−1)/10⌋… exactly ⌊(len−4)/10⌋ windows
-    for k=5, sampled without replacement
+  * "random10" sampling mode: ⌊(len−k+1)/10⌋ windows — one tenth of the
+    window count, exactly ⌊(len−4)/10⌋ for k=5 — sampled without replacement
     (``Protein::new_with_rand_fivemers``, src/protein.rs:83-94). The
     reference uses a nondeterministic RNG; we derive a per-protein
     deterministic stream from (seed, protein index) instead.

@@ -123,6 +123,8 @@ class KmerIndex:
 
     def rank_of(self, codes: np.ndarray) -> np.ndarray:
         """Map k-mer codes → rank-hash ids (-1 for non-repeated codes)."""
+        if self.n_repeated == 0:
+            return np.full(np.shape(codes), -1, dtype=np.int64)
         pos = np.searchsorted(self.repeated_codes, codes)
         pos = np.clip(pos, 0, self.n_repeated - 1)
         ok = self.repeated_codes[pos] == codes

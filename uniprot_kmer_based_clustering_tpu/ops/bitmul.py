@@ -50,6 +50,36 @@ def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
     return bits
 
 
+def stack_row_stats(counts, cross, same, threshold, w_thresh=1):
+    """The canonical 8-lane per-row statistics over one counts block
+    (lane layout = ops.popcount.ROW_STAT_NAMES: [cross_weight,
+    cross_pairs, cross_over, cross_max, same_weight, same_pairs,
+    same_over, same_max]; lanes %4==3 merge by max, the rest by sum).
+
+    Shared by every XLA-epilogue engine (strip, scan, ring) so the stat
+    definitions cannot drift apart. Returns (row_stats int32 [S, 8],
+    over_c, over_s) — the over-threshold masks drive tile-hit counting.
+    """
+    czero = jnp.where(cross, counts, 0)
+    szero = jnp.where(same, counts, 0)
+    over_c = cross & (counts > threshold)
+    over_s = same & (counts > threshold)
+    row_stats = jnp.stack(
+        [
+            jnp.sum(czero, axis=1),
+            jnp.sum((cross & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+            jnp.sum(over_c.astype(jnp.int32), axis=1),
+            jnp.max(czero, axis=1),
+            jnp.sum(szero, axis=1),
+            jnp.sum((same & (counts >= w_thresh)).astype(jnp.int32), axis=1),
+            jnp.sum(over_s.astype(jnp.int32), axis=1),
+            jnp.max(szero, axis=1),
+        ],
+        axis=1,
+    )
+    return row_stats, over_c, over_s
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -103,22 +133,8 @@ def _strip_stats(
     cross = valid & (classes_a[:, None] != classes_b[None, :])
     same = valid & ~cross
 
-    czero = jnp.where(cross, counts, 0)
-    szero = jnp.where(same, counts, 0)
-    over_c = cross & (counts > threshold)
-    over_s = same & (counts > threshold)
-    row_stats = jnp.stack(
-        [
-            jnp.sum(czero, axis=1),
-            jnp.sum((cross & (counts >= w_thresh)).astype(jnp.int32), axis=1),
-            jnp.sum(over_c.astype(jnp.int32), axis=1),
-            jnp.max(czero, axis=1),
-            jnp.sum(szero, axis=1),
-            jnp.sum((same & (counts >= w_thresh)).astype(jnp.int32), axis=1),
-            jnp.sum(over_s.astype(jnp.int32), axis=1),
-            jnp.max(szero, axis=1),
-        ],
-        axis=1,
+    row_stats, over_c, over_s = stack_row_stats(
+        counts, cross, same, threshold, w_thresh
     )
 
     nb_i, nb_j = s // block, j // block
@@ -320,22 +336,8 @@ def _scan_sweep(
         valid = (gi < gj) & (gj < n)
         cross = valid & (ca[:, None] != cb[None, :])
         same = valid & ~cross
-        czero = jnp.where(cross, counts, 0)
-        szero = jnp.where(same, counts, 0)
-        over_c = cross & (counts > threshold)
-        over_s = same & (counts > threshold)
-        rs = jnp.stack(
-            [
-                jnp.sum(czero, axis=1),
-                jnp.sum((cross & (counts >= w_thresh)).astype(jnp.int32), axis=1),
-                jnp.sum(over_c.astype(jnp.int32), axis=1),
-                jnp.max(czero, axis=1),
-                jnp.sum(szero, axis=1),
-                jnp.sum((same & (counts >= w_thresh)).astype(jnp.int32), axis=1),
-                jnp.sum(over_s.astype(jnp.int32), axis=1),
-                jnp.max(szero, axis=1),
-            ],
-            axis=1,
+        rs, over_c, over_s = stack_row_stats(
+            counts, cross, same, threshold, w_thresh
         )
         prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
         merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)

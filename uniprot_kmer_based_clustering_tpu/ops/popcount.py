@@ -344,6 +344,13 @@ def sweep_xla(words, classes, n: int, threshold: int, tile: int = 512):
     correctness oracle on CPU and the fallback when Pallas is unavailable.
     """
     n_pad = words.shape[0]
+    if n_pad % tile != 0:
+        # a floored tile grid would silently skip the tail rows (or, for
+        # n_pad < tile, sweep nothing at all)
+        raise ValueError(
+            f"n_pad={n_pad} must be a multiple of tile={tile} "
+            "(pack with a matching row_multiple)"
+        )
     ti, tj = upper_triangle_tiles(n_pad, tile)
     classes = jnp.asarray(classes, jnp.int32)
     row_stats = np.zeros((n_pad, _NSTATS), dtype=np.int64)

@@ -187,7 +187,9 @@ def sweep_tri_mxu(
         # exact for {0,1}·weight products: per-chunk partial sums ≤ 127·wc·32
         # < 2²⁴ are integers represented exactly in the float32 accumulator
         in_dtype, acc_dtype = jnp.bfloat16, jnp.float32
-        assert not weighted or int(np.max(np.abs(weights))) <= 256
+        # the kernel operand is int8 either way (permute_weights_bitplane
+        # casts), so the true bound is the int8 range, not the fp mantissa
+        assert not weighted or int(np.max(np.abs(weights))) <= 127
     else:
         raise ValueError(dot_dtype)
 

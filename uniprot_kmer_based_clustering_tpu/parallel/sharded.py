@@ -38,7 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from uniprot_kmer_based_clustering_tpu.ops.bitmul import unpack_words_to_int8
+from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    stack_row_stats,
+    unpack_words_to_int8,
+)
 
 try:  # jax >= 0.6 exports shard_map at the top level
     shard_map = jax.shard_map
@@ -68,24 +71,7 @@ def _pair_stats(counts, gi, gj, ca, cb, n, threshold, active, triangle):
         valid &= gi < gj
     cross = valid & (ca[:, None] != cb[None, :])
     same = valid & ~cross
-    czero = jnp.where(cross, counts, 0)
-    szero = jnp.where(same, counts, 0)
-    over_c = cross & (counts > threshold)
-    over_s = same & (counts > threshold)
-    stats = jnp.stack(
-        [
-            jnp.sum(czero, axis=1),
-            jnp.sum((cross & (counts >= 1)).astype(jnp.int32), axis=1),
-            jnp.sum(over_c.astype(jnp.int32), axis=1),
-            jnp.max(czero, axis=1),
-            jnp.sum(szero, axis=1),
-            jnp.sum((same & (counts >= 1)).astype(jnp.int32), axis=1),
-            jnp.sum(over_s.astype(jnp.int32), axis=1),
-            jnp.max(szero, axis=1),
-        ],
-        axis=1,
-    )
-    return stats, over_c, over_s
+    return stack_row_stats(counts, cross, same, threshold)
 
 
 def _resolve_stats_engine(stats_engine: str) -> str:

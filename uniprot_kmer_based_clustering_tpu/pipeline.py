@@ -152,32 +152,43 @@ def run_pipeline(
             index.repeated_codes, config.k, bitset.w_pad * 32
         )
 
-    with timers.stage("sweep"):
-        if mesh is not None:
-            pairwise = _sharded_similarity(
-                bitset, table, config, mesh, weights=weights
-            )
-        else:
-            pairwise = pairwise_similarity(
-                bitset, table.amr_class_ids, config, weights=weights
-            )
-    store.save(
-        config.cache_key("pairs", fasta_path),
-        pairs=pairwise.pairs,
-        stats=np.array(
-            [
-                pairwise.cross_weight,
-                pairwise.cross_pairs,
-                pairwise.cross_over,
-                pairwise.cross_max,
-                pairwise.same_weight,
-                pairwise.same_pairs,
-                pairwise.same_over,
-                pairwise.same_max,
-            ],
-            dtype=np.int64,
-        ),
-    )
+    key_pairs = config.cache_key("pairs", fasta_path)
+    cached_pairs = store.load(key_pairs)
+    if cached_pairs is not None:
+        # resume: the O(N²) sweep is the expensive stage — rebuild the
+        # result from the saved artifact (device-topology-independent,
+        # so a single-chip checkpoint resumes on any mesh and back)
+        s = cached_pairs["stats"]
+        pairwise = PairwiseResult(
+            *(int(v) for v in s), pairs=cached_pairs["pairs"]
+        )
+    else:
+        with timers.stage("sweep"):
+            if mesh is not None:
+                pairwise = _sharded_similarity(
+                    bitset, table, config, mesh, weights=weights
+                )
+            else:
+                pairwise = pairwise_similarity(
+                    bitset, table.amr_class_ids, config, weights=weights
+                )
+        store.save(
+            key_pairs,
+            pairs=pairwise.pairs,
+            stats=np.array(
+                [
+                    pairwise.cross_weight,
+                    pairwise.cross_pairs,
+                    pairwise.cross_over,
+                    pairwise.cross_max,
+                    pairwise.same_weight,
+                    pairwise.same_pairs,
+                    pairwise.same_over,
+                    pairwise.same_max,
+                ],
+                dtype=np.int64,
+            ),
+        )
 
     labels = None
     dendrogram = None
