@@ -146,3 +146,36 @@ def test_scan_schedule_matches(small_case):
         )
         assert np.array_equal(rs_ref, rs), wc
         assert np.array_equal(th_ref[:, :2], th), wc
+
+
+def test_stats_pallas_traced_offsets(small_case):
+    """The traced-offset epilogue (the scan schedule's, enumerating ALL
+    tiles) matches the static-offset kernel on diagonal and off-diagonal
+    blocks."""
+    from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
+        stats_from_counts_traced,
+    )
+
+    words, classes, n, _, _, _ = small_case
+    wts = jnp.ones(words.shape[1] * 32, jnp.int8)
+    for (i0, j0, s, j) in [(0, 512, 512, 1024), (512, 512, 1024, 1024)]:
+        counts = _strip_counts(
+            jnp.asarray(words[i0 : i0 + s]),
+            jnp.asarray(words[j0 : j0 + j]),
+            wts,
+        )
+        rs_t, bh_t = stats_from_counts_traced(
+            counts, classes[i0 : i0 + s], classes[j0 : j0 + j],
+            jnp.int32(i0), jnp.int32(j0),
+            n=n, threshold=10, interpret=True,
+        )
+        rs_s, th_s, (ti, tj, _) = stats_from_counts(
+            counts, classes[i0 : i0 + s], classes[j0 : j0 + j],
+            i_off=i0, j_off=j0, n=n, threshold=10, interpret=True,
+        )
+        assert np.array_equal(np.asarray(rs_t), np.asarray(rs_s)), (i0, j0)
+        # the static variant skips fully-subdiagonal tiles (they mask to
+        # zero); scatter it onto the full grid for comparison
+        bh_s = np.zeros((s // 512, j // 512, 2), np.int32)
+        bh_s[ti, tj] = np.asarray(th_s)
+        assert np.array_equal(np.asarray(bh_t), bh_s), (i0, j0)

@@ -290,7 +290,10 @@ def _strip_stats_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bs", "n", "threshold", "block", "w_thresh", "word_chunk"),
+    static_argnames=(
+        "bs", "n", "threshold", "block", "w_thresh", "word_chunk",
+        "stats_engine",
+    ),
 )
 def _scan_sweep(
     words,       # uint32 [N_pad, W]
@@ -304,16 +307,18 @@ def _scan_sweep(
     block: int,
     w_thresh: int,
     word_chunk: int = 0,
+    stats_engine: str = "xla",
 ):
     """Upper-triangle block-pair sweep as ONE compiled ``lax.scan``.
 
     The strip schedule compiles one program per strip (suffix shapes all
     differ) — ~28 remote compiles at the 100k scale. This schedule
     instead walks equal-size [bs, bs] block pairs with *traced* offsets:
-    a single compiled shape for any N_pad. Block matmuls run ~180 TOPS vs
-    the strips' ~300 (smaller N dimension), so strips stay the default
-    below ~8 strips; the scan takes over at scale where compile time and
-    shape count dominate.
+    a single compiled shape for any N_pad. At bundled-scale contractions
+    a 3584² block matmul measures ~242 TOPS vs the strips' ~290; at real
+    scan scale (3-4× longer contraction) blocks reach ~320 TOPS — so
+    strips stay the default below ~8 strips and the scan takes over at
+    scale, where it is matmul-bound anyway.
 
     Returns (row_stats int32 [N_pad, 8], block_hits int32 [nb, nb, 2]).
     """
@@ -331,27 +336,43 @@ def _scan_sweep(
             words, weights, i0, j0, s=bs, jr=bs, word_chunk=word_chunk
         )
 
-        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
-        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
-        valid = (gi < gj) & (gj < n)
-        cross = valid & (ca[:, None] != cb[None, :])
-        same = valid & ~cross
-        rs, over_c, over_s = stack_row_stats(
-            counts, cross, same, threshold, w_thresh
-        )
+        if stats_engine == "pallas":
+            # the tile-walk epilogue reads each counts tile once in VMEM
+            # (~7 ms of fused XLA mask/reduce per 3584² block otherwise).
+            # NOT the default: at scan scale the matmul dominates (same
+            # warm time measured) and pallas-in-scan compiles 14× slower
+            # through the remote tunnel; kept for small-contraction
+            # corpora where the epilogue would dominate
+            from uniprot_kmer_based_clustering_tpu.ops.stats_pallas import (
+                stats_from_counts_traced,
+            )
+
+            rs, bh = stats_from_counts_traced(
+                counts, ca, cb, i0, j0,
+                n=n, threshold=threshold, w_thresh=w_thresh, tile=block,
+            )
+        else:
+            gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+            gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+            valid = (gi < gj) & (gj < n)
+            cross = valid & (ca[:, None] != cb[None, :])
+            same = valid & ~cross
+            rs, over_c, over_s = stack_row_stats(
+                counts, cross, same, threshold, w_thresh
+            )
+            bh = jnp.stack(
+                [
+                    over_c.astype(jnp.int32)
+                    .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+                    over_s.astype(jnp.int32)
+                    .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+                ],
+                axis=-1,
+            )
         prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
         merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
         row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
 
-        bh = jnp.stack(
-            [
-                over_c.astype(jnp.int32)
-                .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-                over_s.astype(jnp.int32)
-                .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-            ],
-            axis=-1,
-        )
         bi, bj = i0 // block, j0 // block
         prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
         block_hits = jax.lax.dynamic_update_slice(
@@ -465,9 +486,13 @@ def sweep_mxu_async(
         assert wts.shape[0] == w_words * 32
 
     if stats_engine == "auto":
-        stats_engine = (
-            "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        )
+        # strips: the Pallas tile-walk epilogue saves ~7 ms/strip of XLA
+        # mask/reduce at bundled scale. scan: XLA — at scan scale the
+        # contraction is long enough that the matmul dominates (measured
+        # 30k: sweep 3.29 s either way, ~320 TOPS) while pallas-in-scan
+        # costs 412 s vs 29 s to compile through the remote tunnel.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        stats_engine = "pallas" if (on_tpu and schedule != "scan") else "xla"
 
     if schedule == "scan":
         ii, jj = np.triu_indices(ns)
@@ -478,6 +503,7 @@ def sweep_mxu_async(
             words, classes, wts, pairs_ij,
             bs=strip, n=n, threshold=threshold, block=block,
             w_thresh=w_thresh, word_chunk=word_chunk,
+            stats_engine=stats_engine,
         )
 
         def finalize_scan(device_results):

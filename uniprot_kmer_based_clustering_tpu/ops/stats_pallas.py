@@ -146,6 +146,132 @@ def _stats_kernel(
     )
 
 
+def _stats_kernel_traced(
+    offs_ref,       # int32 [2] traced global (i_off, j_off)
+    it_ref,         # int32 [nT] stationary tile index (local)
+    jt_ref,         # int32 [nT] moving tile index (local)
+    counts_ref, crow_ref, ccol_ref, row_stats_ref, tile_hits_ref,
+    *, tile, n, threshold, w_thresh,
+):
+    t = pl.program_id(0)
+    accumulate_stats_block(
+        counts_ref[...],
+        offs_ref[0] + it_ref[t] * tile,
+        offs_ref[1] + jt_ref[t] * tile,
+        crow_ref[...],
+        ccol_ref[...],
+        jt_ref[t] == 0,  # row-major full grid: first tile of each row
+        row_stats_ref,
+        tile_hits_ref,
+        n=n,
+        threshold=threshold,
+        w_thresh=w_thresh,
+    )
+
+
+def stats_from_counts_traced(
+    counts,          # int32 [S, J] materialized counts block (device)
+    classes_row,     # int32 [S]
+    classes_col,     # int32 [J]
+    i_off,           # traced int32 scalar — global row offset
+    j_off,           # traced int32 scalar — global col offset
+    *,
+    n: int,
+    threshold: int,
+    w_thresh: int = 1,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """:func:`stats_from_counts` with TRACED block offsets — the epilogue
+    for the one-compiled-shape ``lax.scan`` sweep schedule (ops.bitmul
+    ``_scan_sweep``), where the block position is a scan carry, not a
+    Python int.
+
+    The tile enumeration must be static, so ALL (S/tile)×(J/tile) tiles
+    are visited (the below-diagonal tiles of diagonal blocks compute
+    masked zeros — wasted epilogue work on ~1/nb of the scan steps only);
+    the global gi<gj / gj<n masks ride the offsets through scalar
+    prefetch.
+
+    Returns (row_stats int32 [S, 8], block_hits int32 [S/tile, J/tile, 2]).
+    """
+    s, j = counts.shape
+    assert s % tile == 0 and j % tile == 0
+    nti, ntj = s // tile, j // tile
+    ti, tj = np.meshgrid(
+        np.arange(nti, dtype=np.int32),
+        np.arange(ntj, dtype=np.int32),
+        indexing="ij",
+    )
+    ti, tj = ti.ravel(), tj.ravel()
+    nt = int(ti.shape[0])
+
+    kernel = functools.partial(
+        _stats_kernel_traced,
+        tile=tile, n=n, threshold=threshold, w_thresh=w_thresh,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, tile),
+                lambda t, of, it, jt: (it[t], jt[t]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 1),
+                lambda t, of, it, jt: (it[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile),
+                lambda t, of, it, jt: (0, jt[t]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile, _STAT_LANES),
+                lambda t, of, it, jt: (it[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, _STAT_LANES),
+                lambda t, of, it, jt: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    row_stats, tile_hits = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, _STAT_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * 8, _STAT_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * nt * tile * tile,
+            bytes_accessed=nt * tile * tile * 4,
+            transcendentals=0,
+        ),
+    )(
+        jnp.stack(
+            [jnp.asarray(i_off, jnp.int32), jnp.asarray(j_off, jnp.int32)]
+        ),
+        jnp.asarray(ti),
+        jnp.asarray(tj),
+        counts,
+        jnp.asarray(classes_row, jnp.int32).reshape(s, 1),
+        jnp.asarray(classes_col, jnp.int32).reshape(1, j),
+    )
+    return (
+        row_stats[:, :_NSTATS],
+        tile_hits[::8, :2].reshape(nti, ntj, 2),
+    )
+
+
 def stats_from_counts(
     counts,          # int32 [S, J] materialized counts (device)
     classes_row,     # int32 [S]
