@@ -155,3 +155,58 @@ def test_sweep_xla_rejects_misaligned_tile():
     w = jnp.zeros((96, 8), jnp.uint32)
     with pytest.raises(ValueError, match="multiple of tile"):
         sweep_xla(w, jnp.full(96, -1, jnp.int32), 90, 3, tile=64)
+
+
+def test_extract_pairs_coalesced_matches_bruteforce():
+    """Dense hit patterns trigger superblock coalescing in extraction;
+    the recovered pairs must equal the brute-force popcount oracle."""
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep_xla
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _coalesce_hit_tiles,
+        extract_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    n_pad, w, n = 128, 8, 120
+    # near-identical rows -> every tile reports hits (dense regime)
+    base = rng.integers(0, 2**32, size=w, dtype=np.uint32)
+    words = np.tile(base, (n_pad, 1))
+    flip = rng.integers(0, 2**32, size=(n_pad, w), dtype=np.uint32)
+    words ^= np.where(rng.random((n_pad, w)) < 0.05, flip, 0).astype(np.uint32)
+    words[n:] = 0
+    classes = rng.integers(0, 3, size=n_pad).astype(np.int32)
+    classes[n:] = -1
+
+    rs, th, tl = sweep_xla(jnp.asarray(words), classes, n, 40, tile=16)
+    ti, tj, tile = tl
+    want = th[:, 0] > 0
+    assert _coalesce_hit_tiles(
+        np.asarray(ti), np.asarray(tj), want,
+        th[:, 0].astype(np.int64), tile, n_pad,
+    ) is not None, "test case must actually exercise the coalesced path"
+
+    # force both TPU-default strategies on CPU for path coverage, and
+    # check the plain scatter path agrees
+    pairs = extract_pairs(
+        jnp.asarray(words), classes, th, tl, n=n, threshold=40,
+        coalesce=True, use_topk=True,
+    )
+    pairs_scatter = extract_pairs(
+        jnp.asarray(words), classes, th, tl, n=n, threshold=40,
+        coalesce=False, use_topk=False,
+    )
+    assert np.array_equal(pairs, pairs_scatter)
+
+    # brute-force oracle
+    bits = np.unpackbits(
+        words[:n].view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    counts = bits @ bits.T
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if counts[i, j] > 40 and classes[i] != classes[j]:
+                exp.append((i, j, counts[i, j]))
+    assert np.array_equal(pairs, np.array(exp, np.int64).reshape(-1, 3))

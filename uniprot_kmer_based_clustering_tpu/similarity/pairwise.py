@@ -77,10 +77,16 @@ def _extract_batch(
             mask &= ca[:, None] != cb[None, :]
         fm = mask.ravel()
         pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-        pos = jnp.where(fm, pos, cap)  # out of bounds → dropped
-        bi = bi.at[pos].set(gi.ravel(), mode="drop")
-        bj = bj.at[pos].set(gj.ravel(), mode="drop")
-        bc = bc.at[pos].set(counts.ravel(), mode="drop")
+        # dropped elements get DISTINCT out-of-bounds slots so every
+        # index is unique — unique_indices=True lets XLA vectorize the
+        # scatter instead of serializing it
+        pos = jnp.where(
+            fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
+        )
+        opts = dict(mode="drop", unique_indices=True)
+        bi = bi.at[pos].set(gi.ravel(), **opts)
+        bj = bj.at[pos].set(gj.ravel(), **opts)
+        bc = bc.at[pos].set(counts.ravel(), **opts)
         return (cursor + jnp.sum(fm.astype(jnp.int32)), bi, bj, bc), None
 
     z = jnp.zeros(cap, jnp.int32)
@@ -90,6 +96,66 @@ def _extract_batch(
         jnp.arange(i0s.shape[0]),
     )
     return bi, bj, bc, cursor
+
+
+# Per-tile hit counts above this use the scatter buffer instead of top_k
+# (k would approach the tile area; top_k cost grows with k·log).
+_TOPK_CAP = 1 << 17
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "weighted", "cross_amr_only", "k"),
+)
+def _extract_batch_topk(
+    words, weights, classes, i0s, j0s, valid_t, n, threshold,
+    *, tile: int, weighted: bool, cross_amr_only: bool, k: int,
+):
+    """Recompute a batch of hit tiles and select the surviving pairs with
+    ``lax.top_k`` over the hit mask.
+
+    TPU scatter serializes (~2.7 ms per 512² tile for the cumsum+scatter
+    compaction); top_k over the 0/1 mask costs ~0.3 ms and returns the
+    hit positions first (ties keep arbitrary order — the caller sorts the
+    final pair list). `k` must be ≥ every tile's hit count in the batch —
+    sized from the sweep's exact tile_hits, so no overflow is possible.
+    Unused slots carry count −1. Returns (gi, gj, cnt) int32 [B, k].
+    """
+
+    def step(carry, idx):
+        i0 = i0s[idx]
+        j0 = j0s[idx]
+        a = jax.lax.dynamic_slice_in_dim(words, i0, tile, 0)
+        b = jax.lax.dynamic_slice_in_dim(words, j0, tile, 0)
+        ai = unpack_words_to_int8(a, weights if weighted else None)
+        bi_ = unpack_words_to_int8(b)
+        counts = jax.lax.dot_general(
+            ai, bi_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        ca = jax.lax.dynamic_slice(classes, (i0,), (tile,))
+        cb = jax.lax.dynamic_slice(classes, (j0,), (tile,))
+        mask = (
+            (counts > threshold)
+            & (gi < gj)
+            & (gj < n)
+            & valid_t[idx]
+        )
+        if cross_amr_only:
+            mask &= ca[:, None] != cb[None, :]
+        fm = mask.ravel().astype(jnp.int32)
+        vals, sel = jax.lax.top_k(fm, k)
+        row = sel // tile
+        col = sel - row * tile
+        cnt = jnp.where(vals > 0, counts.ravel()[sel], -1)
+        return carry, (i0 + row, j0 + col, cnt)
+
+    _, (bi, bj, bc) = jax.lax.scan(
+        step, 0, jnp.arange(i0s.shape[0])
+    )
+    return bi, bj, bc
 
 
 @dataclasses.dataclass
@@ -129,6 +195,117 @@ class PairwiseResult:
         }
 
 
+def _coalesce_hit_tiles(ti, tj, want, hits_per_tile, tile, n_pad):
+    """Group hit tiles into up-to-3584-wide superblocks when they are
+    dense enough.
+
+    The per-tile recompute is dominated by per-scan-step overhead, not
+    MACs (measured ~4.8 ms matmul per 512² hit tile at 30k
+    dense-homology scale vs 24.6 ms for a whole 3584² block — 49× the
+    area); when most tiles in a region report hits, recomputing the
+    region as one matmul (compaction stays per-sub-tile, see
+    :func:`_extract_superblock_topk`) is a large extraction win. Sparse
+    hit patterns (the bundled dataset's 465-pair regime is borderline)
+    keep the fine granularity — recomputing a 49× larger block for one
+    hit tile would waste MACs and HBM reads.
+
+    Returns (super_ti, super_tj, child_max_hits, q, inv) or None, where
+    `inv` maps each hit tile (in `want` order) to its superblock index.
+    """
+    q = 0
+    for cand in range(min(3584 // tile, 28), 0, -1):
+        if n_pad % (cand * tile) == 0:
+            q = cand
+            break
+    if q <= 1:
+        return None
+    nh = int(want.sum())
+    if nh == 0:
+        return None
+    hi = (ti[want] // q).astype(np.int64)
+    hj = (tj[want] // q).astype(np.int64)
+    key = hi << 32 | hj
+    uk, inv = np.unique(key, return_inverse=True)
+    if nh / len(uk) < max(4, q):
+        return None
+    smax = np.zeros(len(uk), np.int64)
+    np.maximum.at(smax, inv, hits_per_tile[want])
+    return (
+        (uk >> 32).astype(np.int32),
+        (uk & 0xFFFFFFFF).astype(np.int32),
+        smax,
+        q,
+        inv,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "q", "weighted", "cross_amr_only", "k"),
+)
+def _extract_superblock_topk(
+    words, weights, classes, i0s, j0s, valid_t, n, threshold,
+    *, tile: int, q: int, weighted: bool, cross_amr_only: bool, k: int,
+):
+    """Superblock recompute with PER-SUB-TILE top_k compaction.
+
+    One [q·tile]² MXU matmul amortizes the per-tile dispatch/slice
+    overhead (49× the area for ~5× the cost at tile=512, q=7), while
+    compaction stays at sub-tile granularity where top_k is cheap —
+    batched ``lax.top_k`` over the [q², tile²] reshape. `k` must be ≥
+    the densest CHILD tile's hit count (from the sweep's tile_hits).
+    Returns (gi, gj, cnt) int32 [B, q², k]; unused slots carry cnt −1.
+    """
+    s = q * tile
+
+    def step(carry, idx):
+        i0 = i0s[idx]
+        j0 = j0s[idx]
+        a = jax.lax.dynamic_slice_in_dim(words, i0, s, 0)
+        b = jax.lax.dynamic_slice_in_dim(words, j0, s, 0)
+        ai = unpack_words_to_int8(a, weights if weighted else None)
+        bi_ = unpack_words_to_int8(b)
+        counts = jax.lax.dot_general(
+            ai, bi_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        ca = jax.lax.dynamic_slice(classes, (i0,), (s,))
+        cb = jax.lax.dynamic_slice(classes, (j0,), (s,))
+        mask = (
+            (counts > threshold)
+            & (gi < gj)
+            & (gj < n)
+            & valid_t[idx]
+        )
+        if cross_amr_only:
+            mask &= ca[:, None] != cb[None, :]
+
+        def subtiles(x):
+            return (
+                x.reshape(q, tile, q, tile)
+                .transpose(0, 2, 1, 3)
+                .reshape(q * q, tile * tile)
+            )
+
+        fm = subtiles(mask.astype(jnp.int32))
+        cfl = subtiles(counts)
+        vals, sel = jax.lax.top_k(fm, k)            # [q², k]
+        cnt = jnp.take_along_axis(cfl, sel, axis=1)
+        cnt = jnp.where(vals > 0, cnt, -1)
+        si = jnp.arange(q * q, dtype=jnp.int32) // q
+        sj = jnp.arange(q * q, dtype=jnp.int32) % q
+        row = sel // tile
+        col = sel - row * tile
+        out_gi = i0 + si[:, None] * tile + row
+        out_gj = j0 + sj[:, None] * tile + col
+        return carry, (out_gi, out_gj, cnt)
+
+    _, (bi, bj, bc) = jax.lax.scan(step, 0, jnp.arange(i0s.shape[0]))
+    return bi, bj, bc
+
+
 def extract_pairs(
     words,
     classes,
@@ -138,6 +315,8 @@ def extract_pairs(
     threshold: int,
     cross_amr_only: bool = True,
     weights=None,
+    coalesce: Optional[bool] = None,
+    use_topk: Optional[bool] = None,
 ) -> np.ndarray:
     """Pass-2 exact pair recovery from tiles that reported hits.
 
@@ -145,7 +324,17 @@ def extract_pairs(
     engine that produced `tile_hits` — the granularities must match.
     With `weights` (int8 per-bit-column), recovered values are the
     BLOSUM-weighted scores instead of raw counts.
+
+    `coalesce` / `use_topk` override the TPU-vs-elsewhere defaults (both
+    optimizations target TPU cost shapes: superblock matmul amortization
+    and the serialized-scatter workaround; CPU's scatter is fine and its
+    top_k is a full sort — tests force the flags for path coverage).
     """
+    on_tpu = jax.default_backend() == "tpu"
+    if coalesce is None:
+        coalesce = on_tpu
+    if use_topk is None:
+        use_topk = on_tpu
     ti, tj, tile = tiles
     want = tile_hits[:, 0] > 0
     hits_per_tile = tile_hits[:, 0].astype(np.int64)
@@ -155,6 +344,17 @@ def extract_pairs(
     hit_tiles = np.nonzero(want)[0]
     if len(hit_tiles) == 0:
         return np.zeros((0, 3), dtype=np.int64)
+    # superblock coalescing needs the per-sub-tile top_k compaction
+    # (one-giant-tile scatter or top_k both measured slower than the
+    # fine path); the densest-child bound keeps each sub-tile's k sane
+    coalesced = (
+        _coalesce_hit_tiles(
+            np.asarray(ti), np.asarray(tj), want, hits_per_tile,
+            tile, words.shape[0],
+        )
+        if (coalesce and use_topk)
+        else None
+    )
     weighted = weights is not None
     weights_j = jnp.asarray(
         weights if weighted else np.ones(1, np.int8), jnp.int8
@@ -173,40 +373,118 @@ def extract_pairs(
     # Tiles recompute on the MXU and the surviving pairs are COMPACTED on
     # device (fetching dense count blocks costs ~1 MB/tile through the
     # remote tunnel — 2 GB at a 30k dense-homology run; compaction
-    # fetches ~12 B per surviving pair). Batches are padded to one
-    # compiled shape: `batch` tiles whose known hit totals (from the
-    # sweep's tile_hits) fit the `cap` output buffer.
+    # fetches ~12 B per surviving pair plus the top_k slack). Two
+    # compaction strategies by per-tile density:
+    #   * top_k selection for tiles with ≤ _TOPK_CAP hits — 9× the
+    #     scatter path per tile on TPU (scatter serializes; top_k is
+    #     ~0.3 ms per 512² tile) with k sized from the sweep's exact
+    #     per-tile hit counts, bucketed to bound compiled shapes;
+    #   * the cumsum+scatter buffer for ultra-dense tiles (threshold-0
+    #     full dumps), where k would approach the tile area.
     batch = 128
     cap = max(1 << 18, tile * tile)
-    groups = []
-    cur, cur_hits = [], 0
-    for t in hit_tiles:
-        h = int(hits_per_tile[t])
-        if cur and (len(cur) == batch or cur_hits + h > cap):
-            groups.append(cur)
-            cur, cur_hits = [], 0
-        cur.append(t)
-        cur_hits += h
-    groups.append(cur)
 
-    device_parts = []
-    for g in groups:
+    sb_parts = []
+    sb_q = 0
+    fine = hit_tiles
+    if coalesced is not None:
+        sti, stj, smax, sb_q, inv = coalesced
+        ok = smax <= _TOPK_CAP
+        tile_in_ok = ok[inv]  # per hit tile, in want order == hit_tiles order
+        fine = hit_tiles[~tile_in_ok]
+        sb_sel = np.nonzero(ok)[0]
+        sb_sel = sb_sel[np.argsort(-smax[sb_sel])]
+        sb_batch = 16  # padded slots run the full superblock matmul
+        for lo in range(0, len(sb_sel), sb_batch):
+            g = sb_sel[lo : lo + sb_batch]
+            kmax = int(smax[g].max())
+            k = 512
+            while k < kmax:
+                k *= 2
+            k = min(k, tile * tile)
+            i0s = np.zeros(sb_batch, np.int32)
+            j0s = np.zeros(sb_batch, np.int32)
+            valid_t = np.zeros(sb_batch, bool)
+            i0s[: len(g)] = sti[g] * (sb_q * tile)
+            j0s[: len(g)] = stj[g] * (sb_q * tile)
+            valid_t[: len(g)] = True
+            sb_parts.append(
+                _extract_superblock_topk(
+                    words, weights_j, classes_j,
+                    jnp.asarray(i0s), jnp.asarray(j0s), jnp.asarray(valid_t),
+                    np.int32(n), np.int32(threshold),
+                    tile=tile, q=sb_q, weighted=weighted,
+                    cross_amr_only=cross_amr_only, k=k,
+                )
+            )
+
+    hmax = hits_per_tile[fine]
+    if use_topk:
+        sparse_tiles = fine[hmax <= _TOPK_CAP]
+        dense_tiles = fine[hmax > _TOPK_CAP]
+    else:
+        sparse_tiles = fine[:0]
+        dense_tiles = fine
+
+    def _pad_group(g):
         i0s = np.zeros(batch, np.int32)
         j0s = np.zeros(batch, np.int32)
         valid_t = np.zeros(batch, bool)
         i0s[: len(g)] = ti[g] * tile
         j0s[: len(g)] = tj[g] * tile
         valid_t[: len(g)] = True
-        device_parts.append(
-            _extract_batch(
-                words, weights_j, classes_j,
-                jnp.asarray(i0s), jnp.asarray(j0s), jnp.asarray(valid_t),
-                np.int32(n), np.int32(threshold),
-                tile=tile, weighted=weighted,
-                cross_amr_only=cross_amr_only, cap=cap,
+        return jnp.asarray(i0s), jnp.asarray(j0s), jnp.asarray(valid_t)
+
+    topk_parts = []
+    if len(sparse_tiles):
+        # sort by hit count so each batch's k bucket fits its tiles
+        sparse_tiles = sparse_tiles[np.argsort(-hits_per_tile[sparse_tiles])]
+        for lo in range(0, len(sparse_tiles), batch):
+            g = sparse_tiles[lo : lo + batch]
+            kmax = int(hits_per_tile[g].max())
+            k = 512
+            while k < kmax:
+                k *= 2
+            k = min(k, tile * tile)
+            i0s, j0s, valid_t = _pad_group(g)
+            topk_parts.append(
+                _extract_batch_topk(
+                    words, weights_j, classes_j, i0s, j0s, valid_t,
+                    np.int32(n), np.int32(threshold),
+                    tile=tile, weighted=weighted,
+                    cross_amr_only=cross_amr_only, k=k,
+                )
             )
-        )
+
+    device_parts = []
+    if len(dense_tiles):
+        groups = []
+        cur, cur_hits = [], 0
+        for t in dense_tiles:
+            h = int(hits_per_tile[t])
+            if cur and (len(cur) == batch or cur_hits + h > cap):
+                groups.append(cur)
+                cur, cur_hits = [], 0
+            cur.append(t)
+            cur_hits += h
+        groups.append(cur)
+        for g in groups:
+            i0s, j0s, valid_t = _pad_group(np.asarray(g))
+            device_parts.append(
+                _extract_batch(
+                    words, weights_j, classes_j, i0s, j0s, valid_t,
+                    np.int32(n), np.int32(threshold),
+                    tile=tile, weighted=weighted,
+                    cross_amr_only=cross_amr_only, cap=cap,
+                )
+            )
+
     out = []
+    for bi, bj, bc in jax.device_get(sb_parts + topk_parts):
+        m = bc >= 0  # -1 marks the unused top_k slots
+        out.append(
+            np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64)
+        )
     for bi, bj, bc, cnt in jax.device_get(device_parts):
         m = int(cnt)
         out.append(
