@@ -105,3 +105,32 @@ def test_pipeline_device_index_k7_matches_host(toy_fasta):
     assert r_host.parity_report() == r_dev.parity_report()
     assert np.array_equal(r_host.pairwise.pairs, r_dev.pairwise.pairs)
     assert np.array_equal(r_host.bitset.words, r_dev.bitset.words)
+
+
+def test_sorted_build_empty_universe():
+    """k=7 on sequences shorter than 7: empty index, all-zero bitset
+    (regression: the sorted build gathered from zero-size arrays)."""
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        build_bitset_device_sorted,
+    )
+
+    mat = np.zeros((4, 6), np.int32)
+    lengths = np.full(4, 6, np.int32)
+    words, codes, counts, n_rep = build_bitset_device_sorted(
+        mat, lengths, 4, 7, row_multiple=8, word_multiple=128
+    )
+    assert n_rep == 0
+    assert codes.shape == (0,) and counts.shape == (0,)
+    assert not np.asarray(words).any()
+
+
+def test_flat_index_space_guard():
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        _check_flat_index_space,
+    )
+
+    _check_flat_index_space(100_352, 16_384)  # the documented 100k scale
+    with pytest.raises(ValueError, match="2\\^31"):
+        _check_flat_index_space(100_352, 62_592)

@@ -206,3 +206,24 @@ def test_align_pairs_sw_windowed_equals_full(toy_fasta, tmp_path):
     align_pairs_sw(res.table, res.pairwise.pairs, w)
     align_pairs_sw(res.table, res.pairwise.pairs, f, device_scores=False)
     assert open(w).read() == open(f).read()
+
+
+def test_align_pairs_sw_small_batches_keep_order(toy_fasta, tmp_path):
+    """Bucket-sorted batching (one compiled shape per length bucket) must
+    still write lines in the input pair order, including across multiple
+    partially-filled batches."""
+    from uniprot_kmer_based_clustering_tpu import cluster_fasta
+    from uniprot_kmer_based_clustering_tpu.align import align_pairs_sw
+
+    res = cluster_fasta(
+        toy_fasta, engine="xla", threshold=2, tile=16, strip=32,
+        word_block=128,
+    )
+    assert len(res.pairwise.pairs) > 3
+    one = str(tmp_path / "one.tsv")
+    many = str(tmp_path / "many.tsv")
+    align_pairs_sw(res.table, res.pairwise.pairs, one, device_scores=False)
+    align_pairs_sw(
+        res.table, res.pairwise.pairs, many, batch=2, device_scores=False
+    )
+    assert open(one).read() == open(many).read()

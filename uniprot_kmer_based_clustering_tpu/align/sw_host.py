@@ -62,8 +62,10 @@ def sw_align_host(
     """Optimal local alignment of residue-index arrays q, s (int, 0..20).
 
     Row-vectorized numpy DP: O(len(q)) python steps over [len(s)] lanes.
-    Tie-breaking is fixed (diagonal > vertical > horizontal, last best
-    cell wins) so results are deterministic.
+    Tie-breaking is fixed (diagonal > vertical > horizontal; the FIRST
+    best cell in row-major order wins — np.argmax's first-occurrence
+    semantics, matched by the device kernel's strict ">" update) so
+    results are deterministic.
     """
     if matrix is None:
         matrix = blosum62_matrix()
@@ -87,7 +89,8 @@ def sw_align_host(
         e_row[1:] = run[:-1] - GAP_OPEN - idx[1:] + 1
         e[i, 1:] = e_row
         h[i, 1:] = np.maximum(h_nf, e_row)
-    # best cell (last occurrence for a fixed, deterministic choice)
+    # best cell: np.argmax = FIRST occurrence in row-major order (the
+    # device kernel's strict-">" update keeps the same cell)
     flat = int(np.argmax(h))
     best_i, best_j = divmod(flat, ls + 1)
     score = int(h[best_i, best_j])

@@ -37,27 +37,53 @@ from uniprot_kmer_based_clustering_tpu.kmers.encode import (
 )
 
 
+def _bucket(x: int, mult: int = 128) -> int:
+    return -(-max(x, 1) // mult) * mult
+
+
 def _pair_batches(table: ProteinTable, pairs, batch: int, res):
-    """Yield (rows, q_idx, q_len, s_idx, s_len) padded batches.
+    """Yield (rows, q_idx, q_len, s_idx, s_len, nv) padded batches.
 
     Reference vertex order: ref = vertices_key[0] (our lower index i,
-    the diamond path's makedb side = subject), query = j."""
+    the diamond path's makedb side = subject), query = j.
+
+    Shapes are BUCKETED: pairs are processed sorted by their padded
+    (Lq, Ls) bucket and every batch pads B to `batch` and lengths to
+    128-multiples, so the device kernel compiles one shape per occupied
+    bucket (≤ ~(maxlen/128)² total) instead of one per batch — each
+    unique shape costs ~60-90 s through the remote compile tunnel. `nv`
+    is the number of real rows (the rest repeat row 0 and are dropped).
+    """
     lengths = table.lengths.astype(np.int64)
     offsets = table.offsets
-    for lo in range(0, len(pairs), batch):
-        rows = pairs[lo : lo + batch]
+    lqb = np.array([_bucket(int(lengths[j])) for j in pairs[:, 1]])
+    lsb = np.array([_bucket(int(lengths[i])) for i in pairs[:, 0]])
+    order = np.lexsort((lsb, lqb))
+    for lo in range(0, len(order), batch):
+        sel = order[lo : lo + batch]
+        rows = pairs[sel]
+        nv = len(rows)
         qi = rows[:, 1].astype(np.int64)  # query = j
         si = rows[:, 0].astype(np.int64)  # subject = i
-        lq = int(lengths[qi].max())
-        ls = int(lengths[si].max())
-        q_idx = np.zeros((len(rows), lq), np.int32)
-        s_idx = np.zeros((len(rows), ls), np.int32)
-        for r in range(len(rows)):
+        lq = int(lqb[sel].max())
+        ls = int(lsb[sel].max())
+        q_idx = np.zeros((batch, lq), np.int32)
+        s_idx = np.zeros((batch, ls), np.int32)
+        q_len = np.zeros(batch, np.int64)
+        s_len = np.zeros(batch, np.int64)
+        for r in range(nv):
             a, b = offsets[qi[r]], offsets[qi[r] + 1]
             q_idx[r, : b - a] = res[a:b]
             a, b = offsets[si[r]], offsets[si[r] + 1]
             s_idx[r, : b - a] = res[a:b]
-        yield rows, q_idx, lengths[qi], s_idx, lengths[si]
+        q_len[:nv] = lengths[qi]
+        s_len[:nv] = lengths[si]
+        if nv < batch:  # pad slots repeat the first row (valid inputs)
+            q_idx[nv:] = q_idx[0]
+            s_idx[nv:] = s_idx[0]
+            q_len[nv:] = q_len[0]
+            s_len[nv:] = s_len[0]
+        yield sel, rows, q_idx, q_len, s_idx, s_len, nv
 
 
 def align_pairs_sw(
@@ -84,8 +110,9 @@ def align_pairs_sw(
     pairs = np.asarray(pairs)
     res = residues_to_indices(table.seq_buf).astype(np.int32)
     offsets = table.offsets
-    lines: List[str] = []
-    for rows, q_idx, q_len, s_idx, s_len in _pair_batches(
+    # batches arrive bucket-sorted; lines restore the input pair order
+    lines: List[Optional[str]] = [None] * len(pairs)
+    for sel, rows, q_idx, q_len, s_idx, s_len, nv in _pair_batches(
         table, pairs, batch, res
     ):
         dev = (
@@ -93,7 +120,7 @@ def align_pairs_sw(
             if device_scores
             else None
         )
-        for r, row in enumerate(rows):
+        for r, row in enumerate(rows[:nv]):
             i, j = int(row[0]), int(row[1])
             q = res[offsets[j] : offsets[j + 1]]
             s = res[offsets[i] : offsets[i + 1]]
@@ -128,7 +155,7 @@ def align_pairs_sw(
                             )
             qlen, slen = len(q), len(s)
             ev = a.evalue(qlen, slen)
-            lines.append(
+            lines[int(sel[r])] = (
                 f"{table.ids[j]}\t{qlen}\t{table.ids[i]}\t{slen}\t"
                 f"{a.q_start}\t{a.q_end}\t{a.s_start}\t{a.s_end}\t"
                 f"{a.length}\t{a.pident:.1f}\t"

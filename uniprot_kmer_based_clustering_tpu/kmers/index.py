@@ -228,14 +228,14 @@ def doc_freq_dense_device(codes, valid, k: int):
 
     if k != 5:
         raise ValueError("dense device doc-freq supports k=5 only")
+    # late import: index_device imports this function (no module cycle at
+    # import time this way)
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        _row_dedup,
+    )
+
     universe = 21**k
     # Sentinel out-of-range code for padding windows so they never count.
-    sent = universe
-    c = jnp.where(valid, codes, sent)
-    c = jnp.sort(c, axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((c.shape[0], 1), bool), c[:, 1:] != c[:, :-1]], axis=1
-    )
-    flat = jnp.where(first & (c < sent), c, sent).reshape(-1)
+    flat = _row_dedup(codes, valid, sent=universe).reshape(-1)
     counts = jnp.zeros(universe + 1, jnp.int32).at[flat].add(1)
     return counts[:universe]

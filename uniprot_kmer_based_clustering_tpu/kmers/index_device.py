@@ -31,18 +31,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _check_flat_index_space(n_pad: int, w_pad: int) -> None:
+    # the single-bit scatter flattens (row, word) to row*w_pad+word in
+    # int32 (x64 is off; astype(int64) would silently stay 32-bit) — past
+    # the int32 range the scatter would wrap and corrupt bitsets silently
+    if n_pad * w_pad + 1 > 2**31 - 1:
+        raise ValueError(
+            f"device index build needs N_pad*W_pad < 2^31 flat scatter "
+            f"indices (got {n_pad}*{w_pad}); use index_engine='host' at "
+            f"this scale"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "w_pad"))
 def _device_index_k5(codes, valid, *, n_pad: int, w_pad: int):
     universe = 21**5
     sent = universe
 
     # per-protein first-occurrence dedup (sorted rows)
-    c = jnp.where(valid, codes, sent)
-    c = jnp.sort(c, axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((c.shape[0], 1), bool), c[:, 1:] != c[:, :-1]], axis=1
-    )
-    inc_code = jnp.where(first & (c < sent), c, sent)  # [N, Wmax]
+    inc_code = _row_dedup(codes, valid, sent=sent)  # [N, Wmax]
 
     flat = inc_code.reshape(-1)
     freq = jnp.zeros(universe + 1, jnp.int32).at[flat].add(1)
@@ -101,14 +108,9 @@ def build_bitset_device(
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, ((0, pad), (0, 0)))
 
-    # upper bound on W: distinct codes ≤ total valid windows
-    # (host computes exactly; here we need a static shape — use the
-    # universe bound /32, then trim on host if desired). To keep HBM sane
-    # we run a first pass for n_repeated, then a second with the tight W.
-    universe = 21**5
-    w_bound = -(-universe // 32 // word_multiple) * word_multiple
-
-    # pass 1: frequency only (cheap) to size W tightly
+    # pass 1: frequency only (cheap), fetched once to size W tightly —
+    # W needs a static shape, so the tight n_repeated/32 beats the 21⁵/32
+    # universe bound by ~17× on the bundled data
     from uniprot_kmer_based_clustering_tpu.kmers.index import (
         doc_freq_dense_device,
     )
@@ -116,26 +118,33 @@ def build_bitset_device(
     freq = doc_freq_dense_device(codes, valid, 5)
     n_repeated = int(jnp.sum(freq >= 2))
     w_pad = -(-max(n_repeated, 1) // 32 // word_multiple) * word_multiple
-    del w_bound
+    _check_flat_index_space(n_pad, w_pad)
 
-    words, freq, n_rep_dev = _device_index_k5(
+    words, freq, _ = _device_index_k5(
         codes, valid, n_pad=n_pad, w_pad=w_pad
     )
-    assert int(n_rep_dev) == n_repeated
+    # (pass-2 n_repeated parity with pass 1 is asserted by the pipeline
+    # against the host index and by tests/test_index_device.py — no
+    # extra synchronizing fetch here)
     return words, freq, n_repeated
 
 
 _SENT = np.int32(2**31 - 1)  # sorts after every k-mer code (21^7 < 2^31)
 
 
-def _row_dedup(codes, valid):
-    """Sorted per-row codes with duplicates (and padding) → sentinel."""
-    c = jnp.where(valid, codes, _SENT)
+def _row_dedup(codes, valid, sent=_SENT):
+    """Sorted per-row codes with duplicates (and padding) → `sent`.
+
+    The one per-row first-occurrence dedup shared by every device index
+    build (k=5 dense, sorted any-k, distributed doc-freq) — the sentinel
+    is the only thing that varies (the dense paths use the universe size
+    so the bincount can absorb it)."""
+    c = jnp.where(valid, codes, sent)
     c = jnp.sort(c, axis=1)
     first = jnp.concatenate(
         [jnp.ones((c.shape[0], 1), bool), c[:, 1:] != c[:, :-1]], axis=1
     )
-    return jnp.where(first & (c < _SENT), c, _SENT)
+    return jnp.where(first & (c < sent), c, sent)
 
 
 @jax.jit
@@ -237,6 +246,16 @@ def build_bitset_device_sorted(
     nd, nr = jax.device_get(_sorted_index_sizes(codes, valid))
     n_distinct, n_repeated = int(nd), int(nr)
     w_pad = -(-max(n_repeated, 1) // 32 // word_multiple) * word_multiple
+    if n_distinct == 0:
+        # every sequence shorter than k: empty index, all-zero bitset
+        # (the gathers in _device_index_sorted need ≥1 group)
+        return (
+            jnp.zeros((n_pad, w_pad), jnp.uint32),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            0,
+        )
+    _check_flat_index_space(n_pad, w_pad)
     words, uniq, counts = _device_index_sorted(
         codes, valid,
         n_pad=n_pad, w_pad=w_pad,

@@ -52,8 +52,12 @@ def _round_argmax(sigs, active):
         a, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
     npad = counts.shape[0]
-    eye = jnp.eye(npad, dtype=bool)
-    ok = active[None, :] & active[:, None] & ~eye
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    # iota compare fuses to zero memory; jnp.eye would pin an [N², 1B]
+    # buffer in HBM (~912 MB at the 30k scale)
+    ok = (
+        active[None, :] & active[:, None] & (iota[:, None] != iota[None, :])
+    )
     counts = jnp.where(ok, counts, -1)
     best_j = jnp.argmax(counts, axis=1).astype(jnp.int32)
     best_c = jnp.take_along_axis(counts, best_j[:, None], axis=1)[:, 0]
@@ -61,11 +65,16 @@ def _round_argmax(sigs, active):
 
 
 @jax.jit
-def _merge_signatures(sigs, win, lose):
-    """sigs[win] &= sigs[lose]; sigs[lose] = 0 (batched index update)."""
-    merged = sigs[win] & sigs[lose]
-    sigs = sigs.at[win].set(merged)
-    return sigs.at[lose].set(jnp.zeros_like(merged))
+def _merge_signatures(sigs, partner, is_winner, is_loser):
+    """winners absorb their partner (AND), losers zero out.
+
+    Full-width [N_pad] operands — the merge count varies every round, so
+    shaped winner/loser index vectors would force one remote compile per
+    distinct count; masked full-width updates compile once.
+    """
+    merged = sigs & sigs[partner]
+    sigs = jnp.where(is_winner[:, None], merged, sigs)
+    return jnp.where(is_loser[:, None], jnp.uint32(0), sigs)
 
 
 @dataclass
@@ -118,8 +127,15 @@ def agglomerative_cluster(
         losers = best_j[mutual]
         if winners.size == 0:
             break
+        partner = np.arange(n_pad, dtype=np.int32)
+        partner[winners] = losers
+        is_winner = np.zeros(n_pad, bool)
+        is_winner[winners] = True
+        is_loser = np.zeros(n_pad, bool)
+        is_loser[losers] = True
         sigs = _merge_signatures(
-            sigs, jnp.asarray(winners), jnp.asarray(losers)
+            sigs, jnp.asarray(partner), jnp.asarray(is_winner),
+            jnp.asarray(is_loser),
         )
         for w, l, c in zip(winners, losers, best_c[winners]):
             merges.append((int(w), int(l), int(c)))
@@ -175,7 +191,6 @@ def _agglomerate_device_gated(sigs, active0, min_shared: int, max_rounds: int):
     """min_shared-gated variant (separate jit so the gate is static)."""
     npad = sigs.shape[0]
     iota = jnp.arange(npad, dtype=jnp.int32)
-    eye = jnp.eye(npad, dtype=bool)
 
     def cond(state):
         return state[5] & (state[6] < max_rounds)
@@ -188,7 +203,9 @@ def _agglomerate_device_gated(sigs, active0, min_shared: int, max_rounds: int):
             preferred_element_type=jnp.int32,
         )
         ok = (
-            active[None, :] & active[:, None] & ~eye
+            active[None, :]
+            & active[:, None]
+            & (iota[:, None] != iota[None, :])
         )
         counts = jnp.where(ok, counts, -1)
         best_j = jnp.argmax(counts, axis=1).astype(jnp.int32)

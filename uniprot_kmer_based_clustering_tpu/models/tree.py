@@ -242,12 +242,18 @@ class ClusterTree:
         return labels
 
     def depth(self) -> int:
-        def d(node: _Node) -> int:
+        # iterative: chain-shaped trees exceed Python's default recursion
+        # limit (add_protein raises the limit for its own recursion;
+        # depth() must not depend on that)
+        best = 0
+        stack = [(self.root, 1)]
+        while stack:
+            node, d = stack.pop()
             if not node.children:
-                return 1
-            return 1 + max(d(c) for c in node.children)
-
-        return d(self.root)
+                best = max(best, d)
+            else:
+                stack.extend((c, d + 1) for c in node.children)
+        return best
 
 
 def build_tree(bitset: BitsetMatrix, n: int, order=None) -> ClusterTree:
