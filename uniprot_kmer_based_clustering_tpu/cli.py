@@ -26,8 +26,6 @@ import json
 import os
 import sys
 
-import numpy as np
-
 
 def _build_config(args):
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
@@ -87,8 +85,10 @@ def cmd_run(args) -> int:
 
         # --distributed with no explicit count spans every chip in the
         # slice (the pod-launch default, scripts/launch_pod.sh)
+        # devices=0 means unspecified (span the slice); an explicit
+        # --devices 1 with --distributed/--shard-axis builds a 1-device mesh
         mesh = make_mesh(
-            args.devices if args.devices > 1 else None,
+            args.devices if args.devices >= 1 else None,
             axis="k" if args.shard_axis == "kmers" else "p",
         )
 
@@ -223,7 +223,9 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    os.environ.setdefault("UKC_BENCH_FASTA", args.fasta)
+    # unconditional: a leftover exported UKC_BENCH_FASTA must not
+    # silently override the explicitly passed argument
+    os.environ["UKC_BENCH_FASTA"] = args.fasta
     import bench  # repo-root bench script
 
     bench.main()

@@ -37,7 +37,6 @@ Outputs (both int32):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -81,23 +80,6 @@ def _masks(i0, j0, n, tile, classes_row, classes_col):
     valid = (gi < gj) & (gj < n) & (gi < n)
     cross = classes_row != classes_col  # [tile,1] vs [1,tile] broadcast
     return valid & cross, valid & ~cross
-
-
-def _tile_stat_columns(counts, cross, same, threshold):
-    """Reduce a [T, T] counts tile to eight per-row [T, 1] stat columns."""
-    czero = jnp.where(cross, counts, 0)
-    szero = jnp.where(same, counts, 0)
-    kd = dict(axis=1, keepdims=True)
-    return [
-        jnp.sum(czero, **kd),
-        jnp.sum((cross & (counts >= 1)).astype(jnp.int32), **kd),
-        jnp.sum((cross & (counts > threshold)).astype(jnp.int32), **kd),
-        jnp.max(czero, **kd),
-        jnp.sum(szero, **kd),
-        jnp.sum((same & (counts >= 1)).astype(jnp.int32), **kd),
-        jnp.sum((same & (counts > threshold)).astype(jnp.int32), **kd),
-        jnp.max(szero, **kd),
-    ]
 
 
 # ---------------------------------------------------------------------------
@@ -322,10 +304,13 @@ def pairwise_counts_xla(a_words, b_words):
 
 @functools.partial(jax.jit, static_argnames=("n", "threshold", "tile"))
 def _tile_stats_xla(a, b, crow, ccol, i0, j0, *, n, threshold, tile):
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import stack_row_stats
+
     counts = pairwise_counts_xla(a, b)
     cross, same = _masks(i0, j0, n, tile, crow, ccol)
-    cols = _tile_stat_columns(counts, cross, same, threshold)
-    stats = jnp.concatenate(cols, axis=1)  # [T, 8]
+    # the canonical shared 8-lane stack (the popcount engines never take
+    # weights, so w_thresh stays at its default 1)
+    stats, _, _ = stack_row_stats(counts, cross, same, threshold)
     hits = jnp.stack(
         [
             jnp.sum(stats[:, 2]),
@@ -355,6 +340,10 @@ def sweep_xla(words, classes, n: int, threshold: int, tile: int = 512):
     classes = jnp.asarray(classes, jnp.int32)
     row_stats = np.zeros((n_pad, _NSTATS), dtype=np.int64)
     tile_hits = np.zeros((ti.shape[0], 4), dtype=np.int32)
+    # dispatch every tile asynchronously, fetch ONCE (a synchronizing
+    # per-tile readback costs ~30 ms through the remote tunnel — ~14 s of
+    # pure latency over the bundled set's 231 tiles)
+    device_parts = []
     for t in range(ti.shape[0]):
         i, j = int(ti[t]), int(tj[t])
         a = jax.lax.dynamic_slice_in_dim(words, i * tile, tile, 0)
@@ -365,18 +354,22 @@ def sweep_xla(words, classes, n: int, threshold: int, tile: int = 512):
         ccol = jax.lax.dynamic_slice_in_dim(classes, j * tile, tile).reshape(
             1, tile
         )
-        stats, hits = _tile_stats_xla(
-            a, b, crow, ccol, i * tile, j * tile,
-            n=n, threshold=threshold, tile=tile,
+        device_parts.append(
+            _tile_stats_xla(
+                a, b, crow, ccol, i * tile, j * tile,
+                n=n, threshold=threshold, tile=tile,
+            )
         )
-        stats = np.asarray(stats, dtype=np.int64)
+    for t, (stats, hits) in enumerate(jax.device_get(device_parts)):
+        i = int(ti[t])
+        stats = stats.astype(np.int64)
         sl = slice(i * tile, (i + 1) * tile)
         for lane in range(_NSTATS):
             if lane % 4 == 3:
                 row_stats[sl, lane] = np.maximum(row_stats[sl, lane], stats[:, lane])
             else:
                 row_stats[sl, lane] += stats[:, lane]
-        tile_hits[t] = np.asarray(hits)
+        tile_hits[t] = hits
     return row_stats, tile_hits, (ti, tj, tile)
 
 

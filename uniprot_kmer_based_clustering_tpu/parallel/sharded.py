@@ -31,8 +31,6 @@ atomics, and the result is deterministic for any device count.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -241,7 +239,8 @@ def make_ring_sweep(
         nb_local = block // block_tile
         nb = nb_local * d_count
 
-        gi = None  # built lazily per step (moving offset is traced)
+        # stationary row indices are fixed per device; only the moving
+        # column offset is traced per ring step
         row_base = dev * block
         gi = row_base + jax.lax.broadcasted_iota(
             jnp.int32, (block, block), 0

@@ -32,6 +32,32 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
 from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep
 
 
+def _recompute_block(
+    words, weights, classes, i0, j0, size, n, threshold,
+    weighted, cross_amr_only, valid,
+):
+    """Shared tile-recompute preamble of every extraction path: slice the
+    [size]-row windows at (i0, j0), redo the MXU counts, and build the
+    survivor mask (threshold + triangle + bounds + class filter + batch
+    validity). Returns (counts, mask, gi, gj) — [size, size] each."""
+    a = jax.lax.dynamic_slice_in_dim(words, i0, size, 0)
+    b = jax.lax.dynamic_slice_in_dim(words, j0, size, 0)
+    ai = unpack_words_to_int8(a, weights if weighted else None)
+    bi = unpack_words_to_int8(b)
+    counts = jax.lax.dot_general(
+        ai, bi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    ca = jax.lax.dynamic_slice(classes, (i0,), (size,))
+    cb = jax.lax.dynamic_slice(classes, (j0,), (size,))
+    mask = (counts > threshold) & (gi < gj) & (gj < n) & valid
+    if cross_amr_only:
+        mask &= ca[:, None] != cb[None, :]
+    return counts, mask, gi, gj
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "weighted", "cross_amr_only", "cap"),
@@ -53,33 +79,17 @@ def _extract_batch(
 
     def step(carry, idx):
         cursor, bi, bj, bc = carry
-        i0 = i0s[idx]
-        j0 = j0s[idx]
-        a = jax.lax.dynamic_slice_in_dim(words, i0, tile, 0)
-        b = jax.lax.dynamic_slice_in_dim(words, j0, tile, 0)
-        ai = unpack_words_to_int8(a, weights if weighted else None)
-        bi_ = unpack_words_to_int8(b)
-        counts = jax.lax.dot_general(
-            ai, bi_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        counts, mask, gi, gj = _recompute_block(
+            words, weights, classes, i0s[idx], j0s[idx], tile, n,
+            threshold, weighted, cross_amr_only, valid_t[idx],
         )
-        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        ca = jax.lax.dynamic_slice(classes, (i0,), (tile,))
-        cb = jax.lax.dynamic_slice(classes, (j0,), (tile,))
-        mask = (
-            (counts > threshold)
-            & (gi < gj)
-            & (gj < n)
-            & valid_t[idx]
-        )
-        if cross_amr_only:
-            mask &= ca[:, None] != cb[None, :]
         fm = mask.ravel()
         pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-        # dropped elements get DISTINCT out-of-bounds slots so every
-        # index is unique — unique_indices=True lets XLA vectorize the
-        # scatter instead of serializing it
+        # dropped elements get DISTINCT out-of-bounds slots so the
+        # unique_indices hint is honest. NOTE: measured on this stack the
+        # hint does NOT make Mosaic vectorize the scatter (~2.7 ms per
+        # 512² tile either way) — which is why the top_k paths exist;
+        # this scatter path survives only for ultra-dense tiles
         pos = jnp.where(
             fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
         )
@@ -125,26 +135,10 @@ def _extract_batch_topk(
     def step(carry, idx):
         i0 = i0s[idx]
         j0 = j0s[idx]
-        a = jax.lax.dynamic_slice_in_dim(words, i0, tile, 0)
-        b = jax.lax.dynamic_slice_in_dim(words, j0, tile, 0)
-        ai = unpack_words_to_int8(a, weights if weighted else None)
-        bi_ = unpack_words_to_int8(b)
-        counts = jax.lax.dot_general(
-            ai, bi_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        counts, mask, _, _ = _recompute_block(
+            words, weights, classes, i0, j0, tile, n,
+            threshold, weighted, cross_amr_only, valid_t[idx],
         )
-        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        ca = jax.lax.dynamic_slice(classes, (i0,), (tile,))
-        cb = jax.lax.dynamic_slice(classes, (j0,), (tile,))
-        mask = (
-            (counts > threshold)
-            & (gi < gj)
-            & (gj < n)
-            & valid_t[idx]
-        )
-        if cross_amr_only:
-            mask &= ca[:, None] != cb[None, :]
         fm = mask.ravel().astype(jnp.int32)
         vals, sel = jax.lax.top_k(fm, k)
         row = sel // tile
@@ -261,26 +255,10 @@ def _extract_superblock_topk(
     def step(carry, idx):
         i0 = i0s[idx]
         j0 = j0s[idx]
-        a = jax.lax.dynamic_slice_in_dim(words, i0, s, 0)
-        b = jax.lax.dynamic_slice_in_dim(words, j0, s, 0)
-        ai = unpack_words_to_int8(a, weights if weighted else None)
-        bi_ = unpack_words_to_int8(b)
-        counts = jax.lax.dot_general(
-            ai, bi_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        counts, mask, _, _ = _recompute_block(
+            words, weights, classes, i0, j0, s, n,
+            threshold, weighted, cross_amr_only, valid_t[idx],
         )
-        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        ca = jax.lax.dynamic_slice(classes, (i0,), (s,))
-        cb = jax.lax.dynamic_slice(classes, (j0,), (s,))
-        mask = (
-            (counts > threshold)
-            & (gi < gj)
-            & (gj < n)
-            & valid_t[idx]
-        )
-        if cross_amr_only:
-            mask &= ca[:, None] != cb[None, :]
 
         def subtiles(x):
             return (

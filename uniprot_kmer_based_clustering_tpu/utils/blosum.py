@@ -68,7 +68,7 @@ def blosum62_matrix() -> np.ndarray:
 def kmer_self_scores(codes: np.ndarray, k: int) -> np.ndarray:
     """Per-k-mer weight = Σ_j blosum62[aa_j, aa_j] over the k-mer's
     residues, decoded from the base-21 codes. int32 [len(codes)]."""
-    diag = blosum62_matrix().diagonal().astype(np.int32)  # ['*'] = 0
+    diag = blosum62_matrix().diagonal().astype(np.int32)  # ['*','*'] = +1
     codes = np.asarray(codes, dtype=np.int64)
     weights = np.zeros(codes.shape[0], dtype=np.int32)
     rem = codes.copy()
