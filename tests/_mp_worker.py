@@ -78,6 +78,16 @@ pairs = extract_pairs(
     jnp.asarray(words), classes, tile_hits, tiles, n=n, threshold=10
 )
 
+# ring extraction across the real process boundary must agree exactly
+from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: E402
+    sharded_extract_pairs,
+)
+
+pairs_ring = sharded_extract_pairs(
+    mesh, words, classes, n, 10, block_tile=128
+)
+assert np.array_equal(pairs_ring, np.asarray(pairs)), "ring extraction"
+
 # Hierarchical 2-D ring: host axis = the real process boundary (gloo/DCN
 # analogue), chip axis = the 2 local devices. Must be bit-identical to
 # the flat ring.

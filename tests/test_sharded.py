@@ -279,3 +279,71 @@ def test_ring_2d_pallas_stats_interpret():
     )
     assert np.array_equal(rs_p, rs_x)
     assert np.array_equal(th_p, th_x)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_sharded_extraction_matches_single_chip(d):
+    """Ring extraction (no full-matrix replication) == extract_pairs,
+    for every device count."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_extract_pairs,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d)
+    ps = sharded_extract_pairs(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(px, ps)
+
+
+def test_sharded_extraction_all_pairs_and_weighted():
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_extract_pairs,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    mesh = make_mesh(4)
+
+    # all-pairs (same-class kept)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(
+        w, classes, thx, tx, n=n, threshold=THR, cross_amr_only=False
+    )
+    ps = sharded_extract_pairs(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        cross_amr_only=False,
+    )
+    assert np.array_equal(px, ps)
+
+    # weighted scores
+    rng = np.random.default_rng(9)
+    wts = rng.integers(1, 30, bs.w_pad * 32).astype(np.int8)
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+
+    rsm, thm, tm = sweep_mxu(
+        w, jnp.asarray(classes), n, 40, strip=128, block=128, weights=wts
+    )
+    pxw = extract_pairs(w, classes, thm, tm, n=n, threshold=40, weights=wts)
+    psw = sharded_extract_pairs(
+        mesh, bs.words, classes, n, 40, block_tile=128, weights=wts
+    )
+    assert np.array_equal(pxw, psw)
+
+
+def test_sharded_extraction_overflow_raises():
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_extract_pairs,
+    )
+
+    bs, classes, n = _problem(1024)
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="overflow"):
+        sharded_extract_pairs(
+            mesh, bs.words, classes, n, 0, block_tile=128, cap=64
+        )

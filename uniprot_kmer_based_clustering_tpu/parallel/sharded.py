@@ -340,6 +340,152 @@ def sharded_pairwise_similarity(
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
+def make_ring_extract(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    axis: str = "p",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+):
+    """Jitted ring-extraction step: exact surviving pairs, mesh-parallel.
+
+    Same ppermute schedule and dedup gates as :func:`make_ring_sweep`,
+    but instead of statistics each device compacts its block pairs'
+    survivors (canonicalized to i < j) into a fixed-`cap` local buffer —
+    so extraction never needs the full bitset matrix on one device (the
+    single-chip :func:`similarity.pairwise.extract_pairs` replicates it,
+    which cannot work once the row-sharded matrix outgrows one HBM).
+    Returns per-device (gi [cap], gj [cap], cnt [cap], cursor [1]); a
+    cursor past `cap` means that device overflowed (its surplus pairs
+    were dropped) — the wrapper raises, and callers with single-device
+    headroom can fall back to extract_pairs.
+    """
+    d_count = mesh.shape[axis]
+
+    def step(words_local, classes_local, weights):
+        dev = jax.lax.axis_index(axis)
+        block = words_local.shape[0]
+        row_base = dev * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        bi = jnp.zeros(cap, jnp.int32)
+        bj = jnp.zeros(cap, jnp.int32)
+        bc = jnp.zeros(cap, jnp.int32)
+        cursor = jnp.int32(0)
+
+        moving_w = words_local
+        moving_c = classes_local
+        n_steps = d_count // 2 + 1
+        for s in range(n_steps):
+            if s > 0:
+                perm = [((i + 1) % d_count, i) for i in range(d_count)]
+                moving_w = jax.lax.ppermute(moving_w, axis, perm)
+                moving_c = jax.lax.ppermute(moving_c, axis, perm)
+            moving_base = ((dev + s) % d_count) * block
+            gj = moving_base + jax.lax.broadcasted_iota(
+                jnp.int32, (block, block), 1
+            )
+            if s == 0:
+                active = jnp.bool_(True)
+            elif 2 * s == d_count:
+                active = dev < (d_count // 2)
+            else:
+                active = jnp.bool_(True)
+
+            counts = _block_counts(
+                words_local, moving_w, weights if weighted else None
+            )
+            valid = (gi < n) & (gj < n) & active
+            if s == 0:
+                valid &= gi < gj
+            mask = valid & (counts > threshold)
+            if cross_amr_only:
+                mask &= classes_local[:, None] != moving_c[None, :]
+
+            fm = mask.ravel()
+            pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
+            pos = jnp.where(
+                fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
+            )
+            opts = dict(mode="drop", unique_indices=True)
+            # off-diagonal steps see each unordered pair in ONE arbitrary
+            # orientation — canonicalize to (min, max)
+            bi = bi.at[pos].set(jnp.minimum(gi, gj).ravel(), **opts)
+            bj = bj.at[pos].set(jnp.maximum(gi, gj).ravel(), **opts)
+            bc = bc.at[pos].set(counts.ravel(), **opts)
+            cursor = cursor + jnp.sum(fm.astype(jnp.int32))
+        return bi, bj, bc, cursor[None]
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_extract_pairs(
+    mesh: Mesh,
+    words: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    block_tile: int = 128,
+    axis: str = "p",
+    weights: np.ndarray | None = None,
+    cross_amr_only: bool = True,
+    cap: int = 1 << 20,
+):
+    """Mesh-parallel exact pair extraction (the ring schedule, one pass).
+
+    Bit-identical (after the canonical (i, j) sort) to the single-chip
+    :func:`similarity.pairwise.extract_pairs` for every device count,
+    without ever replicating the bitset matrix — each device recomputes
+    only its own ring block pairs. `cap` bounds surviving pairs per
+    device; overflow raises with the observed maximum so the caller can
+    re-run with a bigger cap.
+    """
+    d_count = mesh.shape[axis]
+    n_pad = words.shape[0]
+    assert n_pad % (d_count * block_tile) == 0, (
+        f"N_pad={n_pad} must be divisible by devices×block_tile="
+        f"{d_count * block_tile}"
+    )
+    words_s, classes_s, weights_s, weighted = _stage_inputs(
+        mesh, words, classes, weights, P(axis, None), P(axis)
+    )
+    fn = make_ring_extract(
+        mesh, n, threshold, cap, axis, weighted, cross_amr_only
+    )
+    out = fn(words_s, classes_s, weights_s)
+    if jax.process_count() > 1:
+        # replicate before fetching (device_get cannot read remote shards)
+        out = jax.jit(
+            lambda *x: x,
+            out_shardings=tuple(NamedSharding(mesh, P(None)) for _ in out),
+        )(*out)
+    bi, bj, bc, cursors = jax.device_get(out)
+    if int(cursors.max()) > cap:
+        raise ValueError(
+            f"sharded extraction overflow: a device found "
+            f"{int(cursors.max())} pairs > cap={cap}; re-run with a "
+            f"larger cap"
+        )
+    parts = []
+    for d in range(d_count):
+        m = int(cursors[d])
+        sl = slice(d * cap, d * cap + m)
+        parts.append(np.stack([bi[sl], bj[sl], bc[sl]], axis=1))
+    pairs = np.concatenate(parts, axis=0).astype(np.int64)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
+
+
 def make_ring_sweep_2d(
     mesh: Mesh,
     n: int,

@@ -343,16 +343,37 @@ def _sharded_similarity(
     )
     totals = row_stats.sum(axis=0)
     maxes = row_stats.max(axis=0)
-    pairs = extract_pairs(
-        jnp.asarray(words),
-        classes,
-        tile_hits,
-        tiles,
-        n=bitset.n,
-        threshold=threshold,
-        cross_amr_only=config.cross_amr_only,
-        weights=weights,
-    )
+    if mesh.axis_names == ("p",):
+        # ring extraction: no device ever holds the full bitset (the
+        # single-chip extractor replicates it — impossible once the
+        # row-sharded matrix outgrows one HBM). The sweep's tile_hits
+        # give the exact survivor total, so the per-device cap is safe.
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            sharded_extract_pairs,
+        )
+
+        total_hits = int(tile_hits[:, 0].sum())
+        if not config.cross_amr_only:
+            total_hits += int(tile_hits[:, 1].sum())
+        pairs = sharded_extract_pairs(
+            mesh, words, classes, bitset.n, threshold,
+            block_tile=block_tile, weights=weights,
+            cross_amr_only=config.cross_amr_only,
+            cap=max(1 << 18, total_hits),
+        )
+    else:
+        # 2-D and k-axis layouts: single-host extraction from the hit
+        # tiles (their shardings don't map onto the 1-D ring extractor)
+        pairs = extract_pairs(
+            jnp.asarray(words),
+            classes,
+            tile_hits,
+            tiles,
+            n=bitset.n,
+            threshold=threshold,
+            cross_amr_only=config.cross_amr_only,
+            weights=weights,
+        )
     return PairwiseResult(
         cross_weight=int(totals[0]),
         cross_pairs=int(totals[1]),
