@@ -347,3 +347,24 @@ def test_sharded_extraction_overflow_raises():
         sharded_extract_pairs(
             mesh, bs.words, classes, n, 0, block_tile=128, cap=64
         )
+
+
+@pytest.mark.parametrize("hc,cc", [(2, 2), (2, 4), (4, 2), (3, 2), (2, 3)])
+def test_sharded_extraction_2d_matches(hc, cc):
+    """Hierarchical 2-D ring extraction == single-chip, any H×C shape."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_extract_pairs,
+    )
+
+    if hc * cc > len(jax.devices()):
+        pytest.skip("not enough virtual devices")
+    bs, classes, n = _problem(hc * cc * 128)
+    w = jnp.asarray(bs.words)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    ps = sharded_extract_pairs(
+        make_mesh_2d(hc, cc), bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(px, ps)

@@ -8,6 +8,7 @@ from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     doc_freq_psum,
     make_kaxis_sweep,
     make_ring_extract,
+    make_ring_extract_2d,
     make_ring_sweep,
     make_ring_sweep_2d,
     sharded_extract_pairs,

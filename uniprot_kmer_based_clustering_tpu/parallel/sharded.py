@@ -448,20 +448,33 @@ def sharded_extract_pairs(
     without ever replicating the bitset matrix — each device recomputes
     only its own ring block pairs. `cap` bounds surviving pairs per
     device; overflow raises with the observed maximum so the caller can
-    re-run with a bigger cap.
+    re-run with a bigger cap. A 2-axis (hosts × chips) mesh runs the
+    hierarchical 2-D schedule (one DCN hop per outer step); `axis` is
+    ignored there.
     """
-    d_count = mesh.shape[axis]
+    two_d = len(mesh.axis_names) == 2
+    d_count = int(mesh.devices.size)
     n_pad = words.shape[0]
     assert n_pad % (d_count * block_tile) == 0, (
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
     )
+    if two_d:
+        h_ax, c_ax = mesh.axis_names
+        row_spec, cls_spec = P((h_ax, c_ax), None), P((h_ax, c_ax))
+    else:
+        row_spec, cls_spec = P(axis, None), P(axis)
     words_s, classes_s, weights_s, weighted = _stage_inputs(
-        mesh, words, classes, weights, P(axis, None), P(axis)
+        mesh, words, classes, weights, row_spec, cls_spec
     )
-    fn = make_ring_extract(
-        mesh, n, threshold, cap, axis, weighted, cross_amr_only
-    )
+    if two_d:
+        fn = make_ring_extract_2d(
+            mesh, n, threshold, cap, h_ax, c_ax, weighted, cross_amr_only
+        )
+    else:
+        fn = make_ring_extract(
+            mesh, n, threshold, cap, axis, weighted, cross_amr_only
+        )
     out = fn(words_s, classes_s, weights_s)
     if jax.process_count() > 1:
         # replicate before fetching (device_get cannot read remote shards)
@@ -484,6 +497,110 @@ def sharded_extract_pairs(
     pairs = np.concatenate(parts, axis=0).astype(np.int64)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     return pairs[order]
+
+
+def make_ring_extract_2d(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+):
+    """:func:`make_ring_extract` on the hierarchical 2-D schedule — the
+    same outer(host)/inner(chip) rotations and dedup gates as
+    :func:`make_ring_sweep_2d`, compacting survivors instead of stats."""
+    hc = mesh.shape[host_axis]
+    cc = mesh.shape[chip_axis]
+
+    def step(words_local, classes_local, weights):
+        h = jax.lax.axis_index(host_axis)
+        c = jax.lax.axis_index(chip_axis)
+        block = words_local.shape[0]
+        row_base = (h * cc + c) * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        bi = jnp.zeros(cap, jnp.int32)
+        bj = jnp.zeros(cap, jnp.int32)
+        bc = jnp.zeros(cap, jnp.int32)
+        cursor = jnp.int32(0)
+
+        moving_w = words_local
+        moving_c = classes_local
+        outer_steps = hc // 2 + 1
+        for sh in range(outer_steps):
+            if sh > 0:
+                perm_h = [((i + 1) % hc, i) for i in range(hc)]
+                moving_w = jax.lax.ppermute(moving_w, host_axis, perm_h)
+                moving_c = jax.lax.ppermute(moving_c, host_axis, perm_h)
+            inner_w = moving_w
+            inner_c = moving_c
+            inner_steps = cc if sh > 0 else (cc // 2 + 1)
+            for sc in range(inner_steps):
+                if sc > 0:
+                    perm_c = [((i + 1) % cc, i) for i in range(cc)]
+                    inner_w = jax.lax.ppermute(inner_w, chip_axis, perm_c)
+                    inner_c = jax.lax.ppermute(inner_c, chip_axis, perm_c)
+
+                moving_h = (h + sh) % hc
+                moving_chip = (c + sc) % cc
+                moving_base = (moving_h * cc + moving_chip) * block
+                gj = moving_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block), 1
+                )
+
+                if sh == 0 and sc == 0:
+                    active = jnp.bool_(True)
+                    triangle = True
+                elif sh == 0 and 2 * sc == cc:
+                    active = c < (cc // 2)
+                    triangle = False
+                elif 2 * sh == hc:
+                    active = h < (hc // 2)
+                    triangle = False
+                else:
+                    active = jnp.bool_(True)
+                    triangle = False
+
+                counts = _block_counts(
+                    words_local, inner_w, weights if weighted else None
+                )
+                valid = (gi < n) & (gj < n) & active
+                if triangle:
+                    valid &= gi < gj
+                mask = valid & (counts > threshold)
+                if cross_amr_only:
+                    mask &= classes_local[:, None] != inner_c[None, :]
+
+                fm = mask.ravel()
+                pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
+                pos = jnp.where(
+                    fm,
+                    pos,
+                    cap + jnp.arange(fm.shape[0], dtype=jnp.int32),
+                )
+                opts = dict(mode="drop", unique_indices=True)
+                bi = bi.at[pos].set(jnp.minimum(gi, gj).ravel(), **opts)
+                bj = bj.at[pos].set(jnp.maximum(gi, gj).ravel(), **opts)
+                bc = bc.at[pos].set(counts.ravel(), **opts)
+                cursor = cursor + jnp.sum(fm.astype(jnp.int32))
+        return bi, bj, bc, cursor[None]
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P((host_axis, chip_axis), None),
+            P((host_axis, chip_axis)),
+            P(None),
+        ),
+        out_specs=tuple(P((host_axis, chip_axis)) for _ in range(4)),
+    )
+    return jax.jit(sharded)
 
 
 def make_ring_sweep_2d(

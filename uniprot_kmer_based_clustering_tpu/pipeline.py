@@ -343,11 +343,12 @@ def _sharded_similarity(
     )
     totals = row_stats.sum(axis=0)
     maxes = row_stats.max(axis=0)
-    if mesh.axis_names == ("p",):
-        # ring extraction: no device ever holds the full bitset (the
-        # single-chip extractor replicates it — impossible once the
-        # row-sharded matrix outgrows one HBM). The sweep's tile_hits
-        # give the exact survivor total, so the per-device cap is safe.
+    if mesh.axis_names == ("p",) or len(mesh.axis_names) == 2:
+        # ring extraction (flat or hierarchical 2-D): no device ever
+        # holds the full bitset (the single-chip extractor replicates
+        # it — impossible once the row-sharded matrix outgrows one HBM).
+        # The sweep's tile_hits give the exact survivor total, so the
+        # per-device cap is safe.
         from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
             sharded_extract_pairs,
         )
@@ -362,8 +363,9 @@ def _sharded_similarity(
             cap=max(1 << 18, total_hits),
         )
     else:
-        # 2-D and k-axis layouts: single-host extraction from the hit
-        # tiles (their shardings don't map onto the 1-D ring extractor)
+        # k-axis layout: single-host extraction from the hit tiles (the
+        # column sharding doesn't map onto the ring extractor; counts
+        # need a psum before the threshold)
         pairs = extract_pairs(
             jnp.asarray(words),
             classes,
