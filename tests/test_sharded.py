@@ -368,3 +368,23 @@ def test_sharded_extraction_2d_matches(hc, cc):
         make_mesh_2d(hc, cc), bs.words, classes, n, THR, block_tile=128
     )
     assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_sharded_extraction_kaxis_matches(d):
+    """Contraction-axis extraction (column-sharded bitset, replicated
+    compaction) == single-chip, including weighted."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_extract_pairs,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d, axis="k")
+    ps = sharded_extract_pairs(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    assert np.array_equal(px, ps)

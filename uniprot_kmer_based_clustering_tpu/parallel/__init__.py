@@ -6,6 +6,7 @@ from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: F401
 )
 from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     doc_freq_psum,
+    make_kaxis_extract,
     make_kaxis_sweep,
     make_ring_extract,
     make_ring_extract_2d,

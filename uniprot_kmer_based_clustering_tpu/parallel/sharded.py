@@ -455,6 +455,42 @@ def sharded_extract_pairs(
     two_d = len(mesh.axis_names) == 2
     d_count = int(mesh.devices.size)
     n_pad = words.shape[0]
+    if not two_d and mesh.axis_names[0] == "k":
+        # contraction-axis layout (same convention as the pipeline): the
+        # bitset stays column-sharded, the compaction is replicated
+        assert n_pad % block_tile == 0, (n_pad, block_tile)
+        assert words.shape[1] % d_count == 0, (
+            f"W={words.shape[1]} packed words must divide over "
+            f"{d_count} devices"
+        )
+        words_s = jax.device_put(
+            jnp.asarray(words), NamedSharding(mesh, P(None, "k"))
+        )
+        classes_s = jax.device_put(
+            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
+        )
+        weighted = weights is not None
+        if weights is None:
+            weights = np.ones(words.shape[1] * 32, np.int8)
+        weights_s = jax.device_put(
+            jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P("k"))
+        )
+        fn = make_kaxis_extract(
+            mesh, n, threshold, cap, block_tile, "k", weighted,
+            cross_amr_only,
+        )
+        bi, bj, bc, cursor = jax.device_get(
+            fn(words_s, classes_s, weights_s)
+        )
+        m = int(cursor[0])
+        if m > cap:
+            raise ValueError(
+                f"sharded extraction overflow: {m} pairs > cap={cap}; "
+                f"re-run with a larger cap"
+            )
+        pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        return pairs[order]
     assert n_pad % (d_count * block_tile) == 0, (
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
@@ -764,6 +800,80 @@ def sharded_pairwise_similarity_2d(
     )
     row_stats, hits = fn(words_s, classes_s, weights_s)
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
+
+
+def make_kaxis_extract(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    block_tile: int,
+    axis: str = "k",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+):
+    """Exact pair extraction under contraction-axis sharding.
+
+    Mirrors :func:`make_kaxis_sweep`'s row-block scan: partial counts
+    over each device's k-mer column slice, one ``psum`` per block, then
+    a replicated compaction into a single `cap` buffer — the bitset
+    stays column-sharded (the whole point of this layout is that the K
+    extent does not fit one device), and only O(cap) survivor slots are
+    replicated. Returns (gi [cap], gj [cap], cnt [cap], cursor [1]),
+    replicated.
+    """
+
+    def step(words_local, classes, weights_local):
+        n_pad = words_local.shape[0]
+        nb = n_pad // block_tile
+        a_full = unpack_words_to_int8(
+            words_local, weights_local if weighted else None
+        )
+        b_full = unpack_words_to_int8(words_local)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_tile, n_pad), 1)
+
+        def body(carry, blk):
+            bi, bj, bc, cursor = carry
+            r0 = blk * block_tile
+            a = jax.lax.dynamic_slice(
+                a_full, (r0, 0), (block_tile, a_full.shape[1])
+            )
+            ca = jax.lax.dynamic_slice(classes, (r0,), (block_tile,))
+            partial = jax.lax.dot_general(
+                a, b_full, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            counts = jax.lax.psum(partial, axis)
+            gi = r0 + jax.lax.broadcasted_iota(
+                jnp.int32, (block_tile, n_pad), 0
+            )
+            mask = (gi < col) & (col < n) & (counts > threshold)
+            if cross_amr_only:
+                mask &= ca[:, None] != classes[None, :]
+            fm = mask.ravel()
+            pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
+            pos = jnp.where(
+                fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
+            )
+            opts = dict(mode="drop", unique_indices=True)
+            bi = bi.at[pos].set(gi.ravel(), **opts)
+            bj = bj.at[pos].set(col.ravel(), **opts)
+            bc = bc.at[pos].set(counts.ravel(), **opts)
+            return (bi, bj, bc, cursor + jnp.sum(fm.astype(jnp.int32))), None
+
+        z = jnp.zeros(cap, jnp.int32)
+        (bi, bj, bc, cursor), _ = jax.lax.scan(
+            body, (z, z, z, jnp.int32(0)), jnp.arange(nb)
+        )
+        return bi, bj, bc, cursor[None]
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None), P(axis)),
+        out_specs=tuple(P(None) for _ in range(4)),
+    )
+    return jax.jit(sharded)
 
 
 def make_kaxis_sweep(

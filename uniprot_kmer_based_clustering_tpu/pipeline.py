@@ -292,19 +292,14 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
 def _sharded_similarity(
     bitset, table, config, mesh, weights=None
 ) -> PairwiseResult:
-    """Mesh-parallel sweep + single-host extraction."""
+    """Mesh-parallel sweep + mesh-parallel extraction."""
     import functools
-
-    import jax.numpy as jnp
 
     from uniprot_kmer_based_clustering_tpu.parallel.mesh import pad_for_mesh
     from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
         sharded_pairwise_similarity,
         sharded_pairwise_similarity_2d,
         sharded_pairwise_similarity_kaxis,
-    )
-    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
-        extract_pairs,
     )
 
     if len(mesh.axis_names) == 2:
@@ -343,39 +338,24 @@ def _sharded_similarity(
     )
     totals = row_stats.sum(axis=0)
     maxes = row_stats.max(axis=0)
-    if mesh.axis_names == ("p",) or len(mesh.axis_names) == 2:
-        # ring extraction (flat or hierarchical 2-D): no device ever
-        # holds the full bitset (the single-chip extractor replicates
-        # it — impossible once the row-sharded matrix outgrows one HBM).
-        # The sweep's tile_hits give the exact survivor total, so the
-        # per-device cap is safe.
-        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
-            sharded_extract_pairs,
-        )
+    # mesh-parallel extraction on every layout (flat ring, 2-D ring, or
+    # the k-axis replicated compaction): no device ever holds the full
+    # bitset — the single-chip extractor replicates it, which cannot
+    # work once the sharded matrix outgrows one HBM. The sweep's
+    # tile_hits give the exact survivor total, so the cap is safe.
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        sharded_extract_pairs,
+    )
 
-        total_hits = int(tile_hits[:, 0].sum())
-        if not config.cross_amr_only:
-            total_hits += int(tile_hits[:, 1].sum())
-        pairs = sharded_extract_pairs(
-            mesh, words, classes, bitset.n, threshold,
-            block_tile=block_tile, weights=weights,
-            cross_amr_only=config.cross_amr_only,
-            cap=max(1 << 18, total_hits),
-        )
-    else:
-        # k-axis layout: single-host extraction from the hit tiles (the
-        # column sharding doesn't map onto the ring extractor; counts
-        # need a psum before the threshold)
-        pairs = extract_pairs(
-            jnp.asarray(words),
-            classes,
-            tile_hits,
-            tiles,
-            n=bitset.n,
-            threshold=threshold,
-            cross_amr_only=config.cross_amr_only,
-            weights=weights,
-        )
+    total_hits = int(tile_hits[:, 0].sum())
+    if not config.cross_amr_only:
+        total_hits += int(tile_hits[:, 1].sum())
+    pairs = sharded_extract_pairs(
+        mesh, words, classes, bitset.n, threshold,
+        block_tile=block_tile, weights=weights,
+        cross_amr_only=config.cross_amr_only,
+        cap=max(1 << 18, total_hits),
+    )
     return PairwiseResult(
         cross_weight=int(totals[0]),
         cross_pairs=int(totals[1]),
