@@ -88,6 +88,20 @@ pairs_ring = sharded_extract_pairs(
 )
 assert np.array_equal(pairs_ring, np.asarray(pairs)), "ring extraction"
 
+from uniprot_kmer_based_clustering_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh_2d,
+)
+
+pairs_2d = sharded_extract_pairs(
+    make_mesh_2d(nproc, d // nproc), words, classes, n, 10, block_tile=128
+)
+assert np.array_equal(pairs_2d, np.asarray(pairs)), "2-D ring extraction"
+
+pairs_k = sharded_extract_pairs(
+    make_mesh(axis="k"), words, classes, n, 10, block_tile=128
+)
+assert np.array_equal(pairs_k, np.asarray(pairs)), "k-axis extraction"
+
 # Hierarchical 2-D ring: host axis = the real process boundary (gloo/DCN
 # analogue), chip axis = the 2 local devices. Must be bit-identical to
 # the flat ring.
