@@ -53,13 +53,11 @@ def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float) -> float:
         i, j, v = c.row, c.col, c.data
         m = i < j
         cls = table.amr_class_ids
+        vm = v[m]
         cross = cls[i[m]] != cls[j[m]]
+        vc = vm[cross]
         # same reductions as the device sweep
-        _ = (
-            int(v[m][cross].sum()),
-            int(cross.sum()),
-            int((v[m][cross] > 10).sum()),
-        )
+        _ = (int(vc.sum()), int(cross.sum()), int((vc > 10).sum()))
         best = min(best, time.perf_counter() - t0)
     return n_pairs / best
 

@@ -99,13 +99,18 @@ def main():
     cls[:n] = classes
     cls = jnp.asarray(cls)
 
-    # compile + warm
+    # compile + TWO fetch-synced warm-ups (CLAUDE.md: a single warm-up
+    # leaks first-execution residue into the first timed loop), then
+    # best-of-2 timed reps (tunnel jitter ~10%)
     t0 = time.perf_counter()
     rs, th, _ = sweep_mxu(words, cls, n, 10)
     t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rs, th, tl = sweep_mxu(words, cls, n, 10)
-    t_sweep = time.perf_counter() - t0
+    sweep_mxu(words, cls, n, 10)
+    t_sweep = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rs, th, tl = sweep_mxu(words, cls, n, 10)
+        t_sweep = min(t_sweep, time.perf_counter() - t0)
 
     # exact pair recovery (device-compacted; the reference's final edge
     # list) — the full production path, not just the sweep

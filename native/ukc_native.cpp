@@ -35,6 +35,12 @@
 #include <thread>
 #include <vector>
 
+// ASCII whitespace per Python bytes.split(None) — the numpy parser's
+// header-token delimiter set ('\n' never appears inside a line)
+static inline bool ukc_ws(uint8_t b) {
+  return b == ' ' || b == '\t' || b == '\r' || b == '\v' || b == '\f';
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------
@@ -52,7 +58,7 @@ int ukc_fasta_stats(const uint8_t* data, int64_t len, int64_t* n_records,
     int64_t j = i;
     while (j < len && data[j] != '\n') j++;
     int64_t e = j;
-    if (e > i && data[e - 1] == '\r') e--;
+    while (e > i && data[e - 1] == '\r') e--;
     if (e > i) {
       if (data[i] == '>') {
         n++;
@@ -60,9 +66,9 @@ int ukc_fasta_stats(const uint8_t* data, int64_t len, int64_t* n_records,
         // id = first whitespace-delimited token after '>' (leading
         // whitespace skipped), matching io/fasta.py parse_fasta_bytes
         int64_t k = i + 1;
-        while (k < e && (data[k] == ' ' || data[k] == '\t')) k++;
+        while (k < e && ukc_ws(data[k])) k++;
         int64_t start = k;
-        while (k < e && data[k] != ' ' && data[k] != '\t') k++;
+        while (k < e && !ukc_ws(data[k])) k++;
         if (k == start) return -2;  // header with no id
         idb += k - start;
       } else {
@@ -89,14 +95,14 @@ int ukc_fasta_parse(const uint8_t* data, int64_t len, uint8_t* id_buf,
     int64_t j = i;
     while (j < len && data[j] != '\n') j++;
     int64_t e = j;
-    if (e > i && data[e - 1] == '\r') e--;
+    while (e > i && data[e - 1] == '\r') e--;
     if (e > i) {
       if (data[i] == '>') {
         rec++;
         int64_t k = i + 1;
-        while (k < e && (data[k] == ' ' || data[k] == '\t')) k++;
+        while (k < e && ukc_ws(data[k])) k++;
         int64_t start = k;
-        while (k < e && data[k] != ' ' && data[k] != '\t') k++;
+        while (k < e && !ukc_ws(data[k])) k++;
         std::memcpy(id_buf + idp, data + start, k - start);
         idp += k - start;
         id_off[rec + 1] = idp;
@@ -193,7 +199,7 @@ void radix_sort_u64(std::vector<uint64_t>& keys, std::vector<uint64_t>& tmp,
                     uint64_t max_key) {
   const int64_t m = (int64_t)keys.size();
   int passes = 0;
-  while (max_key >> (8 * passes)) ++passes;
+  while (passes < 8 && (max_key >> (8 * passes))) ++passes;
   if (passes == 0) passes = 1;
   std::vector<int64_t> count(256);
   for (int p = 0; p < passes; ++p) {

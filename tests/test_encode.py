@@ -103,3 +103,13 @@ def test_device_encode_matches_host():
         got = dev_codes[i][valid[i]]
         want = host_codes[host_off[i] : host_off[i + 1]]
         assert np.array_equal(got, want)
+
+
+def test_encode_empty_table():
+    """n=0 (empty FASTA) returns empty codes instead of a numpy
+    broadcast crash."""
+    codes, koff = encode_kmers(
+        np.zeros(0, np.uint8), np.zeros(1, np.int64), 5
+    )
+    assert codes.shape == (0,)
+    assert np.array_equal(koff, [0])

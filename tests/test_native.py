@@ -171,3 +171,24 @@ def test_parsers_agree_on_padded_header(tmp_path):
     assert ids == py_ids == ["id1|a|b|c", "id2|x|y|z"]
     assert np.array_equal(seq, py_seq)
     assert np.array_equal(off, py_off)
+
+
+def test_parsers_agree_on_exotic_whitespace(tmp_path):
+    """Multiple trailing CRs and non-space whitespace in headers: the
+    native parser must match numpy's rstrip-all-\\r / split(None)
+    semantics (a stray \\r in the id shifts the AMR-class field)."""
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    data = (
+        b">sp|A|B|cls\r\r\nMSEQ\r\r\n"
+        b">sp|C|D|cls2\x0cjunk\nQQQQ\n"
+        b">sp|E|F|cls3\x0bmore desc\nWWWW\n"
+    )
+    p = tmp_path / "exotic.fasta"
+    p.write_bytes(data)
+    py_ids, py_seq, py_off = parse_fasta_bytes(data)
+    ids, seq, off = native.parse_fasta(str(p))
+    assert ids == py_ids == ["sp|A|B|cls", "sp|C|D|cls2", "sp|E|F|cls3"]
+    assert np.array_equal(seq, py_seq)
+    assert seq.tobytes() == b"MSEQQQQQWWWW"
+    assert np.array_equal(off, py_off)

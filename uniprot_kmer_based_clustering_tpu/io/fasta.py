@@ -130,12 +130,13 @@ def read_fasta(path: str) -> ProteinTable:
     (``native/``), otherwise the numpy fallback — both produce identical
     tables (tested in ``tests/test_native.py``).
     """
-    try:
-        from uniprot_kmer_based_clustering_tpu.io import native
+    from uniprot_kmer_based_clustering_tpu.io import native
 
-        parsed = native.parse_fasta(path)
-    except Exception:
-        parsed = None
+    # parse_fasta returns None when the library is unavailable (that is
+    # the graceful-degradation case); real parse failures — including its
+    # "malformed FASTA" ValueError — must propagate, not silently fall
+    # back to a second full read on the numpy path
+    parsed = native.parse_fasta(path)
 
     if parsed is not None:
         ids, seq_buf, offsets = parsed

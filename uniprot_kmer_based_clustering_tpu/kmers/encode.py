@@ -113,6 +113,8 @@ def encode_kmers(
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """Concatenated [0..c) ranges for each count (vectorized)."""
+    if counts.size == 0:  # empty table (n=0 FASTA) — no windows
+        return np.zeros(0, dtype=np.int64)
     total = int(counts.sum())
     out = np.arange(total, dtype=np.int64)
     starts = np.repeat(np.cumsum(np.concatenate([[0], counts[:-1]])), counts)
