@@ -140,18 +140,40 @@ def main():
             return rep(rs), hits
 
         dt, out = _steady(fn, (words_s, classes_s, weights_s))
-        row_stats = np.asarray(jax.device_get(out[0])).astype(np.int64)
+        row_stats, hits = jax.device_get(out)
+        row_stats = np.asarray(row_stats).astype(np.int64)
         got = (
             int(row_stats[:, 0].sum()),
             int(row_stats[:, 1].sum()),
             int(row_stats[:, 2].sum()),
             int(row_stats[:, 3].max()),
         )
-        return dt, got
+        return dt, got, int(np.asarray(hits)[..., 0].max())
 
-    dt_mesh, got = run_mesh(mesh, axes)
+    dt_mesh, got, tile_cap = run_mesh(mesh, axes)
     if got != GOLDEN:
         print(json.dumps({"error": f"golden parity FAILED: {got}"}))
+        return
+
+    # mesh-parallel extraction (same schedule, no full-matrix replication)
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        sharded_extract_pairs,
+    )
+
+    extract_kwargs = dict(
+        block_tile=block_tile,
+        tile_cap=tile_cap if jax.default_backend() == "tpu" else None,
+    )
+    pairs = sharded_extract_pairs(
+        mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+    )
+    t0 = time.perf_counter()  # warm rep (first carries the compile)
+    pairs = sharded_extract_pairs(
+        mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+    )
+    t_extract = time.perf_counter() - t0
+    if len(pairs) != GOLDEN[2] or int(pairs[:, 2].max()) != GOLDEN[3]:
+        print(json.dumps({"error": f"extraction parity FAILED: {len(pairs)}"}))
         return
 
     # single-device reference with the same engine (process 0's device);
@@ -163,7 +185,7 @@ def main():
     elif d == 1:
         one_chip = n_pairs / dt_mesh
     elif jax.process_count() == 1:
-        dt_one, _ = run_mesh(make_mesh(1), ("p",))
+        dt_one, _, _ = run_mesh(make_mesh(1), ("p",))
         one_chip = n_pairs / dt_one
     else:
         one_chip = None
@@ -177,6 +199,7 @@ def main():
         "pairs_per_s": round(n_pairs / dt_mesh, 1),
         "pairs_per_s_per_chip": round(per_chip, 1),
         "sweep_seconds": round(dt_mesh, 4),
+        "extract_seconds": round(t_extract, 4),
         "parity": "golden-exact",
     }
     if one_chip:

@@ -388,3 +388,31 @@ def test_sharded_extraction_kaxis_matches(d):
         mesh, bs.words, classes, n, THR, block_tile=128
     )
     assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [1, 4])
+def test_sharded_extraction_topk_path_matches(d):
+    """The per-sub-tile top_k compaction (the TPU default when tile_cap
+    is passed) == the scatter path == single-chip."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_extract_pairs,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+    tile_cap = int(thx[:, 0].max())
+
+    mesh = make_mesh(d)
+    ps = sharded_extract_pairs(
+        mesh, bs.words, classes, n, THR, block_tile=128, tile_cap=tile_cap
+    )
+    assert np.array_equal(px, ps)
+
+    # and on the k-axis layout
+    ps_k = sharded_extract_pairs(
+        make_mesh(max(d, 2), axis="k"), bs.words, classes, n, THR,
+        block_tile=128, tile_cap=tile_cap,
+    )
+    assert np.array_equal(px, ps_k)

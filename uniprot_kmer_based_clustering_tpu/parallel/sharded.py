@@ -31,6 +31,8 @@ atomics, and the result is deterministic for any device count.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -210,6 +212,11 @@ def _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile):
     return row_stats, tile_hits, (ti, tj, block_tile)
 
 
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_ring_sweep(
     mesh: Mesh,
     n: int,
@@ -340,6 +347,56 @@ def sharded_pairwise_similarity(
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
+def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
+    """Compact one ring step's survivors into the carried (cursor, bi,
+    bj, bc) buffers, canonicalized to (min, max).
+
+    With ``k > 0`` the candidates are first selected per block_tile
+    sub-tile with batched ``top_k`` (TPU scatter serializes — compacting
+    the full [block²] mask measured 29 s on the bundled D=1 square vs
+    sub-second with the selection; `k` must be ≥ the densest sub-tile's
+    hit count, known exactly from the sweep's tile_hits). ``k == 0``
+    scatters the full mask (CPU tests; platforms with fast scatter).
+    """
+    cursor, bi, bj, bc = carry
+    if k > 0:
+        bt = block_tile
+        qi = mask.shape[0] // bt
+        qj = mask.shape[1] // bt
+
+        def subtiles(x):
+            return (
+                x.reshape(qi, bt, qj, bt)
+                .transpose(0, 2, 1, 3)
+                .reshape(qi * qj, bt * bt)
+            )
+
+        vals, sel = jax.lax.top_k(subtiles(mask.astype(jnp.int32)), k)
+        cnt = jnp.take_along_axis(subtiles(counts), sel, 1).ravel()
+        gi_c = jnp.take_along_axis(subtiles(gi), sel, 1).ravel()
+        gj_c = jnp.take_along_axis(subtiles(gj), sel, 1).ravel()
+        hit = (vals > 0).ravel()
+    else:
+        hit = mask.ravel()
+        gi_c = gi.ravel()
+        gj_c = gj.ravel()
+        cnt = counts.ravel()
+    pos = cursor + jnp.cumsum(hit.astype(jnp.int32)) - 1
+    pos = jnp.where(
+        hit, pos, cap + jnp.arange(hit.shape[0], dtype=jnp.int32)
+    )
+    opts = dict(mode="drop", unique_indices=True)
+    bi = bi.at[pos].set(jnp.minimum(gi_c, gj_c), **opts)
+    bj = bj.at[pos].set(jnp.maximum(gi_c, gj_c), **opts)
+    bc = bc.at[pos].set(cnt, **opts)
+    return cursor + jnp.sum(hit.astype(jnp.int32)), bi, bj, bc
+
+
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_ring_extract(
     mesh: Mesh,
     n: int,
@@ -348,6 +405,8 @@ def make_ring_extract(
     axis: str = "p",
     weighted: bool = False,
     cross_amr_only: bool = True,
+    block_tile: int = 128,
+    k: int = 0,
 ):
     """Jitted ring-extraction step: exact surviving pairs, mesh-parallel.
 
@@ -405,19 +464,12 @@ def make_ring_extract(
             mask = valid & (counts > threshold)
             if cross_amr_only:
                 mask &= classes_local[:, None] != moving_c[None, :]
-
-            fm = mask.ravel()
-            pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-            pos = jnp.where(
-                fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
-            )
-            opts = dict(mode="drop", unique_indices=True)
             # off-diagonal steps see each unordered pair in ONE arbitrary
-            # orientation — canonicalize to (min, max)
-            bi = bi.at[pos].set(jnp.minimum(gi, gj).ravel(), **opts)
-            bj = bj.at[pos].set(jnp.maximum(gi, gj).ravel(), **opts)
-            bc = bc.at[pos].set(counts.ravel(), **opts)
-            cursor = cursor + jnp.sum(fm.astype(jnp.int32))
+            # orientation — _compact_step canonicalizes to (min, max)
+            cursor, bi, bj, bc = _compact_step(
+                mask, counts, gi, gj, block_tile, k,
+                (cursor, bi, bj, bc), cap,
+            )
         return bi, bj, bc, cursor[None]
 
     sharded = shard_map(
@@ -440,6 +492,7 @@ def sharded_extract_pairs(
     weights: np.ndarray | None = None,
     cross_amr_only: bool = True,
     cap: int = 1 << 20,
+    tile_cap: int | None = None,
 ):
     """Mesh-parallel exact pair extraction (the ring schedule, one pass).
 
@@ -451,7 +504,20 @@ def sharded_extract_pairs(
     re-run with a bigger cap. A 2-axis (hosts × chips) mesh runs the
     hierarchical 2-D schedule (one DCN hop per outer step); `axis` is
     ignored there.
+
+    `tile_cap`: the maximum survivor count of any single block_tile²
+    tile (exactly known from the sweep's tile_hits). When given, each
+    step compacts via per-sub-tile batched ``top_k`` instead of a
+    full-mask scatter — TPU scatter serializes (29 s for the bundled
+    D=1 square vs sub-second with the selection). None keeps the
+    scatter path (CPU, or when tile_hits are not at hand).
     """
+    k = 0
+    if tile_cap is not None:
+        k = 128
+        while k < int(tile_cap):
+            k *= 2
+        k = min(k, block_tile * block_tile)
     two_d = len(mesh.axis_names) == 2
     d_count = int(mesh.devices.size)
     n_pad = words.shape[0]
@@ -477,7 +543,7 @@ def sharded_extract_pairs(
         )
         fn = make_kaxis_extract(
             mesh, n, threshold, cap, block_tile, "k", weighted,
-            cross_amr_only,
+            cross_amr_only, k=k,
         )
         bi, bj, bc, cursor = jax.device_get(
             fn(words_s, classes_s, weights_s)
@@ -505,11 +571,13 @@ def sharded_extract_pairs(
     )
     if two_d:
         fn = make_ring_extract_2d(
-            mesh, n, threshold, cap, h_ax, c_ax, weighted, cross_amr_only
+            mesh, n, threshold, cap, h_ax, c_ax, weighted, cross_amr_only,
+            block_tile=block_tile, k=k,
         )
     else:
         fn = make_ring_extract(
-            mesh, n, threshold, cap, axis, weighted, cross_amr_only
+            mesh, n, threshold, cap, axis, weighted, cross_amr_only,
+            block_tile=block_tile, k=k,
         )
     out = fn(words_s, classes_s, weights_s)
     if jax.process_count() > 1:
@@ -535,6 +603,11 @@ def sharded_extract_pairs(
     return pairs[order]
 
 
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_ring_extract_2d(
     mesh: Mesh,
     n: int,
@@ -544,6 +617,8 @@ def make_ring_extract_2d(
     chip_axis: str = "c",
     weighted: bool = False,
     cross_amr_only: bool = True,
+    block_tile: int = 128,
+    k: int = 0,
 ):
     """:func:`make_ring_extract` on the hierarchical 2-D schedule — the
     same outer(host)/inner(chip) rotations and dedup gates as
@@ -611,19 +686,10 @@ def make_ring_extract_2d(
                 mask = valid & (counts > threshold)
                 if cross_amr_only:
                     mask &= classes_local[:, None] != inner_c[None, :]
-
-                fm = mask.ravel()
-                pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-                pos = jnp.where(
-                    fm,
-                    pos,
-                    cap + jnp.arange(fm.shape[0], dtype=jnp.int32),
+                cursor, bi, bj, bc = _compact_step(
+                    mask, counts, gi, gj, block_tile, k,
+                    (cursor, bi, bj, bc), cap,
                 )
-                opts = dict(mode="drop", unique_indices=True)
-                bi = bi.at[pos].set(jnp.minimum(gi, gj).ravel(), **opts)
-                bj = bj.at[pos].set(jnp.maximum(gi, gj).ravel(), **opts)
-                bc = bc.at[pos].set(counts.ravel(), **opts)
-                cursor = cursor + jnp.sum(fm.astype(jnp.int32))
         return bi, bj, bc, cursor[None]
 
     sharded = shard_map(
@@ -639,6 +705,11 @@ def make_ring_extract_2d(
     return jax.jit(sharded)
 
 
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_ring_sweep_2d(
     mesh: Mesh,
     n: int,
@@ -802,6 +873,11 @@ def sharded_pairwise_similarity_2d(
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_kaxis_extract(
     mesh: Mesh,
     n: int,
@@ -811,6 +887,7 @@ def make_kaxis_extract(
     axis: str = "k",
     weighted: bool = False,
     cross_amr_only: bool = True,
+    k: int = 0,
 ):
     """Exact pair extraction under contraction-axis sharding.
 
@@ -850,16 +927,11 @@ def make_kaxis_extract(
             mask = (gi < col) & (col < n) & (counts > threshold)
             if cross_amr_only:
                 mask &= ca[:, None] != classes[None, :]
-            fm = mask.ravel()
-            pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-            pos = jnp.where(
-                fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
+            cursor, bi, bj, bc = _compact_step(
+                mask, counts, gi, col, block_tile, k,
+                (cursor, bi, bj, bc), cap,
             )
-            opts = dict(mode="drop", unique_indices=True)
-            bi = bi.at[pos].set(gi.ravel(), **opts)
-            bj = bj.at[pos].set(col.ravel(), **opts)
-            bc = bc.at[pos].set(counts.ravel(), **opts)
-            return (bi, bj, bc, cursor + jnp.sum(fm.astype(jnp.int32))), None
+            return (bi, bj, bc, cursor), None
 
         z = jnp.zeros(cap, jnp.int32)
         (bi, bj, bc, cursor), _ = jax.lax.scan(
@@ -876,6 +948,11 @@ def make_kaxis_extract(
     return jax.jit(sharded)
 
 
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_kaxis_sweep(
     mesh: Mesh,
     n: int,

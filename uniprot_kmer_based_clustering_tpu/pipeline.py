@@ -347,14 +347,23 @@ def _sharded_similarity(
         sharded_extract_pairs,
     )
 
-    total_hits = int(tile_hits[:, 0].sum())
+    per_tile = tile_hits[:, 0].astype(np.int64)
     if not config.cross_amr_only:
-        total_hits += int(tile_hits[:, 1].sum())
+        per_tile = per_tile + tile_hits[:, 1]
+    import jax
+
     pairs = sharded_extract_pairs(
         mesh, words, classes, bitset.n, threshold,
         block_tile=block_tile, weights=weights,
         cross_amr_only=config.cross_amr_only,
-        cap=max(1 << 18, total_hits),
+        cap=max(1 << 18, int(per_tile.sum())),
+        # per-sub-tile top_k selection on TPU (scatter serializes there);
+        # CPU keeps the scatter path (its top_k is a full sort)
+        tile_cap=(
+            int(per_tile.max())
+            if jax.default_backend() == "tpu" and len(per_tile)
+            else None
+        ),
     )
     return PairwiseResult(
         cross_weight=int(totals[0]),
