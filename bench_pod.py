@@ -164,14 +164,19 @@ def main():
         block_tile=block_tile,
         tile_cap=tile_cap if jax.default_backend() == "tpu" else None,
     )
-    pairs = sharded_extract_pairs(
-        mesh, bitset.words, classes, table.n, 10, **extract_kwargs
-    )
-    t0 = time.perf_counter()  # warm rep (first carries the compile)
-    pairs = sharded_extract_pairs(
-        mesh, bitset.words, classes, table.n, 10, **extract_kwargs
-    )
-    t_extract = time.perf_counter() - t0
+    # two warm reps (first carries the compile; the wrapper's device_get
+    # is a real fetch), then best-of-2 timed
+    for _ in range(2):
+        pairs = sharded_extract_pairs(
+            mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+        )
+    t_extract = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = sharded_extract_pairs(
+            mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+        )
+        t_extract = min(t_extract, time.perf_counter() - t0)
     if len(pairs) != GOLDEN[2] or int(pairs[:, 2].max()) != GOLDEN[3]:
         print(json.dumps({"error": f"extraction parity FAILED: {len(pairs)}"}))
         return

@@ -227,3 +227,15 @@ def test_align_pairs_sw_small_batches_keep_order(toy_fasta, tmp_path):
         res.table, res.pairwise.pairs, many, batch=2, device_scores=False
     )
     assert open(one).read() == open(many).read()
+
+
+def test_align_pairs_sw_empty(toy_fasta, tmp_path):
+    """Empty pair list writes a header-only TSV (regression: IndexError
+    from indexing a 1-D empty array)."""
+    from uniprot_kmer_based_clustering_tpu.align import align_pairs_sw
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+
+    out = str(tmp_path / "empty.tsv")
+    align_pairs_sw(read_fasta(toy_fasta), [], out, device_scores=False)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("qseqid")

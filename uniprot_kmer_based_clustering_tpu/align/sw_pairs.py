@@ -37,10 +37,6 @@ from uniprot_kmer_based_clustering_tpu.kmers.encode import (
 )
 
 
-def _bucket(x: int, mult: int = 128) -> int:
-    return -(-max(x, 1) // mult) * mult
-
-
 def _pair_batches(table: ProteinTable, pairs, batch: int, res):
     """Yield (rows, q_idx, q_len, s_idx, s_len, nv) padded batches.
 
@@ -56,8 +52,8 @@ def _pair_batches(table: ProteinTable, pairs, batch: int, res):
     """
     lengths = table.lengths.astype(np.int64)
     offsets = table.offsets
-    lqb = np.array([_bucket(int(lengths[j])) for j in pairs[:, 1]])
-    lsb = np.array([_bucket(int(lengths[i])) for i in pairs[:, 0]])
+    lqb = -(-np.maximum(lengths[pairs[:, 1]], 1) // 128) * 128
+    lsb = -(-np.maximum(lengths[pairs[:, 0]], 1) // 128) * 128
     order = np.lexsort((lsb, lqb))
     for lo in range(0, len(order), batch):
         sel = order[lo : lo + batch]
@@ -108,6 +104,8 @@ def align_pairs_sw(
     cost when the device pass narrows it.
     """
     pairs = np.asarray(pairs)
+    if pairs.size == 0:  # empty pair list → header-only TSV
+        pairs = pairs.reshape(0, 3).astype(np.int64)
     res = residues_to_indices(table.seq_buf).astype(np.int32)
     offsets = table.offsets
     # batches arrive bucket-sorted; lines restore the input pair order

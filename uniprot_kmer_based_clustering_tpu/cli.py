@@ -223,9 +223,10 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    # unconditional: a leftover exported UKC_BENCH_FASTA must not
-    # silently override the explicitly passed argument
-    os.environ["UKC_BENCH_FASTA"] = args.fasta
+    if args.fasta is not None:
+        # an explicitly passed path wins over an exported UKC_BENCH_FASTA;
+        # with no positional arg the env var (then bench.py's default) rules
+        os.environ["UKC_BENCH_FASTA"] = args.fasta
     import bench  # repo-root bench script
 
     bench.main()
@@ -300,7 +301,9 @@ def main(argv=None) -> int:
     r.set_defaults(func=cmd_run)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
-    b.add_argument("fasta", nargs="?", default="/root/reference/uniprot_arg.fasta")
+    b.add_argument("fasta", nargs="?", default=None,
+                   help="dataset (default: $UKC_BENCH_FASTA or the "
+                        "bundled uniprot_arg.fasta)")
     b.set_defaults(func=cmd_bench)
 
     args = p.parse_args(argv)

@@ -358,23 +358,17 @@ def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
     hit count, known exactly from the sweep's tile_hits). ``k == 0``
     scatters the full mask (CPU tests; platforms with fast scatter).
     """
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        subtile_rows,
+    )
+
     cursor, bi, bj, bc = carry
     if k > 0:
         bt = block_tile
-        qi = mask.shape[0] // bt
-        qj = mask.shape[1] // bt
-
-        def subtiles(x):
-            return (
-                x.reshape(qi, bt, qj, bt)
-                .transpose(0, 2, 1, 3)
-                .reshape(qi * qj, bt * bt)
-            )
-
-        vals, sel = jax.lax.top_k(subtiles(mask.astype(jnp.int32)), k)
-        cnt = jnp.take_along_axis(subtiles(counts), sel, 1).ravel()
-        gi_c = jnp.take_along_axis(subtiles(gi), sel, 1).ravel()
-        gj_c = jnp.take_along_axis(subtiles(gj), sel, 1).ravel()
+        vals, sel = jax.lax.top_k(subtile_rows(mask.astype(jnp.int32), bt), k)
+        cnt = jnp.take_along_axis(subtile_rows(counts, bt), sel, 1).ravel()
+        gi_c = jnp.take_along_axis(subtile_rows(gi, bt), sel, 1).ravel()
+        gj_c = jnp.take_along_axis(subtile_rows(gj, bt), sel, 1).ravel()
         hit = (vals > 0).ravel()
     else:
         hit = mask.ravel()
@@ -412,14 +406,15 @@ def make_ring_extract(
 
     Same ppermute schedule and dedup gates as :func:`make_ring_sweep`,
     but instead of statistics each device compacts its block pairs'
-    survivors (canonicalized to i < j) into a fixed-`cap` local buffer —
-    so extraction never needs the full bitset matrix on one device (the
+    survivors (canonicalized to i < j) into a `cap` local buffer — so
+    extraction never needs the full bitset matrix on one device (the
     single-chip :func:`similarity.pairwise.extract_pairs` replicates it,
     which cannot work once the row-sharded matrix outgrows one HBM).
-    Returns per-device (gi [cap], gj [cap], cnt [cap], cursor [1]); a
-    cursor past `cap` means that device overflowed (its surplus pairs
-    were dropped) — the wrapper raises, and callers with single-device
-    headroom can fall back to extract_pairs.
+    A final collective (:func:`_gather_compacted`) concatenates the
+    occupied prefixes into one replicated buffer, so `cap` bounds the
+    GLOBAL survivor total and the host fetch is ~12 B/pair. Returns
+    replicated (gi [cap], gj [cap], cnt [cap], total [1]); a total past
+    `cap` means overflow (surplus pairs dropped) — the wrapper raises.
     """
     d_count = mesh.shape[axis]
 
@@ -470,15 +465,42 @@ def make_ring_extract(
                 mask, counts, gi, gj, block_tile, k,
                 (cursor, bi, bj, bc), cap,
             )
-        return bi, bj, bc, cursor[None]
+        return _gather_compacted(bi, bj, bc, cursor, dev, d_count, cap, axis)
 
     sharded = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=tuple(P(None) for _ in range(4)),
     )
     return jax.jit(sharded)
+
+
+def _gather_compacted(bi, bj, bc, cursor, dev, d_count, cap, axis):
+    """Concatenate every device's occupied buffer prefix into ONE
+    replicated [cap] buffer (offsets from the cursor all-gather; each
+    device scatters its prefix into a disjoint region, merged by psum) —
+    so the host fetches ~12 bytes per surviving pair instead of
+    D × cap × 12 through the ~30 MB/s tunnel. With this collective the
+    `cap` bound is on the GLOBAL survivor total, not per device.
+    Returns (bi, bj, bc [cap] replicated, total [1])."""
+    all_c = jax.lax.all_gather(cursor, axis)  # [D], device-major order
+    offset = jnp.sum(
+        jnp.where(jnp.arange(d_count, dtype=jnp.int32) < dev, all_c, 0)
+    )
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.where(slot < cursor, offset + slot, cap + slot)
+    opts = dict(mode="drop", unique_indices=True)
+    obi = jnp.zeros(cap, jnp.int32).at[pos].set(bi, **opts)
+    obj = jnp.zeros(cap, jnp.int32).at[pos].set(bj, **opts)
+    obc = jnp.zeros(cap, jnp.int32).at[pos].set(bc, **opts)
+    return (
+        jax.lax.psum(obi, axis),
+        jax.lax.psum(obj, axis),
+        jax.lax.psum(obc, axis),
+        # == sum(all_c); psum so shard_map can INFER the replication
+        jax.lax.psum(cursor, axis)[None],
+    )
 
 
 def sharded_extract_pairs(
@@ -499,11 +521,11 @@ def sharded_extract_pairs(
     Bit-identical (after the canonical (i, j) sort) to the single-chip
     :func:`similarity.pairwise.extract_pairs` for every device count,
     without ever replicating the bitset matrix — each device recomputes
-    only its own ring block pairs. `cap` bounds surviving pairs per
-    device; overflow raises with the observed maximum so the caller can
-    re-run with a bigger cap. A 2-axis (hosts × chips) mesh runs the
-    hierarchical 2-D schedule (one DCN hop per outer step); `axis` is
-    ignored there.
+    only its own ring block pairs. `cap` bounds the GLOBAL surviving
+    pair count (the sweep's tile_hits give it exactly); overflow raises
+    so the caller can re-run with a bigger cap. A 2-axis (hosts ×
+    chips) mesh runs the hierarchical 2-D schedule (one DCN hop per
+    outer step); `axis` is ignored there.
 
     `tile_cap`: the maximum survivor count of any single block_tile²
     tile (exactly known from the sweep's tile_hits). When given, each
@@ -512,12 +534,13 @@ def sharded_extract_pairs(
     D=1 square vs sub-second with the selection). None keeps the
     scatter path (CPU, or when tile_hits are not at hand).
     """
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        bucket_pow2,
+    )
+
     k = 0
     if tile_cap is not None:
-        k = 128
-        while k < int(tile_cap):
-            k *= 2
-        k = min(k, block_tile * block_tile)
+        k = bucket_pow2(tile_cap, 128, block_tile * block_tile)
     two_d = len(mesh.axis_names) == 2
     d_count = int(mesh.devices.size)
     n_pad = words.shape[0]
@@ -579,26 +602,17 @@ def sharded_extract_pairs(
             mesh, n, threshold, cap, axis, weighted, cross_amr_only,
             block_tile=block_tile, k=k,
         )
-    out = fn(words_s, classes_s, weights_s)
-    if jax.process_count() > 1:
-        # replicate before fetching (device_get cannot read remote shards)
-        out = jax.jit(
-            lambda *x: x,
-            out_shardings=tuple(NamedSharding(mesh, P(None)) for _ in out),
-        )(*out)
-    bi, bj, bc, cursors = jax.device_get(out)
-    if int(cursors.max()) > cap:
+    # outputs are replicated (the in-program cursor all-gather + disjoint
+    # scatter + psum concatenates every device's occupied prefix), so the
+    # fetch is ~12 bytes per surviving pair — multi-process included
+    bi, bj, bc, total = jax.device_get(fn(words_s, classes_s, weights_s))
+    m = int(total[0])
+    if m > cap:
         raise ValueError(
-            f"sharded extraction overflow: a device found "
-            f"{int(cursors.max())} pairs > cap={cap}; re-run with a "
-            f"larger cap"
+            f"sharded extraction overflow: {m} total pairs > cap={cap}; "
+            f"re-run with a larger cap"
         )
-    parts = []
-    for d in range(d_count):
-        m = int(cursors[d])
-        sl = slice(d * cap, d * cap + m)
-        parts.append(np.stack([bi[sl], bj[sl], bc[sl]], axis=1))
-    pairs = np.concatenate(parts, axis=0).astype(np.int64)
+    pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     return pairs[order]
 
@@ -690,7 +704,10 @@ def make_ring_extract_2d(
                     mask, counts, gi, gj, block_tile, k,
                     (cursor, bi, bj, bc), cap,
                 )
-        return bi, bj, bc, cursor[None]
+        return _gather_compacted(
+            bi, bj, bc, cursor, h * cc + c, hc * cc, cap,
+            (host_axis, chip_axis),
+        )
 
     sharded = shard_map(
         step,
@@ -700,7 +717,7 @@ def make_ring_extract_2d(
             P((host_axis, chip_axis)),
             P(None),
         ),
-        out_specs=tuple(P((host_axis, chip_axis)) for _ in range(4)),
+        out_specs=tuple(P(None) for _ in range(4)),
     )
     return jax.jit(sharded)
 

@@ -113,6 +113,29 @@ def _extract_batch(
 _TOPK_CAP = 1 << 17
 
 
+def bucket_pow2(kmax: int, floor: int, cap: int) -> int:
+    """Power-of-two compiled-shape bucket for top_k widths: the smallest
+    pow2 ≥ kmax, floored (tiny k buckets churn compiles for no win) and
+    capped at the tile area."""
+    k = floor
+    while k < int(kmax):
+        k *= 2
+    return min(k, cap)
+
+
+def subtile_rows(x, bt: int):
+    """[R, C] → [R//bt · C//bt, bt²]: each row is one bt² sub-tile
+    (row-major over the sub-tile grid) — the batched-top_k layout shared
+    by the superblock and sharded extraction compactors."""
+    qi = x.shape[0] // bt
+    qj = x.shape[1] // bt
+    return (
+        x.reshape(qi, bt, qj, bt).transpose(0, 2, 1, 3).reshape(
+            qi * qj, bt * bt
+        )
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "weighted", "cross_amr_only", "k"),
@@ -260,15 +283,8 @@ def _extract_superblock_topk(
             threshold, weighted, cross_amr_only, valid_t[idx],
         )
 
-        def subtiles(x):
-            return (
-                x.reshape(q, tile, q, tile)
-                .transpose(0, 2, 1, 3)
-                .reshape(q * q, tile * tile)
-            )
-
-        fm = subtiles(mask.astype(jnp.int32))
-        cfl = subtiles(counts)
+        fm = subtile_rows(mask.astype(jnp.int32), tile)
+        cfl = subtile_rows(counts, tile)
         vals, sel = jax.lax.top_k(fm, k)            # [q², k]
         cnt = jnp.take_along_axis(cfl, sel, axis=1)
         cnt = jnp.where(vals > 0, cnt, -1)
@@ -375,11 +391,7 @@ def extract_pairs(
         sb_batch = 16  # padded slots run the full superblock matmul
         for lo in range(0, len(sb_sel), sb_batch):
             g = sb_sel[lo : lo + sb_batch]
-            kmax = int(smax[g].max())
-            k = 512
-            while k < kmax:
-                k *= 2
-            k = min(k, tile * tile)
+            k = bucket_pow2(smax[g].max(), 512, tile * tile)
             i0s = np.zeros(sb_batch, np.int32)
             j0s = np.zeros(sb_batch, np.int32)
             valid_t = np.zeros(sb_batch, bool)
@@ -419,11 +431,7 @@ def extract_pairs(
         sparse_tiles = sparse_tiles[np.argsort(-hits_per_tile[sparse_tiles])]
         for lo in range(0, len(sparse_tiles), batch):
             g = sparse_tiles[lo : lo + batch]
-            kmax = int(hits_per_tile[g].max())
-            k = 512
-            while k < kmax:
-                k *= 2
-            k = min(k, tile * tile)
+            k = bucket_pow2(hits_per_tile[g].max(), 512, tile * tile)
             i0s, j0s, valid_t = _pad_group(g)
             topk_parts.append(
                 _extract_batch_topk(
