@@ -192,3 +192,55 @@ def test_parsers_agree_on_exotic_whitespace(tmp_path):
     assert np.array_equal(seq, py_seq)
     assert seq.tobytes() == b"MSEQQQQQWWWW"
     assert np.array_equal(off, py_off)
+
+
+def test_parser_fuzz_parity(tmp_path):
+    """Randomized FASTA fuzz: the native and numpy parsers must agree on
+    ids/sequences/offsets (or both reject) for arbitrary mixtures of
+    CRLF, blank lines, wrapped sequences, descriptions, and whitespace."""
+    from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
+
+    rng = np.random.default_rng(123)
+    aas = "CSTAGPDEQNHRKMILVWYF"
+    ws = [" ", "\t", "\x0b", "\x0c"]
+    for trial in range(30):
+        lines = []
+        for r in range(int(rng.integers(1, 6))):
+            ident = "P%d|F|U|c%d|g" % (trial, r)
+            desc = ""
+            if rng.random() < 0.5:
+                desc = ws[int(rng.integers(0, 4))] + "some desc"
+            lead = ws[int(rng.integers(0, 4))] if rng.random() < 0.3 else ""
+            cr = "\r" * int(rng.integers(0, 3))
+            lines.append(">" + lead + ident + desc + cr)
+            seq = "".join(
+                aas[i] for i in rng.integers(0, 20, int(rng.integers(5, 60)))
+            )
+            # wrap into chunks, sprinkle blank lines and CRs
+            pos = 0
+            while pos < len(seq):
+                w = int(rng.integers(3, 30))
+                lines.append(seq[pos : pos + w] + "\r" * int(rng.integers(0, 2)))
+                pos += w
+                if rng.random() < 0.2:
+                    lines.append("")
+        data = "\n".join(lines)
+        if rng.random() < 0.5:
+            data += "\n"
+        data = data.encode()
+        p = tmp_path / f"fuzz{trial}.fasta"
+        p.write_bytes(data)
+
+        try:
+            expected = parse_fasta_bytes(data)
+            failed = None
+        except ValueError as e:
+            expected, failed = None, e
+        if failed is not None:
+            with pytest.raises(ValueError):
+                native.parse_fasta(str(p))
+            continue
+        ids, seq_buf, off = native.parse_fasta(str(p))
+        assert ids == expected[0], trial
+        assert np.array_equal(seq_buf, expected[1]), trial
+        assert np.array_equal(off, expected[2]), trial
