@@ -223,3 +223,39 @@ def test_checkpoint_resume_skips_sweep(toy_fasta, tmp_path):
     assert r1.parity_report() == r2.parity_report()
     assert np.array_equal(r1.pairwise.pairs, r2.pairwise.pairs)
     assert np.array_equal(r1.cluster_labels, r2.cluster_labels)
+
+
+def test_query_serving_matches_pipeline(toy_fasta):
+    """query_shared_kmers (the serving path: new sequence vs the standing
+    corpus index) reproduces the batch sweep's counts exactly for a
+    corpus member's own sequence."""
+    from uniprot_kmer_based_clustering_tpu.similarity import (
+        query_shared_kmers,
+    )
+
+    cfg = PipelineConfig(**{**CFG, "cross_amr_only": False})
+    res = run_pipeline(toy_fasta, cfg)
+    qi = 7
+    matches = query_shared_kmers(
+        res.index, res.bitset, [res.table.seq(qi)], threshold=cfg.threshold
+    )[0]
+    got = {int(j): int(c) for j, c in matches}
+
+    # self-match count = the row's repeated-k-mer popcount
+    row = np.asarray(res.bitset.words)[qi]
+    assert got[qi] == int(np.bitwise_count(row).sum())
+
+    # exact agreement with every batch pair involving qi — and nothing else
+    expected = {qi: got[qi]}
+    for i, j, c in res.pairwise.pairs:
+        if i == qi:
+            expected[int(j)] = int(c)
+        elif j == qi:
+            expected[int(i)] = int(c)
+    assert got == expected
+
+    # a never-seen sequence returns no spurious matches above the gate
+    novel = query_shared_kmers(
+        res.index, res.bitset, ["WWWWWWYYYYYYWWWWWW"], threshold=2
+    )[0]
+    assert novel.shape[1] == 2

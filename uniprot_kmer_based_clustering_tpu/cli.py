@@ -222,6 +222,71 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Serve shared-k-mer searches against a corpus index.
+
+    The corpus pipeline runs up to the bitset (resuming from
+    --checkpoint-dir when given — warm startup), then each query
+    sequence gets one [Q, K]x[K, N] matmul against the standing index;
+    matches print as TSV (query, corpus id, AMR class, shared k-mers).
+    """
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+    from uniprot_kmer_based_clustering_tpu.similarity import (
+        query_shared_kmers,
+    )
+
+    seqs = list(args.seq or [])
+    names = [f"query{i}" for i in range(len(seqs))]
+    if args.query_fasta:
+        from uniprot_kmer_based_clustering_tpu.io.fasta import (
+            parse_fasta_bytes,
+        )
+
+        with open(args.query_fasta, "rb") as f:
+            qids, qbuf, qoff = parse_fasta_bytes(f.read())
+        for qi, qid in enumerate(qids):
+            names.append(qid)
+            seqs.append(
+                qbuf[qoff[qi] : qoff[qi + 1]].tobytes().decode("ascii")
+            )
+    if not seqs:
+        raise SystemExit("no queries: pass --seq and/or --query-fasta")
+
+    config = PipelineConfig(
+        k=args.k, threshold=args.threshold, cluster="none"
+    )
+    res = run_pipeline(
+        args.fasta, config, checkpoint_dir=args.checkpoint_dir
+    )
+    weights = None
+    if args.weighting == "blosum62":
+        from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+            rank_weights_int8,
+        )
+
+        weights = rank_weights_int8(
+            res.index.repeated_codes, config.k, res.bitset.w_pad * 32
+        )
+    matches = query_shared_kmers(
+        res.index, res.bitset, seqs,
+        threshold=args.threshold, weights=weights, top=args.top,
+    )
+    print("query\tprotein\tid\tamr_class\tshared_kmers")
+    for name, m in zip(names, matches):
+        for j, c in m:
+            print(
+                f"{name}\t{j}\t{res.table.ids[j]}\t"
+                f"{res.table.amr_classes[j]}\t{c}"
+            )
+    return 0
+
+
 def cmd_bench(args) -> int:
     if args.fasta is not None:
         # an explicitly passed path wins over an exported UKC_BENCH_FASTA;
@@ -299,6 +364,26 @@ def main(argv=None) -> int:
                    help="initialize jax.distributed (multi-host pod slice)")
     r.add_argument("-v", "--verbose", action="store_true")
     r.set_defaults(func=cmd_run)
+
+    q = sub.add_parser(
+        "query",
+        help="search new sequences against a corpus index (serving)",
+    )
+    q.add_argument("fasta", help="corpus FASTA (the standing index)")
+    q.add_argument("--seq", action="append", metavar="AASEQ",
+                   help="query amino-acid sequence (repeatable)")
+    q.add_argument("--query-fasta", default=None,
+                   help="FASTA of query sequences")
+    q.add_argument("--k", type=int, default=5, choices=(5, 7))
+    q.add_argument("--threshold", type=int, default=10)
+    q.add_argument("--weighting", default="none",
+                   choices=("none", "blosum62"))
+    q.add_argument("--top", type=int, default=None,
+                   help="keep only the best N matches per query")
+    q.add_argument("--checkpoint-dir", default=None,
+                   help="reuse/persist the corpus index (warm startup)")
+    q.add_argument("--cpu", action="store_true")
+    q.set_defaults(func=cmd_query)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("fasta", nargs="?", default=None,

@@ -3,3 +3,6 @@ from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (  # noqa: F40
     extract_pairs,
     pairwise_similarity,
 )
+from uniprot_kmer_based_clustering_tpu.similarity.query import (  # noqa: F401
+    query_shared_kmers,
+)
