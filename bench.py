@@ -15,6 +15,11 @@ host — scipy.sparse B·Bᵀ over the incidence matrix (exploits sparsity,
 far faster than the reference's atomic-pointer graph) — and report
 vs_baseline against it. Beating this stand-in by 10× strictly implies
 beating the reference by more.
+
+(The framework's own CPU fallback — the native sparse Gustavson sweep,
+io/native.py sparse_sweep — is ~9× faster again than this scipy
+stand-in, but it is part of the framework under test, not a baseline;
+the baseline deliberately stays an independent external implementation.)
 """
 
 from __future__ import annotations

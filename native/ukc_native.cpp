@@ -35,6 +35,46 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+#include <immintrin.h>
+#define UKC_HAVE_VPOPCNT 1
+#endif
+
+// AND+popcount of two packed rows. With AVX-512 VPOPCNTDQ (the build
+// uses -march=native, so this tracks the machine the library runs on)
+// this runs 8 words per instruction with two accumulators for ILP;
+// otherwise a scalar POPCNT loop.
+static inline int64_t ukc_and_popcnt_row(const uint64_t* a,
+                                         const uint64_t* b, int64_t w64) {
+#ifdef UKC_HAVE_VPOPCNT
+  __m512i acc0 = _mm512_setzero_si512();
+  __m512i acc1 = _mm512_setzero_si512();
+  int64_t w = 0;
+  for (; w + 16 <= w64; w += 16) {
+    __m512i x0 = _mm512_and_si512(_mm512_loadu_si512(a + w),
+                                  _mm512_loadu_si512(b + w));
+    __m512i x1 = _mm512_and_si512(_mm512_loadu_si512(a + w + 8),
+                                  _mm512_loadu_si512(b + w + 8));
+    acc0 = _mm512_add_epi64(acc0, _mm512_popcnt_epi64(x0));
+    acc1 = _mm512_add_epi64(acc1, _mm512_popcnt_epi64(x1));
+  }
+  for (; w + 8 <= w64; w += 8) {
+    __m512i x = _mm512_and_si512(_mm512_loadu_si512(a + w),
+                                 _mm512_loadu_si512(b + w));
+    acc0 = _mm512_add_epi64(acc0, _mm512_popcnt_epi64(x));
+  }
+  int64_t cnt =
+      _mm512_reduce_add_epi64(_mm512_add_epi64(acc0, acc1));
+  for (; w < w64; w++) cnt += __builtin_popcountll(a[w] & b[w]);
+  return cnt;
+#else
+  int64_t cnt = 0;
+  for (int64_t w = 0; w < w64; w++)
+    cnt += __builtin_popcountll(a[w] & b[w]);
+  return cnt;
+#endif
+}
+
 // ASCII whitespace per Python bytes.split(None) — the numpy parser's
 // header-token delimiter set ('\n' never appears inside a line)
 static inline bool ukc_ws(uint8_t b) {
@@ -149,24 +189,118 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
                            int64_t pairs_cap, int include_same,
                            int n_threads) {
   if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> n_pairs(0);
+
+  // j-blocking: the naive i-outer loop streams the whole [n, w64] matrix
+  // from DRAM once per row (3.3 TB on the 10.6k-protein golden set). A
+  // block of j-rows sized to stay cache-resident (~1 MB) is reused
+  // across every i < j_hi, cutting DRAM traffic by ~block_rows×.
+  const int64_t row_bytes = w64 * 8;
+  int64_t jb = row_bytes > 0 ? (int64_t)(1 << 20) / row_bytes : n;
+  if (jb < 8) jb = 8;
+
+  for (int64_t j_lo = 0; j_lo < n; j_lo += jb) {
+    const int64_t j_hi = std::min(j_lo + jb, n);
+    std::atomic<int64_t> next_row(0);
+    auto worker = [&]() {
+      for (;;) {
+        int64_t i = next_row.fetch_add(1);
+        if (i >= j_hi - 1) break;
+        const uint64_t* a = words + i * w64;
+        int64_t* rs = row_stats + i * 8;
+        for (int64_t j = std::max(i + 1, j_lo); j < j_hi; j++) {
+          const uint64_t* b = words + j * w64;
+          int64_t cnt = ukc_and_popcnt_row(a, b, w64);
+          bool cross = classes[i] != classes[j];
+          int64_t base = cross ? 0 : 4;
+          rs[base + 0] += cnt;
+          rs[base + 1] += cnt >= 1;
+          rs[base + 2] += cnt > threshold;
+          if (cnt > rs[base + 3]) rs[base + 3] = cnt;
+          if (cnt > threshold && (cross || include_same)) {
+            int64_t slot = n_pairs.fetch_add(1);
+            if (slot < pairs_cap) {
+              pairs_out[slot * 3 + 0] = i;
+              pairs_out[slot * 3 + 1] = j;
+              pairs_out[slot * 3 + 2] = cnt;
+            }
+          }
+        }
+      }
+    };
+    if (n_threads == 1) {
+      worker();
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+      for (auto& t : threads) t.join();
+    }
+  }
+  return n_pairs.load();
+}
+
+// Sparse (Gustavson) pairwise sweep over the (protein, rank) incidence
+// lists — the strongest CPU formulation when the bitset is sparse (the
+// bundled dataset is 0.13% dense: 3.19M incidences in a 10,619×231,253
+// matrix). Work is Σ_k f_k(f_k−1)/2 = the reference's multigraph edge
+// count (src/graph/mod.rs:44-48; 258.6M golden) of increments into an
+// L1-resident [n] accumulator, instead of the dense sweep's 2.06e11
+// word AND+popcounts. Incidences must be sorted by (protein, rank) —
+// kmers/index.py's layout — so each rank's expansion list is
+// protein-ascending and the upper triangle falls out of list suffixes.
+// Semantics (row_stats, pairs, include_same, return value) are
+// identical to ukc_popcount_sweep.
+int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
+                         int64_t nnz, int64_t n, int64_t n_ranks,
+                         const int32_t* classes, int32_t threshold,
+                         int64_t* row_stats, int64_t* pairs_out,
+                         int64_t pairs_cap, int include_same,
+                         int n_threads) {
+  // rank CSR (protein-ascending within each rank) + every incidence's
+  // position inside its rank's list, so row i's partners are suffixes
+  std::vector<int64_t> roff(n_ranks + 1, 0);
+  for (int64_t t = 0; t < nnz; t++) roff[inc_rank[t] + 1]++;
+  for (int64_t r = 0; r < n_ranks; r++) roff[r + 1] += roff[r];
+  std::vector<int32_t> rlist(nnz);
+  std::vector<int64_t> posof(nnz);
+  {
+    std::vector<int64_t> fill(roff.begin(), roff.end() - 1);
+    for (int64_t t = 0; t < nnz; t++) {
+      int64_t p = fill[inc_rank[t]]++;
+      rlist[p] = inc_protein[t];
+      posof[t] = p;
+    }
+  }
+  std::vector<int64_t> poff(n + 1, 0);
+  for (int64_t t = 0; t < nnz; t++) poff[inc_protein[t] + 1]++;
+  for (int64_t i = 0; i < n; i++) poff[i + 1] += poff[i];
+
+  if (n_threads < 1) n_threads = 1;
   std::atomic<int64_t> next_row(0);
   std::atomic<int64_t> n_pairs(0);
 
   auto worker = [&]() {
+    std::vector<int32_t> acc(n, 0);
+    std::vector<int32_t> touched;
+    touched.reserve(4096);
     for (;;) {
       int64_t i = next_row.fetch_add(1);
       if (i >= n) break;
-      const uint64_t* a = words + i * w64;
+      for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
+        int32_t r = inc_rank[t];
+        for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
+          int32_t j = rlist[q];
+          if (acc[j]++ == 0) touched.push_back(j);
+        }
+      }
       int64_t* rs = row_stats + i * 8;
-      for (int64_t j = i + 1; j < n; j++) {
-        const uint64_t* b = words + j * w64;
-        int64_t cnt = 0;
-        for (int64_t w = 0; w < w64; w++)
-          cnt += __builtin_popcountll(a[w] & b[w]);
+      for (int32_t j : touched) {
+        int64_t cnt = acc[j];
+        acc[j] = 0;
         bool cross = classes[i] != classes[j];
         int64_t base = cross ? 0 : 4;
         rs[base + 0] += cnt;
-        rs[base + 1] += cnt >= 1;
+        rs[base + 1] += 1;
         rs[base + 2] += cnt > threshold;
         if (cnt > rs[base + 3]) rs[base + 3] = cnt;
         if (cnt > threshold && (cross || include_same)) {
@@ -178,12 +312,17 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
           }
         }
       }
+      touched.clear();
     }
   };
 
-  std::vector<std::thread> threads;
-  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
   return n_pairs.load();
 }
 

@@ -88,6 +88,40 @@ def test_popcount_sweep_matches_xla(rng):
     assert np.array_equal(row_stats.sum(axis=0), rsx.sum(axis=0)[:8])
     assert np.array_equal(pairs, px)
 
+    # the sparse Gustavson sweep must be output-identical to the dense
+    # one — same row_stats (incl. per-row maxes), same pair list. The
+    # incidence lists must be sorted by (protein, rank): np.nonzero's
+    # row-major order provides exactly that.
+    sp = native.sparse_sweep(
+        rows.astype(np.int32), cols.astype(np.int32), n, k, classes, 3
+    )
+    assert sp is not None
+    assert np.array_equal(sp[0], row_stats)
+    assert np.array_equal(sp[1], pairs)
+
+    # pair-buffer overflow retry: a tiny cap must still return the full
+    # exact result (second pass with the exact size)
+    sp_small = native.sparse_sweep(
+        rows.astype(np.int32), cols.astype(np.int32), n, k, classes, 3,
+        pairs_cap=4,
+    )
+    assert np.array_equal(sp_small[0], row_stats)
+    assert np.array_equal(sp_small[1], pairs)
+    dn_small = native.popcount_sweep(bs.words, n, classes, 3, pairs_cap=4)
+    assert np.array_equal(dn_small[0], row_stats)
+    assert np.array_equal(dn_small[1], pairs)
+
+    # include_same surfaces class-equal pairs in both engines identically
+    sp_all = native.sparse_sweep(
+        rows.astype(np.int32), cols.astype(np.int32), n, k, classes, 3,
+        include_same=True,
+    )
+    dn_all = native.popcount_sweep(
+        bs.words, n, classes, 3, include_same=True
+    )
+    assert np.array_equal(sp_all[1], dn_all[1])
+    assert sp_all[1].shape[0] >= pairs.shape[0]
+
 
 def test_native_index_matches_numpy(toy_fasta):
     from uniprot_kmer_based_clustering_tpu.io import native

@@ -7,7 +7,8 @@ Here:
   uniprot-kmer-cluster run <fasta> [--k {5,7}] [--threshold N]
       [--sampling {all,random10}] [--weighting {none,blosum62}]
       [--cluster {components,tree,agglomerative,none}] [--min-shared N]
-      [--engine {auto,mxu,popcount,xla}] [--index-engine {host,device}]
+      [--engine {auto,mxu,popcount,xla,native}]
+      [--index-engine {host,device}]
       [--devices N] [--mesh-shape HxC] [--shard-axis {rows,kmers}]
       [--distributed] [--align {none,diamond,sw,auto}] [--all-pairs]
       [--checkpoint-dir DIR] [--out DIR] [--dump-kmers]
@@ -324,7 +325,7 @@ def main(argv=None) -> int:
                    help="agglomerative = batched MXU mutual-argmax "
                         "signature merges (the TPU-native tree)")
     r.add_argument("--engine", default="auto",
-                   choices=("auto", "mxu", "popcount", "xla"))
+                   choices=("auto", "mxu", "popcount", "xla", "native"))
     r.add_argument("--index-engine", default="host",
                    choices=("host", "device"),
                    help="build the doc-freq index + bitset on host or TPU")

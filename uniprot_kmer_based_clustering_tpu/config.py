@@ -37,11 +37,15 @@ class PipelineConfig:
 
     # --- device execution ---
     engine: str = "auto"            # "auto" | "mxu" | "popcount" | "xla"
+                                    #   | "native"
                                     #   mxu: int8 binary-matmul sweep (fastest)
                                     #   popcount: packed-bitset Pallas kernel
                                     #     (8× less HBM; memory-lean at scale)
                                     #   xla: popcount fallback, runs anywhere
-                                    #   auto: mxu on TPU, xla elsewhere
+                                    #   native: threaded C++ host sweep (the
+                                    #     fast no-accelerator path)
+                                    #   auto: mxu on TPU; elsewhere native
+                                    #     when built, xla otherwise
     tile: int = 512                 # protein-axis tile for the pairwise sweep
     strip: Optional[int] = None     # stationary strip rows for the MXU engine
                                     # (None = auto: one full-square call when
@@ -76,7 +80,7 @@ class PipelineConfig:
             raise ValueError(f"unknown weighting mode {self.weighting!r}")
         if self.cluster not in ("components", "tree", "agglomerative", "none"):
             raise ValueError(f"unknown cluster mode {self.cluster!r}")
-        if self.engine not in ("auto", "mxu", "popcount", "xla"):
+        if self.engine not in ("auto", "mxu", "popcount", "xla", "native"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")

@@ -81,6 +81,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.ukc_sparse_sweep.restype = _i64
+        lib.ukc_sparse_sweep.argtypes = [
+            _i32p, _i32p, _i64, _i64, _i64, _i32p, ctypes.c_int32,
+            _i64p, _i64p, _i64, ctypes.c_int, ctypes.c_int,
+        ]
         lib.ukc_index_build.restype = ctypes.c_int
         lib.ukc_index_build.argtypes = [
             _i64p, _i64p, _i64, _i64, _i64p, _i64p, _i32p, _i32p,
@@ -209,16 +214,72 @@ def popcount_sweep(
     row_stats = np.zeros((n, 8), np.int64)
     pairs = np.zeros((pairs_cap, 3), np.int64)
     n_threads = n_threads or (os.cpu_count() or 1)
+    classes32 = np.ascontiguousarray(classes[:n], np.int32)
     total = lib.ukc_popcount_sweep(
-        words64, n, w64,
-        np.ascontiguousarray(classes[:n], np.int32),
+        words64, n, w64, classes32,
         threshold, row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
         1 if include_same else 0, n_threads,
     )
     if total > pairs_cap:
-        raise RuntimeError(
-            f"pair buffer overflow: {total} > cap {pairs_cap}; rerun with a "
-            f"larger pairs_cap"
+        # the first pass told us the exact pair count; resweep into an
+        # exact-size buffer (the sweep is cheap relative to a host
+        # pipeline run, and stats would double-count if reused)
+        pairs_cap = int(total)
+        pairs = np.zeros((pairs_cap, 3), np.int64)
+        row_stats[:] = 0
+        total = lib.ukc_popcount_sweep(
+            words64, n, w64, classes32,
+            threshold, row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
+            1 if include_same else 0, n_threads,
+        )
+    found = pairs[:total]
+    order = np.lexsort((found[:, 1], found[:, 0]))
+    return row_stats, found[order]
+
+
+def sparse_sweep(
+    inc_protein: np.ndarray,
+    inc_rank: np.ndarray,
+    n: int,
+    n_ranks: int,
+    classes: np.ndarray,
+    threshold: int,
+    pairs_cap: int = 1 << 20,
+    include_same: bool = False,
+    n_threads: Optional[int] = None,
+):
+    """Native sparse (Gustavson) sweep over the incidence lists →
+    (row_stats int64 [n, 8], pairs int64 [m, 3]).
+
+    Output-identical to popcount_sweep / the device engines, but work
+    scales with Σf(f−1)/2 (the reference's multigraph edge count)
+    instead of n²·words — the fast path for sparse bitsets. Incidences
+    must be sorted by (protein, rank), kmers/index.py's layout. Returns
+    None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nnz = int(inc_rank.shape[0])
+    inc_p = np.ascontiguousarray(inc_protein, np.int32)
+    inc_r = np.ascontiguousarray(inc_rank, np.int32)
+    classes32 = np.ascontiguousarray(classes[:n], np.int32)
+    row_stats = np.zeros((n, 8), np.int64)
+    pairs = np.zeros((pairs_cap, 3), np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    total = lib.ukc_sparse_sweep(
+        inc_p, inc_r, nnz, n, n_ranks, classes32, threshold,
+        row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
+        1 if include_same else 0, n_threads,
+    )
+    if total > pairs_cap:
+        pairs_cap = int(total)
+        pairs = np.zeros((pairs_cap, 3), np.int64)
+        row_stats[:] = 0
+        total = lib.ukc_sparse_sweep(
+            inc_p, inc_r, nnz, n, n_ranks, classes32, threshold,
+            row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
+            1 if include_same else 0, n_threads,
         )
     found = pairs[:total]
     order = np.lexsort((found[:, 1], found[:, 0]))

@@ -170,7 +170,8 @@ def run_pipeline(
                 )
             else:
                 pairwise = pairwise_similarity(
-                    bitset, table.amr_class_ids, config, weights=weights
+                    bitset, table.amr_class_ids, config,
+                    weights=weights, index=index,
                 )
         store.save(
             key_pairs,
