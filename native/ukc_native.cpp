@@ -35,18 +35,18 @@
 #include <thread>
 #include <vector>
 
-#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+// AND+popcount of two packed rows: an AVX-512 VPOPCNTDQ kernel (8 words
+// per instruction, two accumulators for ILP) selected at RUNTIME via
+// cpuid — the target attribute keeps the intrinsics legal under any
+// -march, and the cpuid gate keeps a library binary copied between
+// machines from hitting illegal instructions — with a scalar POPCNT
+// fallback.
+#if defined(__x86_64__)
 #include <immintrin.h>
-#define UKC_HAVE_VPOPCNT 1
-#endif
 
-// AND+popcount of two packed rows. With AVX-512 VPOPCNTDQ (the build
-// uses -march=native, so this tracks the machine the library runs on)
-// this runs 8 words per instruction with two accumulators for ILP;
-// otherwise a scalar POPCNT loop.
-static inline int64_t ukc_and_popcnt_row(const uint64_t* a,
-                                         const uint64_t* b, int64_t w64) {
-#ifdef UKC_HAVE_VPOPCNT
+__attribute__((target("avx512f,avx512vpopcntdq"))) static int64_t
+ukc_and_popcnt_row_avx512(const uint64_t* a, const uint64_t* b,
+                          int64_t w64) {
   __m512i acc0 = _mm512_setzero_si512();
   __m512i acc1 = _mm512_setzero_si512();
   int64_t w = 0;
@@ -63,16 +63,33 @@ static inline int64_t ukc_and_popcnt_row(const uint64_t* a,
                                  _mm512_loadu_si512(b + w));
     acc0 = _mm512_add_epi64(acc0, _mm512_popcnt_epi64(x));
   }
-  int64_t cnt =
-      _mm512_reduce_add_epi64(_mm512_add_epi64(acc0, acc1));
+  int64_t cnt = _mm512_reduce_add_epi64(_mm512_add_epi64(acc0, acc1));
   for (; w < w64; w++) cnt += __builtin_popcountll(a[w] & b[w]);
   return cnt;
-#else
+}
+
+static bool ukc_have_vpopcnt() {
+  static const bool have =
+      __builtin_cpu_supports("avx512f") &&
+      __builtin_cpu_supports("avx512vpopcntdq");
+  return have;
+}
+#endif  // __x86_64__
+
+static int64_t ukc_and_popcnt_row_scalar(const uint64_t* a,
+                                         const uint64_t* b, int64_t w64) {
   int64_t cnt = 0;
   for (int64_t w = 0; w < w64; w++)
     cnt += __builtin_popcountll(a[w] & b[w]);
   return cnt;
+}
+
+static inline int64_t ukc_and_popcnt_row(const uint64_t* a,
+                                         const uint64_t* b, int64_t w64) {
+#if defined(__x86_64__)
+  if (ukc_have_vpopcnt()) return ukc_and_popcnt_row_avx512(a, b, w64);
 #endif
+  return ukc_and_popcnt_row_scalar(a, b, w64);
 }
 
 // ASCII whitespace per Python bytes.split(None) — the numpy parser's

@@ -258,4 +258,14 @@ def test_query_serving_matches_pipeline(toy_fasta):
     novel = query_shared_kmers(
         res.index, res.bitset, ["WWWWWWYYYYYYWWWWWW"], threshold=2
     )[0]
-    assert novel.shape[1] == 2
+    assert novel.shape == (0, 2)
+
+    # a standing QueryServer reuses its device-resident corpus across
+    # calls and reproduces the one-shot result exactly
+    from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
+
+    srv = QueryServer(res.index, res.bitset)
+    first = srv.query([res.table.seq(qi)], threshold=cfg.threshold)[0]
+    again = srv.query([res.table.seq(qi)], threshold=cfg.threshold)[0]
+    assert np.array_equal(first, matches)
+    assert np.array_equal(again, matches)

@@ -260,12 +260,15 @@ def cmd_query(args) -> int:
         raise SystemExit("no queries: pass --seq and/or --query-fasta")
 
     config = PipelineConfig(
-        k=args.k, threshold=args.threshold, cluster="none"
+        k=args.k, threshold=args.threshold, cluster="none",
+        weighting=args.weighting,
     )
     res = run_pipeline(
-        args.fasta, config, checkpoint_dir=args.checkpoint_dir
+        args.fasta, config, checkpoint_dir=args.checkpoint_dir,
+        stop_after="pack",
     )
     weights = None
+    threshold = args.threshold
     if args.weighting == "blosum62":
         from uniprot_kmer_based_clustering_tpu.utils.blosum import (
             rank_weights_int8,
@@ -274,9 +277,12 @@ def cmd_query(args) -> int:
         weights = rank_weights_int8(
             res.index.repeated_codes, config.k, res.bitset.w_pad * 32
         )
+        # same gate scaling as the weighted batch sweep (raw 10 applied
+        # to BLOSUM scores would pass any pair sharing one k-mer)
+        threshold = config.effective_weighted_threshold(weights)
     matches = query_shared_kmers(
         res.index, res.bitset, seqs,
-        threshold=args.threshold, weights=weights, top=args.top,
+        threshold=threshold, weights=weights, top=args.top,
     )
     print("query\tprotein\tid\tamr_class\tshared_kmers")
     for name, m in zip(names, matches):

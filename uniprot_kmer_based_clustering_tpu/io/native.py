@@ -67,33 +67,51 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
 
-        lib.ukc_fasta_stats.restype = ctypes.c_int
-        lib.ukc_fasta_stats.argtypes = [
-            _u8p, _i64, ctypes.POINTER(_i64), ctypes.POINTER(_i64),
-            ctypes.POINTER(_i64),
-        ]
-        lib.ukc_fasta_parse.restype = ctypes.c_int
-        lib.ukc_fasta_parse.argtypes = [_u8p, _i64, _u8p, _i64p, _u8p, _i64p]
-        lib.ukc_pack_bits.restype = None
-        lib.ukc_pack_bits.argtypes = [_i32p, _i32p, _i64, _u32p, _i64]
-        lib.ukc_popcount_sweep.restype = _i64
-        lib.ukc_popcount_sweep.argtypes = [
-            _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
-            ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ukc_sparse_sweep.restype = _i64
-        lib.ukc_sparse_sweep.argtypes = [
-            _i32p, _i32p, _i64, _i64, _i64, _i32p, ctypes.c_int32,
-            _i64p, _i64p, _i64, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ukc_index_build.restype = ctypes.c_int
-        lib.ukc_index_build.argtypes = [
-            _i64p, _i64p, _i64, _i64, _i64p, _i64p, _i32p, _i32p,
-            ctypes.POINTER(_i64), ctypes.POINTER(_i64),
-            ctypes.POINTER(_i64), ctypes.POINTER(_i64),
-        ]
+        try:
+            _bind(lib)
+        except AttributeError:
+            # stale library predating a symbol: force one rebuild, then
+            # degrade to the numpy fallbacks rather than crash callers
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-B"],
+                    check=True, capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(_SO_PATH)
+                _bind(lib)
+            except Exception:
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.ukc_fasta_stats.restype = ctypes.c_int
+    lib.ukc_fasta_stats.argtypes = [
+        _u8p, _i64, ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+        ctypes.POINTER(_i64),
+    ]
+    lib.ukc_fasta_parse.restype = ctypes.c_int
+    lib.ukc_fasta_parse.argtypes = [_u8p, _i64, _u8p, _i64p, _u8p, _i64p]
+    lib.ukc_pack_bits.restype = None
+    lib.ukc_pack_bits.argtypes = [_i32p, _i32p, _i64, _u32p, _i64]
+    lib.ukc_popcount_sweep.restype = _i64
+    lib.ukc_popcount_sweep.argtypes = [
+        _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ukc_sparse_sweep.restype = _i64
+    lib.ukc_sparse_sweep.argtypes = [
+        _i32p, _i32p, _i64, _i64, _i64, _i32p, ctypes.c_int32,
+        _i64p, _i64p, _i64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ukc_index_build.restype = ctypes.c_int
+    lib.ukc_index_build.argtypes = [
+        _i64p, _i64p, _i64, _i64, _i64p, _i64p, _i32p, _i32p,
+        ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+        ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+    ]
 
 
 def available() -> bool:

@@ -37,7 +37,7 @@ class PipelineResult:
     table: ProteinTable
     index: KmerIndex
     bitset: BitsetMatrix
-    pairwise: PairwiseResult
+    pairwise: Optional[PairwiseResult]  # None when stop_after="pack"
     cluster_labels: Optional[np.ndarray]
     timings: Dict[str, float]
     # agglomerative mode: ordered (winner, loser, shared_count) merge
@@ -89,13 +89,21 @@ def run_pipeline(
     checkpoint_dir: Optional[str] = None,
     mesh=None,
     echo_timings: bool = False,
+    stop_after: Optional[str] = None,
 ) -> PipelineResult:
     """Run the full pipeline on the current default device (or a mesh).
 
     With `checkpoint_dir`, each stage's arrays persist and a rerun resumes
     from the last completed stage (config-keyed, so changing k or sampling
     invalidates downstream artifacts automatically).
+
+    `stop_after="pack"` returns once the index + bitset exist, skipping
+    the O(N²) sweep and clustering — the serving path (cli query) needs
+    only the standing corpus artifacts; `pairwise`/`cluster_labels` are
+    None in the result.
     """
+    if stop_after not in (None, "pack"):
+        raise ValueError(f"unknown stop_after {stop_after!r}")
     config = config or PipelineConfig()
     store = CheckpointStore(checkpoint_dir)
     timers = StageTimers(echo=echo_timings)
@@ -150,6 +158,16 @@ def run_pipeline(
 
         weights = rank_weights_int8(
             index.repeated_codes, config.k, bitset.w_pad * 32
+        )
+
+    if stop_after == "pack":
+        return PipelineResult(
+            table=table,
+            index=index,
+            bitset=bitset,
+            pairwise=None,
+            cluster_labels=None,
+            timings=timers.as_dict(),
         )
 
     key_pairs = config.cache_key("pairs", fasta_path)

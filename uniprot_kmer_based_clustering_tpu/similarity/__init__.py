@@ -4,5 +4,6 @@ from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (  # noqa: F40
     pairwise_similarity,
 )
 from uniprot_kmer_based_clustering_tpu.similarity.query import (  # noqa: F401
+    QueryServer,
     query_shared_kmers,
 )

@@ -560,14 +560,16 @@ def pairwise_similarity(
 
     engine = config.engine
     if engine == "auto":
-        if jax.devices()[0].platform == "tpu":
-            engine = "mxu"
-        else:
+        platform = jax.devices()[0].platform
+        if platform == "cpu":
             from uniprot_kmer_based_clustering_tpu.io import native
 
-            # no accelerator: the threaded C++ sweep beats a one-core
-            # XLA:CPU dense popcount by orders of magnitude
+            # no accelerator: the C++ sweep beats a one-core XLA:CPU
+            # dense popcount by orders of magnitude. Non-CPU platforms
+            # (tpu, gpu, …) keep their device engines.
             engine = "native" if native.available() else "xla"
+        else:
+            engine = "mxu" if platform == "tpu" else "xla"
     if weights is not None:
         engine = "mxu"  # weighting is a matmul column scale; host sweep
         #                 and popcount kernels count unweighted bits only

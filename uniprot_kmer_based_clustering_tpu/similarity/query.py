@@ -4,16 +4,25 @@ corpus index.
 The reference is a batch binary with no query path — re-clustering the
 whole corpus is its only way to relate a new protein to it. Here the
 packed corpus bitset is a standing index: encoding Q query sequences,
-rank-hashing them into the corpus's repeated-k-mer space, and one
+rank-hashing them into the corpus's repeated-k-mer space, and a blocked
 [Q, K]·[K, N] int8 matmul give every query's shared-k-mer counts against
 all N corpus proteins at the sweep's full MXU rate — the serving-side
 complement of the batch pipeline (queries with k-mers outside the
 corpus's repeated set simply don't match on those positions, exactly as
 a corpus member wouldn't).
+
+Serving loops should hold a :class:`QueryServer`: it keeps the packed
+corpus device-resident (uploaded once) and reuses one compiled kernel
+per (query-bucket, weighted) shape. The matmul scans over 128-word
+blocks of the packed corpus, unpacking each block to int8 on the fly, so
+device memory stays ∝ N×4096 int8 instead of the full N×K unpack (8×
+the packed bitset). Query counts are padded to power-of-two buckets
+(min 8) to bound the compiled-shape count.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -23,6 +32,8 @@ from uniprot_kmer_based_clustering_tpu.kmers.encode import (
     encode_kmers,
 )
 from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex
+
+_BLOCK_WORDS = 128  # 4096 bit columns unpacked per scan step
 
 
 def pack_query_bitsets(
@@ -44,6 +55,121 @@ def pack_query_bitsets(
     return words
 
 
+@functools.lru_cache(maxsize=4)
+def _counts_fn(weighted: bool):
+    """Jitted blocked query-vs-corpus count kernel (memoized so repeated
+    serving calls reuse the compiled executable — jit caches key on
+    function identity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+        unpack_words_to_int8,
+    )
+
+    @jax.jit
+    def counts(qwords, corpus_blocks, weight_blocks):
+        # corpus_blocks: uint32 [nb, N, BLOCK]; qwords: uint32 [Q, w_pad]
+        nb, n_rows, bw = corpus_blocks.shape
+        q = qwords.shape[0]
+        q_blocks = jnp.transpose(
+            qwords.reshape(q, nb, bw), (1, 0, 2)
+        )
+
+        def step(acc, xs):
+            cb, qb, wb = xs
+            a = unpack_words_to_int8(qb)
+            b = unpack_words_to_int8(cb, wb if weighted else None)
+            acc = acc + jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc, None
+
+        acc0 = jnp.zeros((q, n_rows), jnp.int32)
+        acc, _ = jax.lax.scan(
+            step, acc0, (corpus_blocks, q_blocks, weight_blocks)
+        )
+        return acc
+
+    return counts
+
+
+class QueryServer:
+    """A standing corpus index for repeated shared-k-mer queries.
+
+    Uploads the packed corpus bitset to the default device once
+    (pre-blocked for the scan kernel) and serves `query()` calls against
+    it. `weights` (int8 [w_pad*32], utils.blosum.rank_weights_int8)
+    switches scores to BLOSUM-weighted mode, same as the weighted sweep.
+    """
+
+    def __init__(
+        self,
+        index: KmerIndex,
+        bitset: BitsetMatrix,
+        weights: Optional[np.ndarray] = None,
+    ):
+        import jax.numpy as jnp
+
+        self.index = index
+        self.bitset = bitset
+        nb = bitset.w_pad // _BLOCK_WORDS
+        self._nb = nb
+        self._corpus_blocks = jnp.transpose(
+            jnp.asarray(bitset.words).reshape(
+                bitset.n_pad, nb, _BLOCK_WORDS
+            ),
+            (1, 0, 2),
+        )
+        self.weighted = weights is not None
+        if self.weighted:
+            self._weight_blocks = jnp.asarray(weights, jnp.int8).reshape(
+                nb, _BLOCK_WORDS * 32
+            )
+        else:
+            # unused by the unweighted kernel; a scan input must still
+            # have a leading nb axis
+            self._weight_blocks = jnp.zeros((nb, 1), jnp.int8)
+
+    def query(
+        self,
+        seqs: Sequence[str],
+        threshold: int = 10,
+        top: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Shared-k-mer counts of each query sequence vs the corpus.
+
+        Returns one int64 ``[M_q, 2]`` array per query — (corpus protein
+        index, shared count), sorted by count descending then index —
+        reporting corpus proteins with count **>** threshold (the
+        pipeline's alignment gate), optionally only the best `top`.
+        """
+        import jax.numpy as jnp
+
+        nq = len(seqs)
+        if nq == 0:
+            return []
+        qwords = pack_query_bitsets(self.index, seqs, self.bitset.w_pad)
+        q_pad = max(8, 1 << (nq - 1).bit_length())
+        qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
+        qp[:nq] = qwords
+        counts = np.asarray(
+            _counts_fn(self.weighted)(
+                jnp.asarray(qp), self._corpus_blocks, self._weight_blocks
+            )
+        )[:nq, : self.bitset.n]
+
+        out: List[np.ndarray] = []
+        for qi in range(nq):
+            hits = np.nonzero(counts[qi] > threshold)[0]
+            c = counts[qi, hits].astype(np.int64)
+            order = np.lexsort((hits, -c))
+            m = np.stack([hits[order], c[order]], axis=1)
+            out.append(m[:top] if top is not None else m)
+        return out
+
+
 def query_shared_kmers(
     index: KmerIndex,
     bitset: BitsetMatrix,
@@ -52,56 +178,12 @@ def query_shared_kmers(
     weights: Optional[np.ndarray] = None,
     top: Optional[int] = None,
 ) -> List[np.ndarray]:
-    """Shared-k-mer counts of each query sequence against the corpus.
+    """One-shot convenience wrapper: build a QueryServer and query it.
 
-    Args:
-      index / bitset: the built corpus artifacts (``run_pipeline``
-        result's ``.index`` / ``.bitset``).
-      seqs: query amino-acid strings (any characters; unknowns map to
-        the ``*`` catch-all like the reference's encoder).
-      threshold: report corpus proteins sharing **>** threshold k-mers
-        with the query (the pipeline's alignment gate).
-      weights: optional int8 per-bit-column BLOSUM weights — the counts
-        become weighted scores, same as the weighted sweep.
-      top: optionally keep only the `top` highest-count matches per
-        query.
-
-    Returns one int64 ``[M_q, 2]`` array per query — (corpus protein
-    index, shared count), sorted by count descending then index — the
-    serving analogue of the pipeline's pair list.
+    Serving loops should construct the :class:`QueryServer` once instead
+    (keeps the corpus device-resident across calls); this wrapper
+    re-uploads the corpus every call.
     """
-    import jax
-    import jax.numpy as jnp
-
-    from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
-        unpack_words_to_int8,
+    return QueryServer(index, bitset, weights=weights).query(
+        seqs, threshold=threshold, top=top
     )
-
-    qwords = pack_query_bitsets(index, seqs, bitset.w_pad)
-
-    @jax.jit
-    def counts_fn(q, corpus, wts):
-        a = unpack_words_to_int8(q, wts)
-        b = unpack_words_to_int8(corpus)
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-
-    wts = (
-        jnp.asarray(weights, jnp.int8)
-        if weights is not None
-        else jnp.ones(bitset.w_pad * 32, jnp.int8)
-    )
-    counts = np.asarray(
-        counts_fn(jnp.asarray(qwords), jnp.asarray(bitset.words), wts)
-    )[:, : bitset.n]
-
-    out: List[np.ndarray] = []
-    for qi in range(len(seqs)):
-        hits = np.nonzero(counts[qi] > threshold)[0]
-        c = counts[qi, hits].astype(np.int64)
-        order = np.lexsort((hits, -c))
-        m = np.stack([hits[order], c[order]], axis=1)
-        out.append(m[:top] if top is not None else m)
-    return out
