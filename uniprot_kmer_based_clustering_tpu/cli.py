@@ -235,6 +235,10 @@ def cmd_query(args) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/ukc_jax_cache"),
+    )
 
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
     from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
