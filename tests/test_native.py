@@ -278,3 +278,37 @@ def test_parser_fuzz_parity(tmp_path):
         assert ids == expected[0], trial
         assert np.array_equal(seq_buf, expected[1]), trial
         assert np.array_equal(off, expected[2]), trial
+
+
+def test_sparse_sweep_fuzz_parity(rng):
+    """Randomized shapes/densities/class layouts: the sparse Gustavson
+    sweep and the dense popcount sweep must agree exactly — row_stats
+    AND pair lists — including degenerate inputs (empty incidence,
+    single protein, all-same-class, threshold 0)."""
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+
+    cases = [
+        (1, 40, 0.2, 1, 0),
+        (2, 40, 0.0, 3, 1),     # no incidences at all
+        (17, 130, 0.3, 1, 0),   # all same class, threshold 0
+        (33, 513, 0.08, 4, 2),
+        (64, 64, 0.5, 2, 5),    # dense bitset, high counts
+        (120, 2000, 0.02, 15, 3),
+    ]
+    for n, k, dens, n_cls, thr in cases:
+        rows, cols = np.nonzero(rng.random((n, k)) < dens)
+        rows = rows.astype(np.int32)
+        cols = cols.astype(np.int32)
+        bs = pack_bitsets(rows, cols, n, k, row_multiple=8,
+                          word_multiple=128)
+        classes = rng.integers(0, n_cls, n).astype(np.int32)
+        for include_same in (False, True):
+            dn = native.popcount_sweep(
+                bs.words, n, classes, thr, include_same=include_same
+            )
+            sp = native.sparse_sweep(
+                rows, cols, n, k, classes, thr,
+                include_same=include_same,
+            )
+            assert np.array_equal(sp[0], dn[0]), (n, k, dens, include_same)
+            assert np.array_equal(sp[1], dn[1]), (n, k, dens, include_same)

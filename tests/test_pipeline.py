@@ -269,3 +269,12 @@ def test_query_serving_matches_pipeline(toy_fasta):
     again = srv.query([res.table.seq(qi)], threshold=cfg.threshold)[0]
     assert np.array_equal(first, matches)
     assert np.array_equal(again, matches)
+
+    # edge cases: no queries; a query shorter than k (no k-mers at
+    # all); unknown characters route through the '*' catch-all rather
+    # than crashing (src/protein.rs:49-54 semantics)
+    assert srv.query([]) == []
+    short = srv.query(["MKT"], threshold=0)[0]
+    assert short.shape == (0, 2)
+    unk = srv.query(["MK@3xZJMK@3xZJ"], threshold=0)[0]
+    assert unk.shape[1] == 2 and unk.dtype == np.int64
