@@ -266,10 +266,15 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
 // kmers/index.py's layout — so each rank's expansion list is
 // protein-ascending and the upper triangle falls out of list suffixes.
 // Semantics (row_stats, pairs, include_same, return value) are
-// identical to ukc_popcount_sweep.
+// identical to ukc_popcount_sweep. `weights` (nullable, int8[n_ranks],
+// the BLOSUM per-k-mer column weights) switches the accumulated score
+// from shared-k-mer counts to weighted sums — the host counterpart of
+// the weighted MXU sweep (utils/blosum.py rank weights are ≥ k ≥ 1, so
+// the ≥1-shared pair counters keep their unweighted meaning).
 int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
                          int64_t nnz, int64_t n, int64_t n_ranks,
                          const int32_t* classes, int32_t threshold,
+                         const int8_t* weights,
                          int64_t* row_stats, int64_t* pairs_out,
                          int64_t pairs_cap, int include_same,
                          int n_threads) {
@@ -303,11 +308,23 @@ int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
     for (;;) {
       int64_t i = next_row.fetch_add(1);
       if (i >= n) break;
-      for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
-        int32_t r = inc_rank[t];
-        for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
-          int32_t j = rlist[q];
-          if (acc[j]++ == 0) touched.push_back(j);
+      if (weights == nullptr) {
+        for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
+          int32_t r = inc_rank[t];
+          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
+            int32_t j = rlist[q];
+            if (acc[j]++ == 0) touched.push_back(j);
+          }
+        }
+      } else {
+        for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
+          int32_t r = inc_rank[t];
+          int32_t w = weights[r];
+          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
+            int32_t j = rlist[q];
+            if (acc[j] == 0) touched.push_back(j);
+            acc[j] += w;
+          }
         }
       }
       int64_t* rs = row_stats + i * 8;
@@ -317,7 +334,7 @@ int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
         bool cross = classes[i] != classes[j];
         int64_t base = cross ? 0 : 4;
         rs[base + 0] += cnt;
-        rs[base + 1] += 1;
+        rs[base + 1] += cnt >= 1;
         rs[base + 2] += cnt > threshold;
         if (cnt > rs[base + 3]) rs[base + 3] = cnt;
         if (cnt > threshold && (cross || include_same)) {

@@ -312,3 +312,44 @@ def test_sparse_sweep_fuzz_parity(rng):
             )
             assert np.array_equal(sp[0], dn[0]), (n, k, dens, include_same)
             assert np.array_equal(sp[1], dn[1]), (n, k, dens, include_same)
+
+
+def test_sparse_sweep_weighted_matches_mxu(toy_fasta):
+    """BLOSUM-weighted native sparse sweep == weighted MXU engine:
+    identical PairwiseResult counters and pair lists."""
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.io.fasta import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+    from uniprot_kmer_based_clustering_tpu.kmers.index import build_index
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        pairwise_similarity,
+    )
+    from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+        rank_weights_int8,
+    )
+
+    table = read_fasta(toy_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    index = build_index(codes, koff, 5)
+    bs = pack_bitsets(
+        index.incidence_protein, index.incidence_rank,
+        table.n, index.n_repeated,
+    )
+    weights = rank_weights_int8(index.repeated_codes, 5, bs.w_pad * 32)
+    for cross_only in (True, False):
+        cfg_m = PipelineConfig(
+            engine="mxu", weighting="blosum62", cross_amr_only=cross_only
+        )
+        cfg_n = PipelineConfig(
+            engine="native", weighting="blosum62",
+            cross_amr_only=cross_only,
+        )
+        a = pairwise_similarity(
+            bs, table.amr_class_ids, cfg_m, weights=weights
+        )
+        b = pairwise_similarity(
+            bs, table.amr_class_ids, cfg_n, weights=weights, index=index
+        )
+        assert a.parity_counters() == b.parity_counters(), cross_only
+        assert np.array_equal(a.pairs, b.pairs), cross_only

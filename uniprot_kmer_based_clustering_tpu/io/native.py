@@ -104,6 +104,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.ukc_sparse_sweep.restype = _i64
     lib.ukc_sparse_sweep.argtypes = [
         _i32p, _i32p, _i64, _i64, _i64, _i32p, ctypes.c_int32,
+        ctypes.c_void_p,  # int8 weights or NULL
         _i64p, _i64p, _i64, ctypes.c_int, ctypes.c_int,
     ]
     lib.ukc_index_build.restype = ctypes.c_int
@@ -264,6 +265,7 @@ def sparse_sweep(
     threshold: int,
     pairs_cap: int = 1 << 20,
     include_same: bool = False,
+    weights: Optional[np.ndarray] = None,
     n_threads: Optional[int] = None,
 ):
     """Native sparse (Gustavson) sweep over the incidence lists →
@@ -272,8 +274,10 @@ def sparse_sweep(
     Output-identical to popcount_sweep / the device engines, but work
     scales with Σf(f−1)/2 (the reference's multigraph edge count)
     instead of n²·words — the fast path for sparse bitsets. Incidences
-    must be sorted by (protein, rank), kmers/index.py's layout. Returns
-    None when the library is unavailable.
+    must be sorted by (protein, rank), kmers/index.py's layout.
+    `weights` (int8, ≥1 per rank — utils.blosum rank weights, sliced or
+    padded to n_ranks) switches scores to weighted mode, matching the
+    weighted MXU sweep. Returns None when the library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -282,11 +286,17 @@ def sparse_sweep(
     inc_p = np.ascontiguousarray(inc_protein, np.int32)
     inc_r = np.ascontiguousarray(inc_rank, np.int32)
     classes32 = np.ascontiguousarray(classes[:n], np.int32)
+    if weights is not None:
+        w8 = np.ascontiguousarray(weights[:n_ranks], np.int8)
+        assert w8.shape[0] == n_ranks, (w8.shape, n_ranks)
+        wptr = w8.ctypes.data_as(ctypes.c_void_p)
+    else:
+        w8, wptr = None, None
     row_stats = np.zeros((n, 8), np.int64)
     pairs = np.zeros((pairs_cap, 3), np.int64)
     n_threads = n_threads or (os.cpu_count() or 1)
     total = lib.ukc_sparse_sweep(
-        inc_p, inc_r, nnz, n, n_ranks, classes32, threshold,
+        inc_p, inc_r, nnz, n, n_ranks, classes32, threshold, wptr,
         row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
         1 if include_same else 0, n_threads,
     )
@@ -295,7 +305,7 @@ def sparse_sweep(
         pairs = np.zeros((pairs_cap, 3), np.int64)
         row_stats[:] = 0
         total = lib.ukc_sparse_sweep(
-            inc_p, inc_r, nnz, n, n_ranks, classes32, threshold,
+            inc_p, inc_r, nnz, n, n_ranks, classes32, threshold, wptr,
             row_stats.reshape(-1), pairs.reshape(-1), pairs_cap,
             1 if include_same else 0, n_threads,
         )

@@ -487,13 +487,17 @@ def _pairwise_native(
     bitset: BitsetMatrix,
     classes: np.ndarray,
     config: PipelineConfig,
+    threshold: int,
     index=None,
+    weights=None,
 ) -> "PairwiseResult":
     """Threaded C++ host sweep (io.native) — bit-identical to the device
     engines (tests/test_native.py pins pair-list equality vs XLA). With
     a host-built KmerIndex available, uses the sparse Gustavson sweep
     (work ∝ Σf(f−1)/2, ~50× less than dense popcount on the bundled
-    dataset's 0.13%-dense bitset); otherwise the AVX-512 dense sweep."""
+    dataset's 0.13%-dense bitset), which also carries the BLOSUM
+    weighted mode; otherwise the AVX-512 dense sweep (unweighted only —
+    the caller routes weighted runs without incidences to the MXU)."""
     from uniprot_kmer_based_clustering_tpu.io import native
 
     out = None
@@ -504,15 +508,21 @@ def _pairwise_native(
             bitset.n,
             index.n_repeated,
             classes,
-            config.threshold,
+            threshold,
             include_same=not config.cross_amr_only,
+            weights=weights,
         )
     if out is None:
+        if weights is not None:
+            raise RuntimeError(
+                "native weighted sweep needs the host-built incidence "
+                "lists; build the index on host or pick engine='mxu'"
+            )
         out = native.popcount_sweep(
             bitset.words,
             bitset.n,
             classes,
-            config.threshold,
+            threshold,
             include_same=not config.cross_amr_only,
         )
     if out is None:
@@ -570,20 +580,30 @@ def pairwise_similarity(
             engine = "native" if native.available() else "xla"
         else:
             engine = "mxu" if platform == "tpu" else "xla"
-    if weights is not None:
-        engine = "mxu"  # weighting is a matmul column scale; host sweep
-        #                 and popcount kernels count unweighted bits only
+    if weights is not None and not (
+        engine == "native"
+        and index is not None
+        and index.incidence_rank.shape[0] > 0
+    ):
+        # weighting is a matmul column scale on the device engines; the
+        # host sparse sweep supports it directly, the popcount kernels
+        # count unweighted bits only
+        engine = "mxu"
 
-    if engine == "native":
-        return _pairwise_native(bitset, classes, config, index=index)
-
-    words = jnp.asarray(bitset.words)
-    classes_j = jnp.asarray(classes)
     threshold = (
         config.effective_weighted_threshold(weights)
         if weights is not None
         else config.threshold
     )
+
+    if engine == "native":
+        return _pairwise_native(
+            bitset, classes, config, threshold, index=index,
+            weights=weights,
+        )
+
+    words = jnp.asarray(bitset.words)
+    classes_j = jnp.asarray(classes)
     if engine == "mxu":
         strip = config.strip
         if strip is not None and n_pad % strip != 0:
