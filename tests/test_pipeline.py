@@ -278,3 +278,12 @@ def test_query_serving_matches_pipeline(toy_fasta):
     assert short.shape == (0, 2)
     unk = srv.query(["MK@3xZJMK@3xZJ"], threshold=0)[0]
     assert unk.shape[1] == 2 and unk.dtype == np.int64
+
+    # the host CSR-walk path and the device blocked-matmul path must
+    # answer identically (auto picks host on CPU; force both)
+    batch = [res.table.seq(i) for i in (0, qi, 3)] + ["MKT"]
+    h = QueryServer(res.index, res.bitset, mode="host")
+    d = QueryServer(res.index, res.bitset, mode="device")
+    for hm, dm in zip(h.query(batch, threshold=1),
+                      d.query(batch, threshold=1)):
+        assert np.array_equal(hm, dm)

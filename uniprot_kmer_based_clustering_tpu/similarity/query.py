@@ -109,20 +109,56 @@ class QueryServer:
         index: KmerIndex,
         bitset: BitsetMatrix,
         weights: Optional[np.ndarray] = None,
+        mode: str = "auto",
     ):
-        import jax.numpy as jnp
+        import jax
 
+        if mode not in ("auto", "host", "device"):
+            raise ValueError(f"unknown mode {mode!r}")
         self.index = index
         self.bitset = bitset
+        self.weighted = weights is not None
+        self._weights = weights
+        # accelerator-free hosts skip the device matmul entirely: the
+        # host sparse path (rank CSR walk, same structure as the native
+        # Gustavson sweep) answers in microseconds per query, while an
+        # XLA:CPU matmul against the corpus takes tens of seconds
+        if mode == "auto":
+            self._host_mode = (
+                jax.devices()[0].platform == "cpu"
+                and index.incidence_rank.shape[0] > 0
+            )
+        else:
+            self._host_mode = mode == "host"
+            if self._host_mode and index.incidence_rank.shape[0] == 0:
+                raise ValueError(
+                    "mode='host' needs the host-built incidence lists"
+                )
+        if self._host_mode:
+            self._build_host_csr()
+        else:
+            self._build_device_blocks()
+
+    def _build_host_csr(self):
+        order = np.argsort(self.index.incidence_rank, kind="stable")
+        self._rlist = self.index.incidence_protein[order]
+        counts = np.bincount(
+            self.index.incidence_rank, minlength=self.index.n_repeated
+        )
+        self._roff = np.zeros(self.index.n_repeated + 1, np.int64)
+        np.cumsum(counts, out=self._roff[1:])
+
+    def _build_device_blocks(self):
+        import jax.numpy as jnp
+
+        bitset, weights = self.bitset, self._weights
         nb = bitset.w_pad // _BLOCK_WORDS
-        self._nb = nb
         self._corpus_blocks = jnp.transpose(
             jnp.asarray(bitset.words).reshape(
                 bitset.n_pad, nb, _BLOCK_WORDS
             ),
             (1, 0, 2),
         )
-        self.weighted = weights is not None
         if self.weighted:
             self._weight_blocks = jnp.asarray(weights, jnp.int8).reshape(
                 nb, _BLOCK_WORDS * 32
@@ -131,6 +167,39 @@ class QueryServer:
             # unused by the unweighted kernel; a scan input must still
             # have a leading nb axis
             self._weight_blocks = jnp.zeros((nb, 1), jnp.int8)
+
+    def _counts_host(self, seqs: Sequence[str]) -> np.ndarray:
+        """int32 [Q, n] shared counts via the rank-CSR walk (no device)."""
+        buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
+        offsets = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        codes, koff = encode_kmers(buf, offsets, self.index.k)
+        n = self.bitset.n
+        counts = np.zeros((len(seqs), n), np.int32)
+        w = self._weights
+        for qi in range(len(seqs)):
+            ranks = self.index.rank_of(codes[koff[qi] : koff[qi + 1]])
+            ranks = np.unique(ranks[ranks >= 0]).astype(np.int64)
+            if ranks.shape[0] == 0:
+                continue
+            spans = [
+                self._rlist[self._roff[r] : self._roff[r + 1]]
+                for r in ranks
+            ]
+            js = np.concatenate(spans)
+            if w is None:
+                counts[qi] = np.bincount(js, minlength=n)
+            else:
+                wvals = np.repeat(
+                    w[ranks].astype(np.int32),
+                    self._roff[ranks + 1] - self._roff[ranks],
+                )
+                # np.bincount with weights returns float64; the int
+                # sums are exact (≪ 2^53) so the cast is lossless
+                counts[qi] = np.bincount(
+                    js, weights=wvals, minlength=n
+                ).astype(np.int32)
+        return counts
 
     def query(
         self,
@@ -145,20 +214,27 @@ class QueryServer:
         reporting corpus proteins with count **>** threshold (the
         pipeline's alignment gate), optionally only the best `top`.
         """
-        import jax.numpy as jnp
-
         nq = len(seqs)
         if nq == 0:
             return []
-        qwords = pack_query_bitsets(self.index, seqs, self.bitset.w_pad)
-        q_pad = max(8, 1 << (nq - 1).bit_length())
-        qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
-        qp[:nq] = qwords
-        counts = np.asarray(
-            _counts_fn(self.weighted)(
-                jnp.asarray(qp), self._corpus_blocks, self._weight_blocks
+        if self._host_mode:
+            counts = self._counts_host(seqs)
+        else:
+            import jax.numpy as jnp
+
+            qwords = pack_query_bitsets(
+                self.index, seqs, self.bitset.w_pad
             )
-        )[:nq, : self.bitset.n]
+            q_pad = max(8, 1 << (nq - 1).bit_length())
+            qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
+            qp[:nq] = qwords
+            counts = np.asarray(
+                _counts_fn(self.weighted)(
+                    jnp.asarray(qp),
+                    self._corpus_blocks,
+                    self._weight_blocks,
+                )
+            )[:nq, : self.bitset.n]
 
         out: List[np.ndarray] = []
         for qi in range(nq):
