@@ -100,6 +100,13 @@ static inline bool ukc_ws(uint8_t b) {
 
 extern "C" {
 
+// Bumped on ANY signature change of an exported function. The ctypes
+// loader (io/native.py _bind) refuses a library whose version differs —
+// an old .so kept by the "stale-but-working" fallback would otherwise
+// be called through a mismatched signature (argument shift = memory
+// corruption, not an error).
+int64_t ukc_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------
 // FASTA
 // ---------------------------------------------------------------------

@@ -280,10 +280,21 @@ def test_query_serving_matches_pipeline(toy_fasta):
     assert unk.shape[1] == 2 and unk.dtype == np.int64
 
     # the host CSR-walk path and the device blocked-matmul path must
-    # answer identically (auto picks host on CPU; force both)
+    # answer identically (auto picks host on CPU; force both) — in
+    # unweighted AND BLOSUM-weighted mode
+    from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+        rank_weights_int8,
+    )
+
     batch = [res.table.seq(i) for i in (0, qi, 3)] + ["MKT"]
-    h = QueryServer(res.index, res.bitset, mode="host")
-    d = QueryServer(res.index, res.bitset, mode="device")
-    for hm, dm in zip(h.query(batch, threshold=1),
-                      d.query(batch, threshold=1)):
-        assert np.array_equal(hm, dm)
+    weights = rank_weights_int8(
+        res.index.repeated_codes, cfg.k, res.bitset.w_pad * 32
+    )
+    for w in (None, weights):
+        h = QueryServer(res.index, res.bitset, weights=w, mode="host")
+        d = QueryServer(res.index, res.bitset, weights=w, mode="device")
+        hq = h.query(batch, threshold=1)
+        dq = d.query(batch, threshold=1)
+        assert any(m.shape[0] for m in hq)
+        for hm, dm in zip(hq, dq):
+            assert np.array_equal(hm, dm), (w is None)

@@ -86,7 +86,21 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+# must equal ukc_abi_version() in ukc_native.cpp; bumped together on any
+# exported-signature change
+_ABI_VERSION = 2
+
+
 def _bind(lib: ctypes.CDLL) -> None:
+    lib.ukc_abi_version.restype = _i64
+    lib.ukc_abi_version.argtypes = []
+    got = int(lib.ukc_abi_version())
+    if got != _ABI_VERSION:
+        # AttributeError routes the caller into the forced-rebuild path
+        # (the same one a missing symbol takes)
+        raise AttributeError(
+            f"native ABI {got} != expected {_ABI_VERSION}"
+        )
     lib.ukc_fasta_stats.restype = ctypes.c_int
     lib.ukc_fasta_stats.argtypes = [
         _u8p, _i64, ctypes.POINTER(_i64), ctypes.POINTER(_i64),
@@ -288,7 +302,14 @@ def sparse_sweep(
     classes32 = np.ascontiguousarray(classes[:n], np.int32)
     if weights is not None:
         w8 = np.ascontiguousarray(weights[:n_ranks], np.int8)
-        assert w8.shape[0] == n_ranks, (w8.shape, n_ranks)
+        if w8.shape[0] != n_ranks:
+            raise ValueError(
+                f"weights cover {w8.shape[0]} ranks, need {n_ranks}"
+            )
+        if n_ranks and int(w8.min()) < 1:
+            # the C++ touched-list logic relies on scores being strictly
+            # increasing per shared k-mer (blosum rank weights are ≥ k)
+            raise ValueError("sparse_sweep weights must be ≥ 1")
         wptr = w8.ctypes.data_as(ctypes.c_void_p)
     else:
         w8, wptr = None, None

@@ -501,7 +501,7 @@ def _pairwise_native(
     from uniprot_kmer_based_clustering_tpu.io import native
 
     out = None
-    if index is not None and index.incidence_rank.shape[0] > 0:
+    if index is not None and index.has_incidences:
         out = native.sparse_sweep(
             index.incidence_protein,
             index.incidence_rank,
@@ -512,12 +512,15 @@ def _pairwise_native(
             include_same=not config.cross_amr_only,
             weights=weights,
         )
+    if out is None and weights is not None:
+        # the dispatch reroutes weighted runs to MXU unless the sparse
+        # prerequisites held; a dense fallback would silently drop the
+        # weighting, so refuse instead
+        raise RuntimeError(
+            "native weighted sweep unavailable (C++ runtime failed to "
+            "load); pick engine='mxu'"
+        )
     if out is None:
-        if weights is not None:
-            raise RuntimeError(
-                "native weighted sweep needs the host-built incidence "
-                "lists; build the index on host or pick engine='mxu'"
-            )
         out = native.popcount_sweep(
             bitset.words,
             bitset.n,
@@ -580,14 +583,20 @@ def pairwise_similarity(
             engine = "native" if native.available() else "xla"
         else:
             engine = "mxu" if platform == "tpu" else "xla"
-    if weights is not None and not (
-        engine == "native"
-        and index is not None
-        and index.incidence_rank.shape[0] > 0
-    ):
-        # weighting is a matmul column scale on the device engines; the
-        # host sparse sweep supports it directly, the popcount kernels
-        # count unweighted bits only
+    if weights is not None and engine == "native":
+        from uniprot_kmer_based_clustering_tpu.io import native
+
+        if not (
+            index is not None
+            and index.has_incidences
+            and native.available()
+        ):
+            # weighting is a matmul column scale on the device engines;
+            # the host sparse sweep supports it directly, the popcount
+            # kernels count unweighted bits only — so a weighted run
+            # without the sparse path's prerequisites takes the MXU
+            engine = "mxu"
+    elif weights is not None:
         engine = "mxu"
 
     threshold = (

@@ -11,13 +11,16 @@ complement of the batch pipeline (queries with k-mers outside the
 corpus's repeated set simply don't match on those positions, exactly as
 a corpus member wouldn't).
 
-Serving loops should hold a :class:`QueryServer`: it keeps the packed
-corpus device-resident (uploaded once) and reuses one compiled kernel
-per (query-bucket, weighted) shape. The matmul scans over 128-word
-blocks of the packed corpus, unpacking each block to int8 on the fly, so
-device memory stays ∝ N×4096 int8 instead of the full N×K unpack (8×
-the packed bitset). Query counts are padded to power-of-two buckets
-(min 8) to bound the compiled-shape count.
+Serving loops should hold a :class:`QueryServer`. On accelerators it
+keeps the packed corpus device-resident (uploaded once) and reuses one
+compiled kernel per (query-bucket, weighted) shape; the matmul scans
+over 128-word blocks of the packed corpus, unpacking each block to int8
+on the fly, so device memory stays ∝ N×4096 int8 instead of the full
+N×K unpack (8× the packed bitset), and query counts pad to power-of-two
+buckets (min 8) to bound the compiled-shape count. On accelerator-free
+hosts the server instead walks a rank-CSR of the corpus incidence lists
+(the Gustavson structure of the native sweep) — microseconds per query,
+no device, bit-identical results.
 """
 
 from __future__ import annotations
@@ -36,19 +39,32 @@ from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex
 _BLOCK_WORDS = 128  # 4096 bit columns unpacked per scan step
 
 
+def query_ranks(
+    index: KmerIndex, seqs: Sequence[str]
+) -> List[np.ndarray]:
+    """Per-query deduplicated rank-hash ids: encode each sequence's
+    k-mers and map them into the corpus's repeated-k-mer rank space
+    (non-repeated/unknown k-mers drop out). The single definition of
+    "which corpus bit columns does this query touch" — both serving
+    paths build on it, so they cannot drift."""
+    buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    codes, koff = encode_kmers(buf, offsets, index.k)
+    out = []
+    for qi in range(len(seqs)):
+        ranks = index.rank_of(codes[koff[qi] : koff[qi + 1]])
+        out.append(np.unique(ranks[ranks >= 0]).astype(np.int64))
+    return out
+
+
 def pack_query_bitsets(
     index: KmerIndex, seqs: Sequence[str], w_pad: int
 ) -> np.ndarray:
     """uint32 [Q, w_pad] presence rows for query sequences, in the
     corpus's rank-hash bit space (non-repeated k-mers drop out)."""
-    buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
-    offsets = np.zeros(len(seqs) + 1, np.int64)
-    np.cumsum([len(s) for s in seqs], out=offsets[1:])
-    codes, koff = encode_kmers(buf, offsets, index.k)
     words = np.zeros((len(seqs), w_pad), np.uint32)
-    for qi in range(len(seqs)):
-        ranks = index.rank_of(codes[koff[qi] : koff[qi + 1]])
-        ranks = np.unique(ranks[ranks >= 0]).astype(np.int64)
+    for qi, ranks in enumerate(query_ranks(index, seqs)):
         np.bitwise_or.at(
             words[qi], ranks >> 5, np.uint32(1) << (ranks & 31).astype(np.uint32)
         )
@@ -98,10 +114,16 @@ def _counts_fn(weighted: bool):
 class QueryServer:
     """A standing corpus index for repeated shared-k-mer queries.
 
-    Uploads the packed corpus bitset to the default device once
-    (pre-blocked for the scan kernel) and serves `query()` calls against
-    it. `weights` (int8 [w_pad*32], utils.blosum.rank_weights_int8)
-    switches scores to BLOSUM-weighted mode, same as the weighted sweep.
+    Two serving modes, identical outputs (pinned in tests):
+      * device (accelerators): uploads the packed corpus bitset once,
+        pre-blocked for the scan kernel, and answers with blocked int8
+        matmuls;
+      * host (``mode="auto"`` on the cpu platform, needs the host-built
+        incidence lists): a rank-CSR walk — the Gustavson structure of
+        the native sweep — with no device involvement at all.
+
+    `weights` (int8 [w_pad*32], utils.blosum.rank_weights_int8) switches
+    scores to BLOSUM-weighted mode, same as the weighted sweep.
     """
 
     def __init__(
@@ -126,11 +148,11 @@ class QueryServer:
         if mode == "auto":
             self._host_mode = (
                 jax.devices()[0].platform == "cpu"
-                and index.incidence_rank.shape[0] > 0
+                and index.has_incidences
             )
         else:
             self._host_mode = mode == "host"
-            if self._host_mode and index.incidence_rank.shape[0] == 0:
+            if self._host_mode and not index.has_incidences:
                 raise ValueError(
                     "mode='host' needs the host-built incidence lists"
                 )
@@ -170,16 +192,10 @@ class QueryServer:
 
     def _counts_host(self, seqs: Sequence[str]) -> np.ndarray:
         """int32 [Q, n] shared counts via the rank-CSR walk (no device)."""
-        buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
-        offsets = np.zeros(len(seqs) + 1, np.int64)
-        np.cumsum([len(s) for s in seqs], out=offsets[1:])
-        codes, koff = encode_kmers(buf, offsets, self.index.k)
         n = self.bitset.n
         counts = np.zeros((len(seqs), n), np.int32)
         w = self._weights
-        for qi in range(len(seqs)):
-            ranks = self.index.rank_of(codes[koff[qi] : koff[qi + 1]])
-            ranks = np.unique(ranks[ranks >= 0]).astype(np.int64)
+        for qi, ranks in enumerate(query_ranks(self.index, seqs)):
             if ranks.shape[0] == 0:
                 continue
             spans = [
@@ -257,8 +273,8 @@ def query_shared_kmers(
     """One-shot convenience wrapper: build a QueryServer and query it.
 
     Serving loops should construct the :class:`QueryServer` once instead
-    (keeps the corpus device-resident across calls); this wrapper
-    re-uploads the corpus every call.
+    (keeps the corpus device-resident / the CSR built across calls);
+    this wrapper redoes that setup every call.
     """
     return QueryServer(index, bitset, weights=weights).query(
         seqs, threshold=threshold, top=top
