@@ -199,6 +199,45 @@ void ukc_pack_bits(const int32_t* prot, const int32_t* rank, int64_t nnz,
 }
 
 // ---------------------------------------------------------------------
+// k-mer encoding
+// ---------------------------------------------------------------------
+
+// Base-21 window codes per protein (src/protein.rs:9-54 semantics:
+// alphabet "CSTAGPDEQNHRKMILVWYF*", any other byte → 20; code =
+// Σ aa_i·21^(k−1−i)). codes_out must hold Σ max(len−k+1, 0) entries;
+// kmer_offsets: int64[n+1]. Matches kmers/encode.py::encode_kmers
+// (sampling="all") exactly — parity pinned in tests/test_native.py.
+int ukc_encode(const uint8_t* seq, const int64_t* offsets, int64_t n,
+               int64_t k, int64_t* codes_out, int64_t* kmer_offsets) {
+  static const char* kAlphabet = "CSTAGPDEQNHRKMILVWYF*";
+  int64_t lut[256];
+  for (int i = 0; i < 256; i++) lut[i] = 20;
+  for (int i = 0; kAlphabet[i]; i++) lut[(uint8_t)kAlphabet[i]] = i;
+
+  int64_t top = 1;  // 21^(k-1)
+  for (int64_t i = 1; i < k; i++) top *= 21;
+
+  int64_t pos = 0;
+  kmer_offsets[0] = 0;
+  for (int64_t p = 0; p < n; p++) {
+    const int64_t s = offsets[p], e = offsets[p + 1];
+    const int64_t len = e - s;
+    if (len >= k) {
+      // rolling window: drop the leading digit, shift, append
+      int64_t code = 0;
+      for (int64_t i = 0; i < k; i++) code = code * 21 + lut[seq[s + i]];
+      codes_out[pos++] = code;
+      for (int64_t i = s + k; i < e; i++) {
+        code = (code - lut[seq[i - k]] * top) * 21 + lut[seq[i]];
+        codes_out[pos++] = code;
+      }
+    }
+    kmer_offsets[p + 1] = pos;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // CPU pairwise sweep
 // ---------------------------------------------------------------------
 

@@ -353,3 +353,31 @@ def test_sparse_sweep_weighted_matches_mxu(toy_fasta):
         )
         assert a.parity_counters() == b.parity_counters(), cross_only
         assert np.array_equal(a.pairs, b.pairs), cross_only
+
+
+def test_native_encode_matches_numpy(toy_fasta, rng, tmp_path):
+    """Native rolling encoder == numpy window encoder: real FASTA plus
+    randomized buffers with unknown bytes, short/empty proteins."""
+    from uniprot_kmer_based_clustering_tpu.io.fasta import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+
+    table = read_fasta(toy_fasta)
+    for k in (5, 7):
+        a = native.encode_kmers(table.seq_buf, table.offsets, k)
+        c, o = encode_kmers(
+            table.seq_buf, table.offsets, k, engine="numpy"
+        )
+        assert np.array_equal(a[0], c), k
+        assert np.array_equal(a[1], o), k
+
+    # fuzz: arbitrary bytes (catch-all routing), lengths 0..k+3
+    for trial in range(20):
+        lens = rng.integers(0, 12, rng.integers(1, 9))
+        buf = rng.integers(0, 256, int(lens.sum())).astype(np.uint8)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        for k in (5, 7):
+            a = native.encode_kmers(buf, off, k)
+            c, o = encode_kmers(buf, off, k, engine="numpy")
+            assert np.array_equal(a[0], c), (trial, k)
+            assert np.array_equal(a[1], o), (trial, k)

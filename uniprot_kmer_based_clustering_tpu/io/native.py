@@ -110,6 +110,8 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.ukc_fasta_parse.argtypes = [_u8p, _i64, _u8p, _i64p, _u8p, _i64p]
     lib.ukc_pack_bits.restype = None
     lib.ukc_pack_bits.argtypes = [_i32p, _i32p, _i64, _u32p, _i64]
+    lib.ukc_encode.restype = ctypes.c_int
+    lib.ukc_encode.argtypes = [_u8p, _i64p, _i64, _i64, _i64p, _i64p]
     lib.ukc_popcount_sweep.restype = _i64
     lib.ukc_popcount_sweep.argtypes = [
         _u64p, _i64, _i64, _i32p, ctypes.c_int32, _i64p, _i64p, _i64,
@@ -223,6 +225,28 @@ def index_build(codes: np.ndarray, offsets: np.ndarray, k: int):
         inc_r[: nnz_r.value].copy(),
         int(nnz.value),
     )
+
+
+def encode_kmers(
+    seq_buf: np.ndarray, offsets: np.ndarray, k: int
+):
+    """Native base-21 window encoding → (codes int64, kmer_offsets
+    int64 [n+1]); semantics of kmers/encode.py::encode_kmers with
+    sampling="all". Returns None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq_buf, np.uint8)
+    off = np.ascontiguousarray(offsets, np.int64)
+    n = off.shape[0] - 1
+    lengths = np.diff(off)
+    total = int(np.maximum(lengths - k + 1, 0).sum())
+    codes = np.empty(total, np.int64)
+    koff = np.zeros(n + 1, np.int64)
+    rc = lib.ukc_encode(seq, off, n, k, codes, koff)
+    if rc != 0:
+        raise RuntimeError(f"ukc_encode failed: {rc}")
+    return codes, koff
 
 
 def popcount_sweep(
