@@ -312,6 +312,16 @@ def test_sparse_sweep_fuzz_parity(rng):
             )
             assert np.array_equal(sp[0], dn[0]), (n, k, dens, include_same)
             assert np.array_equal(sp[1], dn[1]), (n, k, dens, include_same)
+            # forced multithreading exercises the atomic row-claim and
+            # pair-slot paths (this box's cpu_count=1 would otherwise
+            # never run them); results must stay bit-identical
+            for fn, args in (
+                (native.popcount_sweep, (bs.words, n, classes, thr)),
+                (native.sparse_sweep, (rows, cols, n, k, classes, thr)),
+            ):
+                mt = fn(*args, include_same=include_same, n_threads=4)
+                assert np.array_equal(mt[0], dn[0]), (n, k, include_same)
+                assert np.array_equal(mt[1], dn[1]), (n, k, include_same)
 
 
 def test_sparse_sweep_weighted_matches_mxu(toy_fasta):

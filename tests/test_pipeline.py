@@ -298,3 +298,25 @@ def test_query_serving_matches_pipeline(toy_fasta):
         assert any(m.shape[0] for m in hq)
         for hm, dm in zip(hq, dq):
             assert np.array_equal(hm, dm), (w is None)
+
+    # self-query oracle: querying EVERY corpus sequence against the
+    # index must reproduce the batch sweep's full pair list exactly
+    # (both directions) plus each protein's self match
+    srv_all = QueryServer(res.index, res.bitset)
+    allq = srv_all.query(
+        [res.table.seq(i) for i in range(res.table.n)],
+        threshold=cfg.threshold,
+    )
+    got_pairs = set()
+    for i, m in enumerate(allq):
+        selfs = {int(j) for j, _ in m if j == i}
+        assert selfs == ({i} if m.shape[0] and
+                         int(np.bitwise_count(
+                             np.asarray(res.bitset.words)[i]).sum())
+                         > cfg.threshold else selfs)
+        for j, c in m:
+            if j != i:
+                a, b = (i, int(j)) if i < j else (int(j), i)
+                got_pairs.add((a, b, int(c)))
+    want_pairs = {(int(i), int(j), int(c)) for i, j, c in res.pairwise.pairs}
+    assert got_pairs == want_pairs
