@@ -154,6 +154,21 @@ def main():
 
     baseline = _cpu_baseline_pairs_per_s(idx, table, n_pairs)
 
+    # the framework's own CPU fallback rate (native sparse sweep) —
+    # reported for observability, NOT used as the baseline (it is part
+    # of the framework under test)
+    native_rate = None
+    from uniprot_kmer_based_clustering_tpu.io import native as _native
+
+    if _native.available():
+        t0 = time.perf_counter()
+        out = _native.sparse_sweep(
+            idx.incidence_protein, idx.incidence_rank, table.n,
+            idx.n_repeated, np.asarray(table.amr_class_ids, np.int32), 10,
+        )
+        if out is not None:
+            native_rate = round(n_pairs / (time.perf_counter() - t0), 1)
+
     print(json.dumps({
         "metric": "pairwise_similarity",
         "value": round(value, 1),
@@ -162,6 +177,7 @@ def main():
         "sweep_seconds": round(steady, 4),
         "sync_latency_seconds": round(latency, 4),
         "cpu_baseline_pairs_per_s": round(baseline, 1),
+        "cpu_native_engine_pairs_per_s": native_rate,
         "parity": "golden-exact",
         "device": str(jax.devices()[0]),
     }))
