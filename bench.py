@@ -161,13 +161,19 @@ def main():
     from uniprot_kmer_based_clustering_tpu.io import native as _native
 
     if _native.available():
-        t0 = time.perf_counter()
-        out = _native.sparse_sweep(
-            idx.incidence_protein, idx.incidence_rank, table.n,
-            idx.n_repeated, np.asarray(table.amr_class_ids, np.int32), 10,
-        )
-        if out is not None:
-            native_rate = round(n_pairs / (time.perf_counter() - t0), 1)
+        best = float("inf")
+        for _ in range(2):  # best-of-2, like the scipy baseline
+            t0 = time.perf_counter()
+            out = _native.sparse_sweep(
+                idx.incidence_protein, idx.incidence_rank, table.n,
+                idx.n_repeated,
+                np.asarray(table.amr_class_ids, np.int32), 10,
+            )
+            if out is None:
+                break
+            best = min(best, time.perf_counter() - t0)
+        if best < float("inf"):
+            native_rate = round(n_pairs / best, 1)
 
     print(json.dumps({
         "metric": "pairwise_similarity",

@@ -365,7 +365,7 @@ def test_sparse_sweep_weighted_matches_mxu(toy_fasta):
         assert np.array_equal(a.pairs, b.pairs), cross_only
 
 
-def test_native_encode_matches_numpy(toy_fasta, rng, tmp_path):
+def test_native_encode_matches_numpy(toy_fasta, rng):
     """Native rolling encoder == numpy window encoder: real FASTA plus
     randomized buffers with unknown bytes, short/empty proteins."""
     from uniprot_kmer_based_clustering_tpu.io.fasta import read_fasta

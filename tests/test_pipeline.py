@@ -308,12 +308,11 @@ def test_query_serving_matches_pipeline(toy_fasta):
         threshold=cfg.threshold,
     )
     got_pairs = set()
+    words_np = np.asarray(res.bitset.words)
     for i, m in enumerate(allq):
-        selfs = {int(j) for j, _ in m if j == i}
-        assert selfs == ({i} if m.shape[0] and
-                         int(np.bitwise_count(
-                             np.asarray(res.bitset.words)[i]).sum())
-                         > cfg.threshold else selfs)
+        self_cnt = int(np.bitwise_count(words_np[i]).sum())
+        selfs = {int(j) for j, _ in m if int(j) == i}
+        assert selfs == ({i} if self_cnt > cfg.threshold else set()), i
         for j, c in m:
             if j != i:
                 a, b = (i, int(j)) if i < j else (int(j), i)

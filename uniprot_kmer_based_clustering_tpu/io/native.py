@@ -239,6 +239,11 @@ def encode_kmers(
     seq = np.ascontiguousarray(seq_buf, np.uint8)
     off = np.ascontiguousarray(offsets, np.int64)
     n = off.shape[0] - 1
+    if n < 0:
+        # degenerate empty-offsets input: mirror the numpy path's
+        # (empty codes, empty offsets) instead of handing C a
+        # zero-size kmer_offsets buffer it would write [0] into
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     lengths = np.diff(off)
     total = int(np.maximum(lengths - k + 1, 0).sum())
     codes = np.empty(total, np.int64)

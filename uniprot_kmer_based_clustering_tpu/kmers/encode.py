@@ -76,6 +76,8 @@ def encode_kmers(
     (~20× the vectorized-numpy rate, parity-pinned in tests); "numpy"
     forces the pure-python path. Sampling modes always run in numpy.
     """
+    if engine not in ("auto", "numpy"):
+        raise ValueError(f"unknown encode engine {engine!r}")
     if sampling == "all" and engine == "auto":
         from uniprot_kmer_based_clustering_tpu.io import native
 
