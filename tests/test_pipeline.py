@@ -299,6 +299,20 @@ def test_query_serving_matches_pipeline(toy_fasta):
         for hm, dm in zip(hq, dq):
             assert np.array_equal(hm, dm), (w is None)
 
+    # mesh-parallel serving: corpus rows sharded over a mesh (GSPMD
+    # partitions the same kernel) must answer exactly like one device
+    from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+
+    one_dev = QueryServer(res.index, res.bitset, mode="device").query(
+        batch, threshold=1
+    )
+    for d in (2, 4):
+        if res.bitset.n_pad % d:
+            continue
+        mq = QueryServer(res.index, res.bitset, mesh=make_mesh(d))
+        for mm, dm in zip(mq.query(batch, threshold=1), one_dev):
+            assert np.array_equal(mm, dm), d
+
     # self-query oracle: querying EVERY corpus sequence against the
     # index must reproduce the batch sweep's full pair list exactly
     # (both directions) plus each protein's self match

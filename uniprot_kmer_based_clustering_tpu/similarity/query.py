@@ -117,7 +117,9 @@ class QueryServer:
     Two serving modes, identical outputs (pinned in tests):
       * device (accelerators): uploads the packed corpus bitset once,
         pre-blocked for the scan kernel, and answers with blocked int8
-        matmuls;
+        matmuls; with ``mesh`` given, the corpus rows are sharded over
+        the mesh and GSPMD partitions the same kernel — the layout for
+        corpora beyond one chip's HBM;
       * host (``mode="auto"`` on the cpu platform, needs the host-built
         incidence lists): a rank-CSR walk — the Gustavson structure of
         the native sweep — with no device involvement at all.
@@ -132,6 +134,7 @@ class QueryServer:
         bitset: BitsetMatrix,
         weights: Optional[np.ndarray] = None,
         mode: str = "auto",
+        mesh=None,
     ):
         import jax
 
@@ -141,6 +144,16 @@ class QueryServer:
         self.bitset = bitset
         self.weighted = weights is not None
         self._weights = weights
+        self._mesh = mesh
+        if mesh is not None:
+            # corpus rows sharded over the mesh (GSPMD partitions the
+            # same scan kernel; counts come back sharded on the corpus
+            # axis) — the serving layout for corpora beyond one chip
+            if mode == "host":
+                raise ValueError("mode='host' is single-process")
+            self._host_mode = False
+            self._build_device_blocks()
+            return
         # accelerator-free hosts skip the device matmul entirely: the
         # host sparse path (rank CSR walk, same structure as the native
         # Gustavson sweep) answers in microseconds per query, while an
@@ -171,16 +184,41 @@ class QueryServer:
         np.cumsum(counts, out=self._roff[1:])
 
     def _build_device_blocks(self):
+        import jax
         import jax.numpy as jnp
 
         bitset, weights = self.bitset, self._weights
         nb = bitset.w_pad // _BLOCK_WORDS
-        self._corpus_blocks = jnp.transpose(
-            jnp.asarray(bitset.words).reshape(
-                bitset.n_pad, nb, _BLOCK_WORDS
-            ),
-            (1, 0, 2),
-        )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self._mesh.axis_names[0]
+            d = int(self._mesh.devices.size)
+            if bitset.n_pad % d != 0:
+                raise ValueError(
+                    f"N_pad={bitset.n_pad} must divide over {d} devices"
+                )
+            # shard rows first (device_put splits the host array), then
+            # block on-device — each shard transposes locally
+            rows = jax.device_put(
+                bitset.words, NamedSharding(self._mesh, P(axis, None))
+            )
+            reblock = jax.jit(
+                lambda w: jnp.transpose(
+                    w.reshape(w.shape[0], nb, _BLOCK_WORDS), (1, 0, 2)
+                ),
+                out_shardings=NamedSharding(
+                    self._mesh, P(None, axis, None)
+                ),
+            )
+            self._corpus_blocks = reblock(rows)
+        else:
+            self._corpus_blocks = jnp.transpose(
+                jnp.asarray(bitset.words).reshape(
+                    bitset.n_pad, nb, _BLOCK_WORDS
+                ),
+                (1, 0, 2),
+            )
         if self.weighted:
             self._weight_blocks = jnp.asarray(weights, jnp.int8).reshape(
                 nb, _BLOCK_WORDS * 32
