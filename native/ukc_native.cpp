@@ -412,27 +412,33 @@ int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
 
 namespace {
 
-// LSD radix sort of uint64 keys (8-bit digits, only digits covering
-// max_key), optionally permuting a payload array alongside.
+// LSD radix sort of uint64 keys (11-bit digits — every pass streams the
+// whole key array, so fewer/wider passes win while the 2048-counter
+// table still lives in L1; only digits covering max_key run). The k=5
+// code universe (22 bits) sorts in 2 passes, (code, protein) pair keys
+// in 3-4.
 void radix_sort_u64(std::vector<uint64_t>& keys, std::vector<uint64_t>& tmp,
                     uint64_t max_key) {
   const int64_t m = (int64_t)keys.size();
+  constexpr int kBits = 11;
+  constexpr int kBuckets = 1 << kBits;
+  constexpr uint64_t kMask = kBuckets - 1;
   int passes = 0;
-  while (passes < 8 && (max_key >> (8 * passes))) ++passes;
+  while (passes * kBits < 64 && (max_key >> (kBits * passes))) ++passes;
   if (passes == 0) passes = 1;
-  std::vector<int64_t> count(256);
+  std::vector<int64_t> count(kBuckets);
   for (int p = 0; p < passes; ++p) {
     std::fill(count.begin(), count.end(), 0);
-    const int shift = 8 * p;
-    for (int64_t i = 0; i < m; ++i) ++count[(keys[i] >> shift) & 0xff];
+    const int shift = kBits * p;
+    for (int64_t i = 0; i < m; ++i) ++count[(keys[i] >> shift) & kMask];
     int64_t acc = 0;
-    for (int d = 0; d < 256; ++d) {
+    for (int d = 0; d < kBuckets; ++d) {
       int64_t c = count[d];
       count[d] = acc;
       acc += c;
     }
     for (int64_t i = 0; i < m; ++i)
-      tmp[count[(keys[i] >> shift) & 0xff]++] = keys[i];
+      tmp[count[(keys[i] >> shift) & kMask]++] = keys[i];
     keys.swap(tmp);
   }
 }
