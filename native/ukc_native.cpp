@@ -255,49 +255,59 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
   std::atomic<int64_t> n_pairs(0);
 
   // j-blocking: the naive i-outer loop streams the whole [n, w64] matrix
-  // from DRAM once per row (3.3 TB on the 10.6k-protein golden set). A
-  // block of j-rows sized to stay cache-resident (~1 MB) is reused
-  // across every i < j_hi, cutting DRAM traffic by ~block_rows×.
+  // from DRAM once per row (3.3 TB on the 10.6k-protein golden set).
+  // Workers claim CHUNKS of i-rows and run their own j-block loop, so a
+  // ~1 MB block of j-rows stays cache-resident across the chunk's rows
+  // (DRAM traffic ≈ n²/(2·jb) row streams) — one thread team for the
+  // whole sweep, no create/join per block, no shared-row-stats races
+  // (each row belongs to exactly one chunk).
   const int64_t row_bytes = w64 * 8;
   int64_t jb = row_bytes > 0 ? (int64_t)(1 << 20) / row_bytes : n;
   if (jb < 8) jb = 8;
+  const int64_t chunk = jb;
+  std::atomic<int64_t> next_chunk(0);
 
-  for (int64_t j_lo = 0; j_lo < n; j_lo += jb) {
-    const int64_t j_hi = std::min(j_lo + jb, n);
-    std::atomic<int64_t> next_row(0);
-    auto worker = [&]() {
-      for (;;) {
-        int64_t i = next_row.fetch_add(1);
-        if (i >= j_hi - 1) break;
-        const uint64_t* a = words + i * w64;
-        int64_t* rs = row_stats + i * 8;
-        for (int64_t j = std::max(i + 1, j_lo); j < j_hi; j++) {
-          const uint64_t* b = words + j * w64;
-          int64_t cnt = ukc_and_popcnt_row(a, b, w64);
-          bool cross = classes[i] != classes[j];
-          int64_t base = cross ? 0 : 4;
-          rs[base + 0] += cnt;
-          rs[base + 1] += cnt >= 1;
-          rs[base + 2] += cnt > threshold;
-          if (cnt > rs[base + 3]) rs[base + 3] = cnt;
-          if (cnt > threshold && (cross || include_same)) {
-            int64_t slot = n_pairs.fetch_add(1);
-            if (slot < pairs_cap) {
-              pairs_out[slot * 3 + 0] = i;
-              pairs_out[slot * 3 + 1] = j;
-              pairs_out[slot * 3 + 2] = cnt;
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t c0 = next_chunk.fetch_add(1) * chunk;
+      if (c0 >= n) break;
+      const int64_t c1 = std::min(c0 + chunk, n);
+      for (int64_t j_lo = c0; j_lo < n; j_lo += jb) {
+        const int64_t j_hi = std::min(j_lo + jb, n);
+        for (int64_t i = c0; i < c1; i++) {
+          const int64_t j_start = std::max(i + 1, j_lo);
+          if (j_start >= j_hi) continue;
+          const uint64_t* a = words + i * w64;
+          int64_t* rs = row_stats + i * 8;
+          for (int64_t j = j_start; j < j_hi; j++) {
+            const uint64_t* b = words + j * w64;
+            int64_t cnt = ukc_and_popcnt_row(a, b, w64);
+            bool cross = classes[i] != classes[j];
+            int64_t base = cross ? 0 : 4;
+            rs[base + 0] += cnt;
+            rs[base + 1] += cnt >= 1;
+            rs[base + 2] += cnt > threshold;
+            if (cnt > rs[base + 3]) rs[base + 3] = cnt;
+            if (cnt > threshold && (cross || include_same)) {
+              int64_t slot = n_pairs.fetch_add(1);
+              if (slot < pairs_cap) {
+                pairs_out[slot * 3 + 0] = i;
+                pairs_out[slot * 3 + 1] = j;
+                pairs_out[slot * 3 + 2] = cnt;
+              }
             }
           }
         }
       }
-    };
-    if (n_threads == 1) {
-      worker();
-    } else {
-      std::vector<std::thread> threads;
-      for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
-      for (auto& t : threads) t.join();
     }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
   }
   return n_pairs.load();
 }

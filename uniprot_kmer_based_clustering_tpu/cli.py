@@ -257,8 +257,10 @@ def cmd_query(args) -> int:
             qids, qbuf, qoff = parse_fasta_bytes(f.read())
         for qi, qid in enumerate(qids):
             names.append(qid)
+            # latin-1 round-trips arbitrary residue bytes (anything
+            # outside the alphabet hits the '*' catch-all downstream)
             seqs.append(
-                qbuf[qoff[qi] : qoff[qi + 1]].tobytes().decode("ascii")
+                qbuf[qoff[qi] : qoff[qi + 1]].tobytes().decode("latin-1")
             )
     if not seqs:
         raise SystemExit("no queries: pass --seq and/or --query-fasta")

@@ -44,8 +44,9 @@ class PipelineConfig:
                                     #   xla: popcount fallback, runs anywhere
                                     #   native: threaded C++ host sweep (the
                                     #     fast no-accelerator path)
-                                    #   auto: mxu on TPU; elsewhere native
-                                    #     when built, xla otherwise
+                                    #   auto: mxu on TPU; native on the cpu
+                                    #     platform when built; xla otherwise
+                                    #     (GPUs keep the device engine)
     tile: int = 512                 # protein-axis tile for the pairwise sweep
     strip: Optional[int] = None     # stationary strip rows for the MXU engine
                                     # (None = auto: one full-square call when

@@ -58,6 +58,20 @@ def _window_codes(idx: np.ndarray, k: int) -> np.ndarray:
     return codes
 
 
+def seqs_to_buffer(seqs) -> tuple[np.ndarray, np.ndarray]:
+    """Sequence strings → (uint8 buffer, int64 offsets [n+1]).
+
+    latin-1 keeps byte-for-byte parity with the pipeline's raw-byte
+    ingest: any byte outside the 21-letter alphabet routes through the
+    '*' catch-all exactly as in a FASTA record (src/protein.rs:49-54);
+    characters above U+00FF have no byte form and raise.
+    """
+    buf = np.frombuffer("".join(seqs).encode("latin-1"), np.uint8)
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    return buf, offsets
+
+
 def encode_kmers(
     seq_buf: np.ndarray,
     offsets: np.ndarray,

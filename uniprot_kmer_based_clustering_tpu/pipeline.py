@@ -46,16 +46,19 @@ class PipelineResult:
 
     def parity_report(self) -> Dict[str, int]:
         """The counters the reference prints to stderr, plus the pair gate —
-        the golden numbers of BASELINE.md."""
-        return {
+        the golden numbers of BASELINE.md. With stop_after="pack" (no
+        sweep ran) only the index-stage counters are present."""
+        report = {
             "proteins": self.table.n,
             "distinct_kmers": self.index.n_distinct,
             "unique_kmers": self.index.n_unique,
             "repeated_kmers": self.index.n_repeated,
             "incidences": self.index.nnz,
             "multigraph_edges": self.index.multigraph_edge_count(),
-            **self.pairwise.parity_counters(),
         }
+        if self.pairwise is not None:
+            report.update(self.pairwise.parity_counters())
+        return report
 
     def cluster_summary(self) -> Dict[str, int]:
         if self.cluster_labels is None:

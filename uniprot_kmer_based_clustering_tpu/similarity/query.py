@@ -33,6 +33,7 @@ import numpy as np
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 from uniprot_kmer_based_clustering_tpu.kmers.encode import (
     encode_kmers,
+    seqs_to_buffer,
 )
 from uniprot_kmer_based_clustering_tpu.kmers.index import KmerIndex
 
@@ -47,9 +48,7 @@ def query_ranks(
     (non-repeated/unknown k-mers drop out). The single definition of
     "which corpus bit columns does this query touch" — both serving
     paths build on it, so they cannot drift."""
-    buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
-    offsets = np.zeros(len(seqs) + 1, np.int64)
-    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    buf, offsets = seqs_to_buffer(seqs)
     codes, koff = encode_kmers(buf, offsets, index.k)
     out = []
     for qi in range(len(seqs)):
@@ -192,7 +191,9 @@ class QueryServer:
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            axis = self._mesh.axis_names[0]
+            # shard rows over EVERY mesh axis (a 2×4 hierarchical mesh
+            # splits 8 ways), so the full mesh contributes HBM capacity
+            axes = tuple(self._mesh.axis_names)
             d = int(self._mesh.devices.size)
             if bitset.n_pad % d != 0:
                 raise ValueError(
@@ -201,14 +202,14 @@ class QueryServer:
             # shard rows first (device_put splits the host array), then
             # block on-device — each shard transposes locally
             rows = jax.device_put(
-                bitset.words, NamedSharding(self._mesh, P(axis, None))
+                bitset.words, NamedSharding(self._mesh, P(axes, None))
             )
             reblock = jax.jit(
                 lambda w: jnp.transpose(
                     w.reshape(w.shape[0], nb, _BLOCK_WORDS), (1, 0, 2)
                 ),
                 out_shardings=NamedSharding(
-                    self._mesh, P(None, axis, None)
+                    self._mesh, P(None, axes, None)
                 ),
             )
             self._corpus_blocks = reblock(rows)
