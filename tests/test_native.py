@@ -1,7 +1,12 @@
 """Native C++ runtime vs numpy fallbacks: byte-identical outputs."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+_REPO = str(Path(__file__).resolve().parent.parent)
 
 from uniprot_kmer_based_clustering_tpu.io import native
 
@@ -391,3 +396,45 @@ def test_native_encode_matches_numpy(toy_fasta, rng):
             c, o = encode_kmers(buf, off, k, engine="numpy")
             assert np.array_equal(a[0], c), (trial, k)
             assert np.array_equal(a[1], o), (trial, k)
+
+
+def test_loader_degrades_without_toolchain(toy_fasta, tmp_path):
+    """A broken native tree (stale lib with wrong ABI, unbuildable
+    source) must degrade to the numpy/xla fallbacks — available() is
+    False and the pipeline still answers exactly. Subprocess: the
+    loader's module state is process-global."""
+    import subprocess
+    import sys
+    import textwrap
+
+    bad = tmp_path / "native"
+    bad.mkdir()
+    # a Makefile that always fails + a fake stale library that cannot
+    # even load: the loader must not crash, just give up
+    (bad / "Makefile").write_text("all:\n\tfalse\n")
+    (bad / "ukc_native.cpp").write_text("intentionally broken {")
+    build = bad / "build"
+    build.mkdir()
+    (build / "libukc_native.so").write_bytes(b"\x7fELFgarbage")
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr(str(_REPO))})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from uniprot_kmer_based_clustering_tpu.io import native
+        assert native.available() is False
+        assert native.parse_fasta({repr(toy_fasta)}) is None
+        assert native.encode_kmers.__call__ is not None
+        from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+        from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+        res = run_pipeline({repr(toy_fasta)}, PipelineConfig(cluster="none"))
+        print("OK", res.parity_report()["pairs_over_threshold"])
+    """)
+    env = dict(os.environ, UKC_NATIVE_DIR=str(bad), JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("OK")
