@@ -438,3 +438,32 @@ def test_loader_degrades_without_toolchain(toy_fasta, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.startswith("OK")
+
+
+def test_pairwise_native_dense_branch_matches_sparse(toy_fasta):
+    """pairwise_similarity(engine='native') without an index (the
+    device-built-index situation) takes the dense AVX sweep and must
+    equal the sparse branch taken when the index is supplied."""
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.io.fasta import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import encode_kmers
+    from uniprot_kmer_based_clustering_tpu.kmers.index import build_index
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        pairwise_similarity,
+    )
+
+    table = read_fasta(toy_fasta)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    index = build_index(codes, koff, 5)
+    bs = pack_bitsets(
+        index.incidence_protein, index.incidence_rank,
+        table.n, index.n_repeated,
+    )
+    cfg = PipelineConfig(engine="native", cluster="none", threshold=1)
+    dense = pairwise_similarity(bs, table.amr_class_ids, cfg)
+    sparse = pairwise_similarity(
+        bs, table.amr_class_ids, cfg, index=index
+    )
+    assert dense.parity_counters() == sparse.parity_counters()
+    assert np.array_equal(dense.pairs, sparse.pairs)
