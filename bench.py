@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -67,7 +69,125 @@ def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float) -> float:
     return n_pairs / best
 
 
+def _probe_accelerator(timeout_s: int):
+    """Return None when the default JAX backend initializes to an
+    accelerator, else a reason string for the CPU fallback.
+
+    The axon remote backend can HANG indefinitely (not error) when the
+    TPU tunnel is down — an in-process ``jax.devices()`` would wedge the
+    whole bench, so the probe runs in a subprocess under a timeout.
+    """
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; print(jax.devices()[0].platform)",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init timed out after {timeout_s}s"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        detail = tail[-1] if tail else f"exit code {r.returncode}"
+        return f"backend init failed: {detail[:200]}"
+    platform = (r.stdout or "").strip().splitlines()[-1:]
+    if platform and platform[0] == "cpu":
+        return "no accelerator (cpu backend)"
+    return None
+
+
+def _main_cpu_fallback(reason: str):
+    """Accelerator unreachable: report the framework's native CPU engine
+    rate — clearly labeled — instead of hanging or dying silently (the
+    driver records exactly one JSON line per round)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from uniprot_kmer_based_clustering_tpu.io import native, read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+
+    table = read_fasta(FASTA)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+    n_pairs = table.n * (table.n - 1) / 2.0
+    classes = np.asarray(table.amr_class_ids, np.int32)
+
+    fail = {
+        "metric": "pairwise_similarity",
+        "value": 0.0,
+        "unit": "pairs/s/chip",
+        "vs_baseline": 0.0,
+    }
+    if not native.available():
+        print(json.dumps({
+            **fail,
+            "error": f"TPU unavailable ({reason}) and the native CPU "
+                     "engine is not built",
+        }))
+        return
+
+    best = float("inf")
+    out = None
+    for _ in range(3):  # best-of-3: the single shared core is noisy
+        t0 = time.perf_counter()
+        out = native.sparse_sweep(
+            idx.incidence_protein, idx.incidence_rank, table.n,
+            idx.n_repeated, classes, 10,
+        )
+        if out is None:
+            break
+        best = min(best, time.perf_counter() - t0)
+    if out is None:
+        print(json.dumps({
+            **fail,
+            "error": f"TPU unavailable ({reason}); native sweep failed",
+        }))
+        return
+    row_stats, _pairs = out
+    totals = row_stats.sum(axis=0)
+    maxes = row_stats.max(axis=0)
+    got = {
+        "edges_after_amr_filter": int(totals[0]),
+        "pairs_after_merge": int(totals[1]),
+        "pairs_over_threshold": int(totals[2]),
+        "max_shared_kmers": int(maxes[3]),
+    }
+    if got != GOLDEN:
+        print(json.dumps({
+            **fail, "error": f"golden parity FAILED: {got}",
+        }))
+        return
+
+    baseline = _cpu_baseline_pairs_per_s(idx, table, n_pairs)
+    value = n_pairs / best
+    print(json.dumps({
+        "metric": "pairwise_similarity",
+        "value": round(value, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+        "sweep_seconds": round(best, 4),
+        "cpu_baseline_pairs_per_s": round(baseline, 1),
+        "parity": "golden-exact",
+        "device": "cpu (native C++ engine)",
+        "tpu_unavailable": reason,
+    }))
+
+
 def main():
+    probe_timeout = int(os.environ.get("UKC_BENCH_PROBE_TIMEOUT", "300"))
+    reason = _probe_accelerator(probe_timeout)
+    if reason is not None:
+        _main_cpu_fallback(reason)
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/ukc_jax_cache")
