@@ -43,6 +43,8 @@ def _build_config(args):
         min_shared=args.min_shared,
         engine=args.engine,
         index_engine=args.index_engine,
+        extract=getattr(args, "extract", "auto"),
+        extract_k=getattr(args, "extract_k", 0),
         run_diamond=args.diamond,
     )
 
@@ -338,6 +340,15 @@ def main(argv=None) -> int:
                         "signature merges (the TPU-native tree)")
     r.add_argument("--engine", default="auto",
                    choices=("auto", "mxu", "popcount", "xla", "native"))
+    r.add_argument("--extract", default="auto",
+                   choices=("auto", "two_pass", "fused"),
+                   help="pair recovery strategy (MXU engine): two_pass "
+                        "recomputes hit tiles; fused compacts survivors "
+                        "inside the scan-schedule sweep (dense-homology "
+                        "corpora). Bit-identical outputs")
+    r.add_argument("--extract-k", type=int, default=0,
+                   help="fused per-sub-tile candidate capacity "
+                        "(0 = auto from HBM budget)")
     r.add_argument("--index-engine", default="host",
                    choices=("host", "device"),
                    help="build the doc-freq index + bitset on host or TPU")

@@ -52,6 +52,20 @@ class PipelineConfig:
                                     # (None = auto: one full-square call when
                                     # the counts matrix fits HBM, else strips)
     word_block: int = 512           # k-mer-word-axis block inside the kernel
+    extract: str = "auto"           # "auto" | "two_pass" | "fused": pair
+                                    #   recovery strategy for the MXU engine.
+                                    #   two_pass recomputes only the tiles
+                                    #   that reported hits (optimal in the
+                                    #   sparse-hit regime — the bundled
+                                    #   dataset); fused compacts survivors
+                                    #   inside the scan-schedule sweep itself
+                                    #   (optimal for dense-homology corpora
+                                    #   where most tiles hit); auto currently
+                                    #   = two_pass. Bit-identical outputs.
+    extract_k: int = 0              # fused per-sub-tile candidate capacity
+                                    #   (0 = auto-size from the HBM budget;
+                                    #   overflowing sub-tiles are detected
+                                    #   exactly and redone two-pass)
     index_engine: str = "host"      # "host" | "device": where the doc-freq
                                     # index + bitset are built. "device"
                                     # runs on TPU — k=5: dense-universe
@@ -85,6 +99,10 @@ class PipelineConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")
+        if self.extract not in ("auto", "two_pass", "fused"):
+            raise ValueError(f"unknown extract mode {self.extract!r}")
+        if self.extract_k < 0:
+            raise ValueError("extract_k must be >= 0")
         if self.strip is not None and self.strip % self.tile != 0:
             raise ValueError("strip must be a multiple of tile")
         if self.tile % 8 != 0:

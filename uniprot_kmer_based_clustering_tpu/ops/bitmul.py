@@ -26,12 +26,50 @@ similarity at full MXU rate.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def subtile_rows(x, bt: int):
+    """[R, C] → [R//bt · C//bt, bt²]: each row is one bt² sub-tile
+    (row-major over the sub-tile grid) — the batched-top_k layout shared
+    by the superblock, sharded, and fused extraction compactors."""
+    qi = x.shape[0] // bt
+    qj = x.shape[1] // bt
+    return (
+        x.reshape(qi, bt, qj, bt).transpose(0, 2, 1, 3).reshape(
+            qi * qj, bt * bt
+        )
+    )
+
+
+@dataclasses.dataclass
+class FusedCandidates:
+    """Per-sub-tile top-k survivor candidates emitted by the fused scan
+    sweep, still resident on device.
+
+    ``bi``/``bj``/``bc`` are int32 [n_steps, nsub, k]: global row index,
+    global column index, and score of each candidate; unused slots carry
+    score −1. Sub-tile s of step p covers block tile
+    (pairs_ij[p,0]//block + s//nbs, pairs_ij[p,1]//block + s%nbs) with
+    nbs = bs//block — the same row-major layout as :func:`subtile_rows`.
+    A sub-tile whose exact hit count (from the sweep's tile_hits) exceeds
+    ``k`` is INCOMPLETE here and must be redone by the two-pass extractor.
+    """
+
+    bi: jax.Array
+    bj: jax.Array
+    bc: jax.Array
+    pairs_ij: np.ndarray  # int32 [n_steps, 2] — host copy of the schedule
+    bs: int
+    block: int
+    k: int
+    include_same: bool
 
 
 def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
@@ -292,7 +330,7 @@ def _strip_stats_pallas(
     jax.jit,
     static_argnames=(
         "bs", "n", "threshold", "block", "w_thresh", "word_chunk",
-        "stats_engine",
+        "stats_engine", "fused_k", "fused_same",
     ),
 )
 def _scan_sweep(
@@ -308,6 +346,8 @@ def _scan_sweep(
     w_thresh: int,
     word_chunk: int = 0,
     stats_engine: str = "xla",
+    fused_k: int = 0,
+    fused_same: bool = False,
 ):
     """Upper-triangle block-pair sweep as ONE compiled ``lax.scan``.
 
@@ -320,8 +360,20 @@ def _scan_sweep(
     strips stay the default below ~8 strips and the scan takes over at
     scale, where it is matmul-bound anyway.
 
-    Returns (row_stats int32 [N_pad, 8], block_hits int32 [nb, nb, 2]).
+    With ``fused_k`` > 0 each step also emits its surviving pairs as
+    per-sub-tile ``lax.top_k`` candidate rows (the superblock extractor's
+    compaction, fused into the sweep so the dense-homology regime never
+    recomputes its hit tiles — DESIGN.md "fused extraction").
+    ``fused_same`` widens the survivor mask to same-class pairs
+    (cross_amr_only=False runs). Requires the xla stats epilogue (the
+    masks are its intermediates).
+
+    Returns (row_stats int32 [N_pad, 8], block_hits int32 [nb, nb, 2],
+    ys) where ys is None or int32 (gi, gj, cnt) each [P, nbs², fused_k],
+    cnt −1 in unused slots.
     """
+    if fused_k and stats_engine != "xla":
+        raise ValueError("fused extraction requires stats_engine='xla'")
     n_pad, w_words = words.shape
     nb = n_pad // block
     nbs = bs // block
@@ -369,6 +421,25 @@ def _scan_sweep(
                 ],
                 axis=-1,
             )
+        ys = None
+        if fused_k:
+            em = (over_c | over_s) if fused_same else over_c
+            fm = subtile_rows(em.astype(jnp.int32), block)   # [nbs², block²]
+            cfl = subtile_rows(counts, block)
+            vals, sel = jax.lax.top_k(fm, fused_k)
+            cnt = jnp.where(
+                vals > 0, jnp.take_along_axis(cfl, sel, axis=1), -1
+            )
+            sub = jnp.arange(nbs * nbs, dtype=jnp.int32)
+            si = sub // nbs
+            sj = sub - si * nbs
+            row = sel // block
+            col = sel - row * block
+            ys = (
+                i0 + si[:, None] * block + row,
+                j0 + sj[:, None] * block + col,
+                cnt,
+            )
         prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
         merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
         row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
@@ -378,14 +449,14 @@ def _scan_sweep(
         block_hits = jax.lax.dynamic_update_slice(
             block_hits, prev_bh + bh, (bi, bj, 0)
         )
-        return (row_stats, block_hits), None
+        return (row_stats, block_hits), ys
 
     init = (
         jnp.zeros((n_pad, 8), jnp.int32),
         jnp.zeros((nb, nb, 2), jnp.int32),
     )
-    (row_stats, block_hits), _ = jax.lax.scan(body, init, pairs_ij)
-    return row_stats, block_hits
+    (row_stats, block_hits), ys = jax.lax.scan(body, init, pairs_ij)
+    return row_stats, block_hits, ys
 
 
 def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
@@ -441,6 +512,8 @@ def sweep_mxu_async(
     hbm_budget_bytes: int = 13 << 30,
     stats_engine: str = "auto",
     schedule: str = "auto",
+    fused_k: Optional[int] = 0,
+    fused_same: bool = False,
 ):
     """Dispatch the full sweep; return (device_results, finalize).
 
@@ -448,8 +521,18 @@ def sweep_mxu_async(
     back-to-back sweeps pipeline on device (steady-state throughput;
     bench.py measures this). ``finalize(device_results)`` fetches and
     assembles the standard (row_stats, tile_hits, tiles) outputs.
+
+    ``fused_k`` requests fused extraction (scan schedule only): 0 = off,
+    None = auto-size the per-sub-tile candidate capacity from the HBM
+    budget, >0 = explicit capacity. When requested (non-0), finalize
+    returns a 4th element — a :class:`FusedCandidates` with the
+    device-resident survivor candidates, or None when the resolved
+    schedule/budget can't support fusion (caller falls back to two-pass
+    extraction). ``fused_same`` includes same-class survivors
+    (cross_amr_only=False runs).
     """
     n_pad, w_words = words.shape
+    fused_requested = fused_k != 0
     if strip is None:
         strip = auto_strip(n_pad, block)
     assert n_pad % strip == 0 and strip % block == 0
@@ -460,6 +543,36 @@ def sweep_mxu_async(
         # beyond ~8 strips the one-shape block-pair scan wins on compile
         # time (~80 s per shape through the remote tunnel)
         schedule = "scan" if ns > 8 else "strips"
+    fused_bytes = 0
+    if schedule != "scan":
+        fused_k = 0  # the strip programs have no in-sweep compaction
+    elif fused_requested:
+        n_steps = ns * (ns + 1) // 2
+        nsub = (strip // block) ** 2
+        if fused_k is None:
+            # auto: largest pow2 capacity whose candidate buffers fit the
+            # fused slice of the HBM budget; below 512 the overflow-redo
+            # rate would defeat the point — fall back to two-pass
+            ys_budget = min(1536 << 20, hbm_budget_bytes // 8)
+            kb = ys_budget // max(n_steps * nsub * 12, 1)
+            fused_k = 0
+            if kb >= min(512, block * block):
+                fused_k = min(512, block * block)
+                while fused_k * 2 <= kb and fused_k * 2 <= block * block:
+                    fused_k *= 2
+        else:
+            # a sub-tile has block² entries — capacity beyond that is
+            # meaningless (top_k would reject it)
+            fused_k = min(fused_k, block * block)
+        if n_steps * nsub * fused_k >= 1 << 31:
+            # the compactor's flat cumsum positions are int32
+            raise ValueError(
+                f"fused_k={fused_k} overflows the int32 candidate space "
+                f"({n_steps} steps × {nsub} sub-tiles)"
+            )
+        fused_bytes = n_steps * nsub * fused_k * 12
+    else:
+        fused_k = 0
     if word_chunk is None:
         # Chunk the contraction when the unpacked int8 operands would
         # exceed what HBM has left after the residents (packed words +
@@ -467,7 +580,7 @@ def sweep_mxu_async(
         # of w_words whose unpacked chunk (both operands) fits.
         word_chunk = 0
         j_rows = strip if schedule == "scan" else n_pad
-        resident = n_pad * w_words * 4 + strip * j_rows * 4
+        resident = n_pad * w_words * 4 + strip * j_rows * 4 + fused_bytes
         budget = max(512 << 20, hbm_budget_bytes - resident)
         if (strip + j_rows) * w_words * 32 > budget:
             target = max(128, budget // ((strip + j_rows) * 32))
@@ -493,18 +606,27 @@ def sweep_mxu_async(
         # costs 412 s vs 29 s to compile through the remote tunnel.
         on_tpu = jax.devices()[0].platform == "tpu"
         stats_engine = "pallas" if (on_tpu and schedule != "scan") else "xla"
+    if fused_k:
+        stats_engine = "xla"  # the fused mask is the xla epilogue's
 
     if schedule == "scan":
         ii, jj = np.triu_indices(ns)
-        pairs_ij = jnp.asarray(
-            (np.stack([ii, jj], axis=1) * strip).astype(np.int32)
-        )
-        rs, bh = _scan_sweep(
+        pairs_np = (np.stack([ii, jj], axis=1) * strip).astype(np.int32)
+        pairs_ij = jnp.asarray(pairs_np)
+        rs, bh, ys = _scan_sweep(
             words, classes, wts, pairs_ij,
             bs=strip, n=n, threshold=threshold, block=block,
             w_thresh=w_thresh, word_chunk=word_chunk,
             stats_engine=stats_engine,
+            fused_k=fused_k, fused_same=fused_same,
         )
+        cands = None
+        if fused_k:
+            cands = FusedCandidates(
+                bi=ys[0], bj=ys[1], bc=ys[2], pairs_ij=pairs_np,
+                bs=strip, block=block, k=fused_k,
+                include_same=fused_same,
+            )
 
         def finalize_scan(device_results):
             rs, bh = jax.device_get(device_results)
@@ -513,11 +635,12 @@ def sweep_mxu_async(
             )
 
             ti, tj = upper_triangle_tiles(n_pad, block)
-            return (
+            base = (
                 rs.astype(np.int64),
                 bh[ti, tj],
                 (ti, tj, block),
             )
+            return base + (cands,) if fused_requested else base
 
         return (rs, bh), finalize_scan
 
@@ -577,7 +700,8 @@ def sweep_mxu_async(
 
         ti, tj = upper_triangle_tiles(n_pad, block)
         tile_hits = block_hits[ti, tj]  # [nT, 2]
-        return row_stats, tile_hits, (ti, tj, block)
+        base = (row_stats, tile_hits, (ti, tj, block))
+        return base + (None,) if fused_requested else base
 
     return device_results, finalize
 
@@ -595,6 +719,8 @@ def sweep_mxu(
     hbm_budget_bytes: int = 13 << 30,
     stats_engine: str = "auto",
     schedule: str = "auto",
+    fused_k: Optional[int] = 0,
+    fused_same: bool = False,
 ):
     """Full upper-triangle sweep on the MXU (synchronous).
 
@@ -621,5 +747,6 @@ def sweep_mxu(
         strip=strip, block=block, weights=weights, w_thresh=w_thresh,
         word_chunk=word_chunk, hbm_budget_bytes=hbm_budget_bytes,
         stats_engine=stats_engine, schedule=schedule,
+        fused_k=fused_k, fused_same=fused_same,
     )
     return finalize(device_results)

@@ -26,6 +26,8 @@ import numpy as np
 from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    FusedCandidates,
+    subtile_rows,  # re-exported: the sharded extractors import it here
     sweep_mxu,
     unpack_words_to_int8,
 )
@@ -123,17 +125,128 @@ def bucket_pow2(kmax: int, floor: int, cap: int) -> int:
     return min(k, cap)
 
 
-def subtile_rows(x, bt: int):
-    """[R, C] → [R//bt · C//bt, bt²]: each row is one bt² sub-tile
-    (row-major over the sub-tile grid) — the batched-top_k layout shared
-    by the superblock and sharded extraction compactors."""
-    qi = x.shape[0] // bt
-    qj = x.shape[1] // bt
-    return (
-        x.reshape(qi, bt, qj, bt).transpose(0, 2, 1, 3).reshape(
-            qi * qj, bt * bt
-        )
+@functools.partial(jax.jit, static_argnames=("vcap",))
+def _compact_fused(bi, bj, bc, keep, *, vcap: int):
+    """Compact the fused sweep's candidate buffers ([P, nsub, k], score
+    −1 in unused slots) into one [vcap] buffer, dropping sub-tiles whose
+    ``keep`` flag is False (their exact hit count exceeded k — the
+    two-pass extractor redoes them). Returns (gi, gj, cnt, count).
+
+    One flat cumsum+scatter over the whole candidate space: unlike the
+    per-tile extraction loops, this runs ONCE per sweep, so the
+    serialized TPU scatter (~100M elem/s) is a negligible epilogue."""
+    m = (bc >= 0) & keep[:, :, None]
+    fm = m.ravel()
+    pos = jnp.cumsum(fm.astype(jnp.int32)) - 1
+    # dropped elements get DISTINCT out-of-bounds slots so the
+    # unique_indices hint is honest (see _extract_batch)
+    pos = jnp.where(
+        fm, pos, vcap + jnp.arange(fm.shape[0], dtype=jnp.int32)
     )
+    opts = dict(mode="drop", unique_indices=True)
+    z = jnp.zeros(vcap, jnp.int32)
+    out_i = z.at[pos].set(bi.ravel(), **opts)
+    out_j = z.at[pos].set(bj.ravel(), **opts)
+    out_c = jnp.full(vcap, -1, jnp.int32).at[pos].set(bc.ravel(), **opts)
+    return out_i, out_j, out_c, jnp.sum(fm.astype(jnp.int32))
+
+
+def extract_pairs_fused(
+    words,
+    classes,
+    tile_hits: np.ndarray,
+    tiles,
+    fused: FusedCandidates,
+    n: int,
+    threshold: int,
+    cross_amr_only: bool = True,
+    weights=None,
+) -> np.ndarray:
+    """Fused-mode pair recovery: compact the sweep's own per-sub-tile
+    top-k candidates instead of recomputing hit tiles (pass 2 of
+    :func:`extract_pairs` re-runs ~a full sweep's worth of matmuls in the
+    dense-homology regime — DESIGN.md known-limits).
+
+    Exactness never depends on the capacity guess: the sweep's
+    ``tile_hits`` are exact, so any sub-tile whose hit count exceeds
+    ``fused.k`` is detected, its (incomplete) candidates dropped, and the
+    tile redone by the two-pass machinery.
+    """
+    ti, tj, tile = tiles
+    assert tile == fused.block, "tile enumeration granularity mismatch"
+    assert fused.include_same == (not cross_amr_only)
+    n_steps = fused.pairs_ij.shape[0]
+    nbs = fused.bs // fused.block
+    nsub = nbs * nbs
+    nb = words.shape[0] // fused.block
+
+    h = tile_hits[:, 0].astype(np.int64)
+    if not cross_amr_only:
+        h = h + tile_hits[:, 1]
+    hm = np.zeros((nb, nb), np.int64)
+    hm[ti, tj] = h
+    s_axis = np.arange(nbs)
+    bi_idx = fused.pairs_ij[:, 0:1] // fused.block + s_axis[None, :]
+    bj_idx = fused.pairs_ij[:, 1:2] // fused.block + s_axis[None, :]
+    # [P, nbs(i), nbs(j)] → [P, nsub]; sub-tiles below the diagonal of a
+    # diagonal step aren't in the (ti ≤ tj) enumeration — hm default 0
+    h_ps = hm[bi_idx[:, :, None], bj_idx[:, None, :]].reshape(
+        n_steps, nsub
+    )
+    keep = h_ps <= fused.k
+    total_kept = int((h_ps * keep).sum())
+
+    parts = []
+    if total_kept:
+        # bucket the compacted buffer size to bound compiled shapes; the
+        # host fetch slices to the exact count
+        g = 1 << 20 if total_kept >= 1 << 20 else 1 << 14
+        vcap = min(
+            n_steps * nsub * fused.k,
+            (total_kept + g - 1) // g * g,
+        )
+        out_i, out_j, out_c, count = jax.device_get(
+            _compact_fused(
+                fused.bi, fused.bj, fused.bc, jnp.asarray(keep),
+                vcap=vcap,
+            )
+        )
+        if int(count) != total_kept:
+            raise AssertionError(
+                f"fused compaction found {int(count)} survivors, sweep "
+                f"stats promised {total_kept}"
+            )
+        parts.append(
+            np.stack(
+                [out_i[:total_kept], out_j[:total_kept], out_c[:total_kept]],
+                axis=1,
+            ).astype(np.int64)
+        )
+
+    if not keep.all():
+        # overflow sub-tiles: redo exactly those via two-pass, masking
+        # every other tile's hits to zero
+        op, osub = np.nonzero(~keep)
+        obt_i = bi_idx[op, osub // nbs]
+        obt_j = bj_idx[op, osub % nbs]
+        rid = np.full((nb, nb), -1, np.int64)
+        rid[ti, tj] = np.arange(len(ti))
+        rows = rid[obt_i, obt_j]
+        assert (rows >= 0).all()  # hits > k > 0 ⇒ in the enumeration
+        masked = np.zeros_like(tile_hits)
+        masked[rows] = tile_hits[rows]
+        parts.append(
+            extract_pairs(
+                words, classes, masked, tiles, n=n, threshold=threshold,
+                cross_amr_only=cross_amr_only, weights=weights,
+            )
+        )
+
+    if not parts:
+        return np.zeros((0, 3), dtype=np.int64)
+    pairs = np.concatenate(parts, axis=0)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
 
 
 @functools.partial(
@@ -613,19 +726,37 @@ def pairwise_similarity(
 
     words = jnp.asarray(bitset.words)
     classes_j = jnp.asarray(classes)
+    fused = None
     if engine == "mxu":
         strip = config.strip
         if strip is not None and n_pad % strip != 0:
             strip = config.tile
-        row_stats, tile_hits, tiles = sweep_mxu(
-            words,
-            classes_j,
-            n=n,
-            threshold=threshold,
-            strip=strip,
-            block=config.tile,
-            weights=weights,
-        )
+        if config.extract == "fused":
+            # fused extraction: the scan sweep emits its own survivor
+            # candidates; falls back to two-pass (fused=None) when the
+            # schedule resolves to strips or the HBM budget can't carry
+            # the candidate buffers
+            row_stats, tile_hits, tiles, fused = sweep_mxu(
+                words,
+                classes_j,
+                n=n,
+                threshold=threshold,
+                strip=strip,
+                block=config.tile,
+                weights=weights,
+                fused_k=config.extract_k or None,
+                fused_same=not config.cross_amr_only,
+            )
+        else:
+            row_stats, tile_hits, tiles = sweep_mxu(
+                words,
+                classes_j,
+                n=n,
+                threshold=threshold,
+                strip=strip,
+                block=config.tile,
+                weights=weights,
+            )
     else:
         row_stats, tile_hits, tiles = sweep(
             words,
@@ -640,16 +771,29 @@ def pairwise_similarity(
     totals = row_stats.astype(np.int64).sum(axis=0)
     maxes = row_stats.astype(np.int64).max(axis=0)
 
-    pairs = extract_pairs(
-        words,
-        classes,
-        tile_hits,
-        tiles,
-        n=n,
-        threshold=threshold,
-        cross_amr_only=config.cross_amr_only,
-        weights=weights,
-    )
+    if fused is not None:
+        pairs = extract_pairs_fused(
+            words,
+            classes,
+            tile_hits,
+            tiles,
+            fused,
+            n=n,
+            threshold=threshold,
+            cross_amr_only=config.cross_amr_only,
+            weights=weights,
+        )
+    else:
+        pairs = extract_pairs(
+            words,
+            classes,
+            tile_hits,
+            tiles,
+            n=n,
+            threshold=threshold,
+            cross_amr_only=config.cross_amr_only,
+            weights=weights,
+        )
 
     return PairwiseResult(
         cross_weight=int(totals[0]),
