@@ -79,6 +79,13 @@ def main():
     from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
 
     n = int(os.environ.get("UKC_SCALE_N", "30000"))
+    # UKC_SCALE_BLOCK: tile size override (default 512). Small values
+    # let the scan schedule (and so the fused branch) engage at CPU
+    # smoke-test scale.
+    blk = int(os.environ.get("UKC_SCALE_BLOCK", "512"))
+    # UKC_SCALE_STRIP: strip override (default auto from the HBM budget);
+    # forcing many strips engages the scan schedule at small N.
+    strip = int(os.environ.get("UKC_SCALE_STRIP", "0")) or None
     t0 = time.perf_counter()
     seq_buf, offsets, classes = synth_proteins(n)
     t_synth = time.perf_counter() - t0
@@ -90,7 +97,7 @@ def main():
     # ~9 GB matrix is scattered on-chip from the 256 MB incidence list
     bitset = pack_bitsets_device(
         idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
-        row_multiple=3584,
+        row_multiple=7 * blk,
     )
     t_index = time.perf_counter() - t0
 
@@ -103,13 +110,13 @@ def main():
     # leaks first-execution residue into the first timed loop), then
     # best-of-2 timed reps (tunnel jitter ~10%)
     t0 = time.perf_counter()
-    rs, th, _ = sweep_mxu(words, cls, n, 10)
+    rs, th, _ = sweep_mxu(words, cls, n, 10, strip=strip, block=blk)
     t_first = time.perf_counter() - t0
-    sweep_mxu(words, cls, n, 10)
+    sweep_mxu(words, cls, n, 10, strip=strip, block=blk)
     t_sweep = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        rs, th, tl = sweep_mxu(words, cls, n, 10)
+        rs, th, tl = sweep_mxu(words, cls, n, 10, strip=strip, block=blk)
         t_sweep = min(t_sweep, time.perf_counter() - t0)
 
     # exact pair recovery (device-compacted; the reference's final edge
@@ -122,6 +129,57 @@ def main():
     t0 = time.perf_counter()
     pairs = extract_pairs(words, np.asarray(cls), th, tl, n=n, threshold=10)
     t_extract = time.perf_counter() - t0  # warm (compile amortized)
+
+    # fused extraction (in-sweep top-k compaction): the synthetic corpus
+    # is dense-homology by construction — every tile hits, the regime
+    # --extract fused exists for. Gate its exactness and report the
+    # end-to-end gain next to two-pass. UKC_SCALE_FUSED=0 skips (saves
+    # one ~80 s tunnel compile when only the sweep number is wanted).
+    fused_stats = {}
+    if os.environ.get("UKC_SCALE_FUSED", "1") != "0":
+        from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+            extract_pairs_fused,
+        )
+
+        t0 = time.perf_counter()
+        out = sweep_mxu(
+            words, cls, n, 10, strip=strip, block=blk, fused_k=None
+        )
+        t_fused_first = time.perf_counter() - t0
+        if out[3] is None:
+            fused_stats = {"fused": "unavailable (strip schedule)"}
+        else:
+            t_sweep_f = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rs_f, th_f, tl_f, cands = sweep_mxu(
+                    words, cls, n, 10, strip=strip, block=blk, fused_k=None
+                )
+                t_sweep_f = min(t_sweep_f, time.perf_counter() - t0)
+            pairs_f = extract_pairs_fused(
+                words, np.asarray(cls), th_f, tl_f, cands, n=n,
+                threshold=10,
+            )
+            assert np.array_equal(pairs_f, pairs), "fused != two_pass"
+            rs_f, th_f, tl_f, cands = sweep_mxu(
+                words, cls, n, 10, strip=strip, block=blk, fused_k=None
+            )
+            t0 = time.perf_counter()
+            pairs_f = extract_pairs_fused(
+                words, np.asarray(cls), th_f, tl_f, cands, n=n,
+                threshold=10,
+            )
+            t_extract_f = time.perf_counter() - t0
+            assert np.array_equal(pairs_f, pairs)
+            fused_stats = {
+                "fused_k": cands.k,
+                "sweep_fused_seconds": round(t_sweep_f, 3),
+                "extract_fused_seconds": round(t_extract_f, 1),
+                "fused_first_run_seconds": round(t_fused_first, 1),
+                "e2e_speedup_fused": round(
+                    (t_sweep + t_extract) / (t_sweep_f + t_extract_f), 2
+                ),
+            }
 
     n_pairs = n * (n - 1) / 2.0
     tot = rs.sum(axis=0)
@@ -141,6 +199,7 @@ def main():
         "pairs_over_threshold": int(tot[2]),
         "extract_seconds": round(t_extract, 1),
         "device": str(jax.devices()[0]),
+        **fused_stats,
     }))
 
 
