@@ -147,8 +147,27 @@ def main():
         )
         t_fused_first = time.perf_counter() - t0
         if out[3] is None:
-            fused_stats = {"fused": "unavailable (strip schedule)"}
+            # distinguish the two fallbacks (sweep_mxu_async's schedule
+            # resolution): ≤8 strips resolves to the strip schedule (no
+            # in-sweep compaction); otherwise the scan ran but the HBM
+            # auto-sizing couldn't fit the candidate buffers
+            from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+                auto_strip,
+            )
+
+            ns = words.shape[0] // (strip or auto_strip(words.shape[0], blk))
+            why = (
+                "strip schedule" if ns <= 8
+                else "HBM auto-sizing (candidate buffers do not fit)"
+            )
+            fused_stats = {"fused": f"unavailable ({why})"}
         else:
+            # second fetch-synced warm-up before timing (CLAUDE.md:
+            # fused_k changes the compiled program, so the two-pass
+            # warm-ups above do not carry over)
+            sweep_mxu(
+                words, cls, n, 10, strip=strip, block=blk, fused_k=None
+            )
             t_sweep_f = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

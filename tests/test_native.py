@@ -425,7 +425,10 @@ def test_loader_degrades_without_toolchain(toy_fasta, tmp_path):
         from uniprot_kmer_based_clustering_tpu.io import native
         assert native.available() is False
         assert native.parse_fasta({repr(toy_fasta)}) is None
-        assert native.encode_kmers.__call__ is not None
+        import numpy as np
+        buf = np.frombuffer(b"ACDEFGH", np.uint8)
+        off = np.array([0, buf.shape[0]], np.int64)
+        assert native.encode_kmers(buf, off, 5) is None
         from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
         from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
         res = run_pipeline({repr(toy_fasta)}, PipelineConfig(cluster="none"))

@@ -48,6 +48,63 @@ def subtile_rows(x, bt: int):
     )
 
 
+def topk_subtile_candidates(mask_i32, counts, i0, j0, *, tile: int, k: int):
+    """Per-sub-tile ``lax.top_k`` survivor compaction over one [S, S]
+    counts window at global offset (i0, j0).
+
+    The shared selection idiom of the superblock extractor, the fused
+    scan sweep, and the single-tile top_k extractor: TPU scatter
+    serializes (~2.7 ms per 512² tile) while top_k over the 0/1 mask
+    costs ~0.3 ms, so survivors are *selected* per ``tile``² sub-tile
+    (batched top_k over the :func:`subtile_rows` layout) instead of
+    scattered. ``k`` must be ≥ the densest sub-tile's hit count for the
+    result to be complete — callers size it from the sweep's exact
+    tile_hits (or detect overflow from them, fused path).
+
+    Returns (gi, gj, cnt) int32 [qi·qj, k] — global row, global column,
+    score; unused slots carry cnt −1 (ties within a sub-tile keep
+    arbitrary order; callers sort the final pair list).
+    """
+    qi = mask_i32.shape[0] // tile
+    qj = mask_i32.shape[1] // tile
+    fm = subtile_rows(mask_i32, tile)
+    cfl = subtile_rows(counts, tile)
+    vals, sel = jax.lax.top_k(fm, k)
+    cnt = jnp.where(vals > 0, jnp.take_along_axis(cfl, sel, axis=1), -1)
+    sub = jnp.arange(qi * qj, dtype=jnp.int32)
+    si = sub // qj
+    sj = sub - si * qj
+    row = sel // tile
+    col = sel - row * tile
+    return (
+        i0 + si[:, None] * tile + row,
+        j0 + sj[:, None] * tile + col,
+        cnt,
+    )
+
+
+def compact_positions(keep, cap, cursor=0):
+    """Scatter positions for on-device stream compaction.
+
+    Kept elements (``keep`` bool [M]) get ``cursor`` + their rank;
+    dropped elements get DISTINCT out-of-bounds slots (cap + lane index)
+    so that ``.at[pos].set(..., mode="drop", unique_indices=True)`` is
+    honest — a duplicated dummy index would be undefined behavior under
+    the hint. NOTE: measured on this stack the hint does NOT make Mosaic
+    vectorize the scatter (~2.7 ms per 512² tile either way) — which is
+    why the top_k selection paths exist; the scatter survives for
+    ultra-dense tiles and one-shot epilogues.
+
+    Returns (pos int32 [M], n_kept int32 scalar).
+    """
+    ki = keep.astype(jnp.int32)
+    pos = cursor + jnp.cumsum(ki) - 1
+    pos = jnp.where(
+        keep, pos, cap + jnp.arange(keep.shape[0], dtype=jnp.int32)
+    )
+    return pos, jnp.sum(ki)
+
+
 @dataclasses.dataclass
 class FusedCandidates:
     """Per-sub-tile top-k survivor candidates emitted by the fused scan
@@ -424,21 +481,9 @@ def _scan_sweep(
         ys = None
         if fused_k:
             em = (over_c | over_s) if fused_same else over_c
-            fm = subtile_rows(em.astype(jnp.int32), block)   # [nbs², block²]
-            cfl = subtile_rows(counts, block)
-            vals, sel = jax.lax.top_k(fm, fused_k)
-            cnt = jnp.where(
-                vals > 0, jnp.take_along_axis(cfl, sel, axis=1), -1
-            )
-            sub = jnp.arange(nbs * nbs, dtype=jnp.int32)
-            si = sub // nbs
-            sj = sub - si * nbs
-            row = sel // block
-            col = sel - row * block
-            ys = (
-                i0 + si[:, None] * block + row,
-                j0 + sj[:, None] * block + col,
-                cnt,
+            ys = topk_subtile_candidates(
+                em.astype(jnp.int32), counts, i0, j0,
+                tile=block, k=fused_k,
             )
         prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
         merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
@@ -606,8 +651,14 @@ def sweep_mxu_async(
         # costs 412 s vs 29 s to compile through the remote tunnel.
         on_tpu = jax.devices()[0].platform == "tpu"
         stats_engine = "pallas" if (on_tpu and schedule != "scan") else "xla"
-    if fused_k:
-        stats_engine = "xla"  # the fused mask is the xla epilogue's
+    if fused_k and stats_engine == "pallas":
+        # the fused survivor mask is an intermediate of the xla epilogue;
+        # honoring an explicit pallas request would silently measure the
+        # wrong engine — refuse instead (matches _scan_sweep's contract)
+        raise ValueError(
+            "fused extraction requires stats_engine='xla' (or 'auto'); "
+            "it cannot be combined with the pallas epilogue"
+        )
 
     if schedule == "scan":
         ii, jj = np.triu_indices(ns)
@@ -736,7 +787,11 @@ def sweep_mxu(
 
     Returns (row_stats int64 [N_pad, 8], tile_hits int32 [n_tiles, 2],
              tiles (ti, tj, block)) in the same tile enumeration as the
-    popcount engines so extraction is engine-agnostic. All strips are
+    popcount engines so extraction is engine-agnostic. When ``fused_k``
+    is non-0 (fused extraction requested) a 4th element is appended: a
+    :class:`FusedCandidates`, or None when the resolved schedule/budget
+    can't support fusion — callers unpack 4 values whenever they pass
+    ``fused_k`` and fall back to two-pass extraction on None. All strips are
     dispatched asynchronously and fetched with one device→host transfer
     (a synchronizing readback costs a ~30 ms round trip through the
     remote tunnel); :func:`sweep_mxu_async` exposes the dispatch/finalize

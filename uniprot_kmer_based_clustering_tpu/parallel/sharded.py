@@ -359,6 +359,7 @@ def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
     scatters the full mask (CPU tests; platforms with fast scatter).
     """
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        compact_positions,
         subtile_rows,
     )
 
@@ -375,15 +376,12 @@ def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
         gi_c = gi.ravel()
         gj_c = gj.ravel()
         cnt = counts.ravel()
-    pos = cursor + jnp.cumsum(hit.astype(jnp.int32)) - 1
-    pos = jnp.where(
-        hit, pos, cap + jnp.arange(hit.shape[0], dtype=jnp.int32)
-    )
+    pos, kept = compact_positions(hit, cap, cursor)
     opts = dict(mode="drop", unique_indices=True)
     bi = bi.at[pos].set(jnp.minimum(gi_c, gj_c), **opts)
     bj = bj.at[pos].set(jnp.maximum(gi_c, gj_c), **opts)
     bc = bc.at[pos].set(cnt, **opts)
-    return cursor + jnp.sum(hit.astype(jnp.int32)), bi, bj, bc
+    return cursor + kept, bi, bj, bc
 
 
 # memoized: each maker returns a fresh jitted closure, and jax's jit

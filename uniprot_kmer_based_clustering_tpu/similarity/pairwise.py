@@ -27,8 +27,10 @@ from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
     FusedCandidates,
-    subtile_rows,  # re-exported: the sharded extractors import it here
+    compact_positions,  # re-exported: the sharded extractors import these
+    subtile_rows,
     sweep_mxu,
+    topk_subtile_candidates,
     unpack_words_to_int8,
 )
 from uniprot_kmer_based_clustering_tpu.ops.popcount import sweep
@@ -85,21 +87,12 @@ def _extract_batch(
             words, weights, classes, i0s[idx], j0s[idx], tile, n,
             threshold, weighted, cross_amr_only, valid_t[idx],
         )
-        fm = mask.ravel()
-        pos = cursor + jnp.cumsum(fm.astype(jnp.int32)) - 1
-        # dropped elements get DISTINCT out-of-bounds slots so the
-        # unique_indices hint is honest. NOTE: measured on this stack the
-        # hint does NOT make Mosaic vectorize the scatter (~2.7 ms per
-        # 512² tile either way) — which is why the top_k paths exist;
-        # this scatter path survives only for ultra-dense tiles
-        pos = jnp.where(
-            fm, pos, cap + jnp.arange(fm.shape[0], dtype=jnp.int32)
-        )
+        pos, kept = compact_positions(mask.ravel(), cap, cursor)
         opts = dict(mode="drop", unique_indices=True)
         bi = bi.at[pos].set(gi.ravel(), **opts)
         bj = bj.at[pos].set(gj.ravel(), **opts)
         bc = bc.at[pos].set(counts.ravel(), **opts)
-        return (cursor + jnp.sum(fm.astype(jnp.int32)), bi, bj, bc), None
+        return (cursor + kept, bi, bj, bc), None
 
     z = jnp.zeros(cap, jnp.int32)
     (cursor, bi, bj, bc), _ = jax.lax.scan(
@@ -136,19 +129,13 @@ def _compact_fused(bi, bj, bc, keep, *, vcap: int):
     per-tile extraction loops, this runs ONCE per sweep, so the
     serialized TPU scatter (~100M elem/s) is a negligible epilogue."""
     m = (bc >= 0) & keep[:, :, None]
-    fm = m.ravel()
-    pos = jnp.cumsum(fm.astype(jnp.int32)) - 1
-    # dropped elements get DISTINCT out-of-bounds slots so the
-    # unique_indices hint is honest (see _extract_batch)
-    pos = jnp.where(
-        fm, pos, vcap + jnp.arange(fm.shape[0], dtype=jnp.int32)
-    )
+    pos, kept = compact_positions(m.ravel(), vcap)
     opts = dict(mode="drop", unique_indices=True)
     z = jnp.zeros(vcap, jnp.int32)
     out_i = z.at[pos].set(bi.ravel(), **opts)
     out_j = z.at[pos].set(bj.ravel(), **opts)
     out_c = jnp.full(vcap, -1, jnp.int32).at[pos].set(bc.ravel(), **opts)
-    return out_i, out_j, out_c, jnp.sum(fm.astype(jnp.int32))
+    return out_i, out_j, out_c, kept
 
 
 def extract_pairs_fused(
@@ -275,12 +262,10 @@ def _extract_batch_topk(
             words, weights, classes, i0, j0, tile, n,
             threshold, weighted, cross_amr_only, valid_t[idx],
         )
-        fm = mask.ravel().astype(jnp.int32)
-        vals, sel = jax.lax.top_k(fm, k)
-        row = sel // tile
-        col = sel - row * tile
-        cnt = jnp.where(vals > 0, counts.ravel()[sel], -1)
-        return carry, (i0 + row, j0 + col, cnt)
+        gi, gj, cnt = topk_subtile_candidates(
+            mask.astype(jnp.int32), counts, i0, j0, tile=tile, k=k
+        )
+        return carry, (gi[0], gj[0], cnt[0])  # one tile == one sub-tile
 
     _, (bi, bj, bc) = jax.lax.scan(
         step, 0, jnp.arange(i0s.shape[0])
@@ -395,19 +380,9 @@ def _extract_superblock_topk(
             words, weights, classes, i0, j0, s, n,
             threshold, weighted, cross_amr_only, valid_t[idx],
         )
-
-        fm = subtile_rows(mask.astype(jnp.int32), tile)
-        cfl = subtile_rows(counts, tile)
-        vals, sel = jax.lax.top_k(fm, k)            # [q², k]
-        cnt = jnp.take_along_axis(cfl, sel, axis=1)
-        cnt = jnp.where(vals > 0, cnt, -1)
-        si = jnp.arange(q * q, dtype=jnp.int32) // q
-        sj = jnp.arange(q * q, dtype=jnp.int32) % q
-        row = sel // tile
-        col = sel - row * tile
-        out_gi = i0 + si[:, None] * tile + row
-        out_gj = j0 + sj[:, None] * tile + col
-        return carry, (out_gi, out_gj, cnt)
+        return carry, topk_subtile_candidates(
+            mask.astype(jnp.int32), counts, i0, j0, tile=tile, k=k
+        )
 
     _, (bi, bj, bc) = jax.lax.scan(step, 0, jnp.arange(i0s.shape[0]))
     return bi, bj, bc
@@ -731,32 +706,25 @@ def pairwise_similarity(
         strip = config.strip
         if strip is not None and n_pad % strip != 0:
             strip = config.tile
-        if config.extract == "fused":
-            # fused extraction: the scan sweep emits its own survivor
-            # candidates; falls back to two-pass (fused=None) when the
-            # schedule resolves to strips or the HBM budget can't carry
-            # the candidate buffers
-            row_stats, tile_hits, tiles, fused = sweep_mxu(
-                words,
-                classes_j,
-                n=n,
-                threshold=threshold,
-                strip=strip,
-                block=config.tile,
-                weights=weights,
-                fused_k=config.extract_k or None,
-                fused_same=not config.cross_amr_only,
-            )
-        else:
-            row_stats, tile_hits, tiles = sweep_mxu(
-                words,
-                classes_j,
-                n=n,
-                threshold=threshold,
-                strip=strip,
-                block=config.tile,
-                weights=weights,
-            )
+        # fused extraction: the scan sweep emits its own survivor
+        # candidates; falls back to two-pass (fused=None) when the
+        # schedule resolves to strips or the HBM budget can't carry
+        # the candidate buffers
+        want_fused = config.extract == "fused"
+        out = sweep_mxu(
+            words,
+            classes_j,
+            n=n,
+            threshold=threshold,
+            strip=strip,
+            block=config.tile,
+            weights=weights,
+            fused_k=(config.extract_k or None) if want_fused else 0,
+            fused_same=not config.cross_amr_only,
+        )
+        row_stats, tile_hits, tiles = out[:3]
+        if want_fused:
+            fused = out[3]
     else:
         row_stats, tile_hits, tiles = sweep(
             words,
