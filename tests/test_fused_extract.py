@@ -5,7 +5,8 @@ must be bit-identical to two-pass extraction in every regime: pure
 compaction (all sub-tiles fit the capacity), overflow redo (some don't),
 same-class pairs included, and the pipeline-level auto fallback when the
 schedule resolves to strips. Mirrors the reference's exactness contract
-(reference similarity stage: Similarity/similarity.cu pair emission).
+for the surviving pair set (count > threshold, cross-AMR —
+src/graph/mod.rs:242,580-587).
 """
 
 import jax.numpy as jnp
@@ -157,6 +158,48 @@ def test_pipeline_fused_falls_back_on_strip_schedule():
         ),
     )
     assert np.array_equal(r_fused.pairs, r_two.pairs)
+
+
+def test_pipeline_fused_weighted_matches_two_pass():
+    """BLOSUM-weighted scores ride the fused candidates too: the sweep's
+    counts ARE the weighted scores (int8 column scale on one operand), so
+    fused extraction must stay bit-identical in weighted mode — including
+    the overflow redo, which must thread the weights through the two-pass
+    recompute."""
+    rng = np.random.default_rng(13)
+    n, k = 300, 896
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.08)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    w = rng.integers(1, 6, bs.words.shape[1] * 32).astype(np.int8)
+    base = PipelineConfig(
+        threshold=3, tile=16, word_block=128, engine="mxu", strip=16
+    )
+    r_two = pairwise_similarity(bs, classes, base, weights=w)
+    for extract_k in (0, 8):  # auto-sized and explicitly tiny (overflow)
+        cfg = PipelineConfig(
+            threshold=3, tile=16, word_block=128, engine="mxu", strip=16,
+            extract="fused", extract_k=extract_k,
+        )
+        r_fused = pairwise_similarity(bs, classes, cfg, weights=w)
+        assert np.array_equal(r_fused.pairs, r_two.pairs)
+    assert len(r_two.pairs) > 0
+
+
+def test_fused_rejects_explicit_pallas_epilogue():
+    """The fused survivor mask is an intermediate of the xla stats
+    epilogue; an explicit pallas request must error, not silently
+    measure xla."""
+    words, classes = _dense_problem()
+    with pytest.raises(ValueError, match="pallas"):
+        sweep_mxu(
+            jnp.asarray(words), jnp.asarray(classes), 120, 40,
+            strip=32, block=16, schedule="scan",
+            fused_k=8, stats_engine="pallas",
+        )
 
 
 def test_config_rejects_bad_extract():
