@@ -181,6 +181,46 @@ def main():
         print(json.dumps({"error": f"extraction parity FAILED: {len(pairs)}"}))
         return
 
+    # fused ring (flat mesh): stats + compacted survivors in ONE pass —
+    # compare its end-to-end time against sweep + extract above
+    fused_stats = {}
+    if len(axes) == 1 and os.environ.get("UKC_POD_FUSED", "1") != "0":
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            sharded_pairwise_fused,
+        )
+
+        fused_kwargs = dict(
+            block_tile=block_tile,
+            k=(
+                max(512, 1 << int(np.ceil(np.log2(max(tile_cap, 1)))))
+                if jax.default_backend() == "tpu"
+                else 0
+            ),
+        )
+        for _ in range(2):  # compile + warm, each fetch-synced inside
+            out = sharded_pairwise_fused(
+                mesh, bitset.words, classes, table.n, 10, **fused_kwargs
+            )
+        t_fused = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = sharded_pairwise_fused(
+                mesh, bitset.words, classes, table.n, 10, **fused_kwargs
+            )
+            t_fused = min(t_fused, time.perf_counter() - t0)
+        rs_f, _, _, pairs_f = out
+        got_f = (
+            int(rs_f[:, 0].sum()), int(rs_f[:, 1].sum()),
+            int(rs_f[:, 2].sum()), int(rs_f[:, 3].max()),
+        )
+        if got_f != GOLDEN or not np.array_equal(pairs_f, pairs):
+            print(json.dumps({"error": "fused ring parity FAILED"}))
+            return
+        fused_stats = {
+            "fused_seconds": round(t_fused, 4),
+            "fused_speedup": round((dt_mesh + t_extract) / t_fused, 2),
+        }
+
     # single-device reference with the same engine (process 0's device);
     # only meaningful single-process — on a pod the published 1-chip
     # number travels via UKC_1CHIP_PAIRS_PER_S instead.
@@ -206,6 +246,7 @@ def main():
         "sweep_seconds": round(dt_mesh, 4),
         "extract_seconds": round(t_extract, 4),
         "parity": "golden-exact",
+        **fused_stats,
     }
     if one_chip:
         rec["one_chip_pairs_per_s"] = round(one_chip, 1)

@@ -65,6 +65,13 @@ def test_sharded_pipeline_matches(toy_fasta):
     s, m = single.parity_report(), sharded.parity_report()
     assert s == m
     assert np.array_equal(single.pairwise.pairs, sharded.pairwise.pairs)
+    # extract='fused' on a flat mesh routes through the fused ring (one
+    # pass for stats + pairs) and must stay bit-identical
+    fused = run_pipeline(
+        toy_fasta, PipelineConfig(**{**CFG, "extract": "fused"}), mesh=mesh
+    )
+    assert s == fused.parity_report()
+    assert np.array_equal(single.pairwise.pairs, fused.pairwise.pairs)
 
 
 def test_elastic_resume_across_mesh_sizes(toy_fasta, tmp_path):

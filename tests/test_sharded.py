@@ -416,3 +416,103 @@ def test_sharded_extraction_topk_path_matches(d):
         block_tile=128, tile_cap=tile_cap,
     )
     assert np.array_equal(px, ps_k)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 4, 8])
+@pytest.mark.parametrize("k", [0, 512])
+def test_fused_ring_matches_single_chip(d, k):
+    """The fused ring (stats + in-pass compaction, ONE pass over the
+    block pairs) == the separate sweep + extraction, for every device
+    count, on both compaction paths (k=0 scatter, k>0 per-sub-tile
+    top_k). Capacities are generous here — no fallback triggers, so
+    this pins the pure fused path."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_fused,
+    )
+
+    n_pad = 1024 if d != 3 else 3 * 128 * 2
+    bs, classes, n = _problem(n_pad)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d)
+    rs, th, tl, ps = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, THR, block_tile=128, k=k,
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(
+        rs[:, MAX_LANES].max(axis=0), rsx[:, MAX_LANES].max(axis=0)
+    )
+    assert np.array_equal(th[:, 0], thx[:, 0])
+    assert np.array_equal(px, ps)
+    assert len(ps) > 0
+
+
+def test_fused_ring_fallback_regimes_stay_exact():
+    """When the capacity guesses miss — a sub-tile over k survivors, or
+    more than cap total — the fused wrapper must fall back to the
+    two-pass extraction and stay bit-identical (stats are valid either
+    way)."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_fused,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+    mesh = make_mesh(4)
+
+    # k far below the densest tile: sub-tiles get dropped in-pass
+    assert int(thx[:, 0].max()) > 4
+    rs, th, tl, ps = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, THR, block_tile=128, k=4,
+    )
+    assert np.array_equal(px, ps)
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+
+    # cap below the survivor total: the gather overflows
+    assert len(px) > 64
+    _, _, _, ps2 = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, THR, block_tile=128, k=0, cap=64,
+    )
+    assert np.array_equal(px, ps2)
+
+
+def test_fused_ring_weighted_and_all_pairs():
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_fused,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    mesh = make_mesh(4)
+
+    # all-pairs (same-class kept)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(
+        w, classes, thx, tx, n=n, threshold=THR, cross_amr_only=False
+    )
+    _, _, _, ps = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, THR, block_tile=128,
+        cross_amr_only=False, k=512,
+    )
+    assert np.array_equal(px, ps)
+
+    # weighted scores
+    rng = np.random.default_rng(9)
+    wts = rng.integers(1, 30, bs.w_pad * 32).astype(np.int8)
+    rsm, thm, tm = sweep_mxu(
+        w, jnp.asarray(classes), n, 40, strip=128, block=128, weights=wts
+    )
+    pxw = extract_pairs(w, classes, thm, tm, n=n, threshold=40, weights=wts)
+    _, _, _, psw = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, 40, block_tile=128, weights=wts, k=512,
+    )
+    assert np.array_equal(pxw, psw)

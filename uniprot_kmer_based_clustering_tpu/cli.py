@@ -344,8 +344,9 @@ def main(argv=None) -> int:
                    choices=("auto", "two_pass", "fused"),
                    help="pair recovery strategy (MXU engine): two_pass "
                         "recomputes hit tiles; fused compacts survivors "
-                        "inside the scan-schedule sweep (dense-homology "
-                        "corpora). Bit-identical outputs")
+                        "inside the sweep itself (dense-homology corpora; "
+                        "on a flat mesh it also halves the ring's "
+                        "sweep+extract passes). Bit-identical outputs")
     r.add_argument("--extract-k", type=int, default=0,
                    help="fused per-sub-tile candidate capacity "
                         "(0 = auto from HBM budget)")

@@ -10,9 +10,11 @@ from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     make_kaxis_sweep,
     make_ring_extract,
     make_ring_extract_2d,
+    make_ring_fused,
     make_ring_sweep,
     make_ring_sweep_2d,
     sharded_extract_pairs,
+    sharded_pairwise_fused,
     sharded_pairwise_similarity,
     sharded_pairwise_similarity_2d,
     sharded_pairwise_similarity_kaxis,

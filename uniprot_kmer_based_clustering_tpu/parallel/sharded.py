@@ -620,6 +620,219 @@ def sharded_extract_pairs(
 # wrapper call would retrace + recompile (~27 s per ring-extract call
 # through the remote tunnel, measured). Mesh objects hash stably.
 @functools.lru_cache(maxsize=64)
+def make_ring_fused(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    axis: str = "p",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+    block_tile: int = 128,
+    k: int = 0,
+):
+    """Jitted FUSED ring step: statistics AND compacted survivors in one
+    pass over the block-pair space.
+
+    The separate :func:`make_ring_extract` re-runs every ring step's
+    matmul a second time after the stats sweep — a full O(N²/D) recompute
+    whenever the pipeline wants pairs. This step reuses each block pair's
+    counts for both outputs (the over-threshold masks are the extraction
+    masks, ``stack_row_stats``), halving the distributed sweep+extract
+    matmul and ppermute cost — the mesh analogue of the single-chip
+    fused scan sweep (``ops.bitmul._scan_sweep`` fused_k).
+
+    Exactness never depends on the capacity guesses: with ``k > 0`` any
+    block_tile² sub-tile whose survivor count exceeds ``k`` is dropped
+    from the compaction ENTIRELY (never silently truncated by top_k);
+    the pass's own exact tile hits let the wrapper detect those tiles —
+    and `cap` overflow — and fall back to the two-pass machinery.
+
+    Returns (row_stats [N_pad, 8] row-sharded, block_hits [nb, nb, 2]
+    replicated, gi/gj/cnt [cap] + kept [1] replicated). ``kept`` counts
+    only the compacted survivors; the wrapper compares it against the
+    tile-hit total to decide completeness.
+    """
+    d_count = mesh.shape[axis]
+
+    def step(words_local, classes_local, weights):
+        dev = jax.lax.axis_index(axis)
+        block = words_local.shape[0]
+        nb_local = block // block_tile
+        nb = nb_local * d_count
+        row_base = dev * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        row_stats = jnp.zeros((block, 8), jnp.int32)
+        hits = jnp.zeros((nb, nb, 2), jnp.int32)
+        bi = jnp.zeros(cap, jnp.int32)
+        bj = jnp.zeros(cap, jnp.int32)
+        bc = jnp.zeros(cap, jnp.int32)
+        cursor = jnp.int32(0)
+
+        moving_w = words_local
+        moving_c = classes_local
+        n_steps = d_count // 2 + 1
+        for s in range(n_steps):
+            if s > 0:
+                perm = [((i + 1) % d_count, i) for i in range(d_count)]
+                moving_w = jax.lax.ppermute(moving_w, axis, perm)
+                moving_c = jax.lax.ppermute(moving_c, axis, perm)
+            moving_base = ((dev + s) % d_count) * block
+            gj = moving_base + jax.lax.broadcasted_iota(
+                jnp.int32, (block, block), 1
+            )
+            if s == 0:
+                active = jnp.bool_(True)
+                triangle = True
+            elif 2 * s == d_count:
+                active = dev < (d_count // 2)
+                triangle = False
+            else:
+                active = jnp.bool_(True)
+                triangle = False
+
+            counts = _block_counts(
+                words_local, moving_w, weights if weighted else None
+            )
+            stats, over_c, over_s = _pair_stats(
+                counts, gi, gj, classes_local, moving_c,
+                n, threshold, active, triangle,
+            )
+            row_stats = _merge_row_stats(row_stats, stats)
+            sub_c = (
+                over_c.astype(jnp.int32)
+                .reshape(nb_local, block_tile, nb_local, block_tile)
+                .sum(axis=(1, 3))
+            )
+            sub_s = (
+                over_s.astype(jnp.int32)
+                .reshape(nb_local, block_tile, nb_local, block_tile)
+                .sum(axis=(1, 3))
+            )
+            bh = jnp.stack([sub_c, sub_s], axis=-1)
+            hits = jax.lax.dynamic_update_slice(
+                hits,
+                jax.lax.dynamic_slice(
+                    hits,
+                    (dev * nb_local, (dev + s) % d_count * nb_local, 0),
+                    (nb_local, nb_local, 2),
+                )
+                + bh,
+                (dev * nb_local, (dev + s) % d_count * nb_local, 0),
+            )
+
+            mask = over_c if cross_amr_only else (over_c | over_s)
+            if k > 0:
+                # drop sub-tiles whose survivor count exceeds the top_k
+                # width — their pairs are recovered by the fallback pass,
+                # never silently truncated
+                sub_hits = sub_c if cross_amr_only else sub_c + sub_s
+                keep = (sub_hits <= k)[:, None, :, None]
+                mask &= jnp.broadcast_to(
+                    keep, (nb_local, block_tile, nb_local, block_tile)
+                ).reshape(block, block)
+            cursor, bi, bj, bc = _compact_step(
+                mask, counts, gi, gj, block_tile, k,
+                (cursor, bi, bj, bc), cap,
+            )
+
+        hits = jax.lax.psum(hits, axis)
+        gathered = _gather_compacted(
+            bi, bj, bc, cursor, dev, d_count, cap, axis
+        )
+        return (row_stats, hits) + gathered
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None)),
+        out_specs=(P(axis, None), P(None, None, None))
+        + tuple(P(None) for _ in range(4)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_pairwise_fused(
+    mesh: Mesh,
+    words: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    block_tile: int = 128,
+    axis: str = "p",
+    weights: np.ndarray | None = None,
+    cross_amr_only: bool = True,
+    cap: int = 1 << 20,
+    k: int | None = None,
+):
+    """One fused ring pass → (row_stats, tile_hits, tiles, pairs).
+
+    Statistics format matches :func:`sharded_pairwise_similarity`; the
+    pair list is bit-identical to :func:`sharded_extract_pairs` (and so
+    to the single-chip extractor) for every device count. When the
+    capacity guesses don't hold — a sub-tile over ``k`` survivors, or
+    more than ``cap`` total — the stats stay valid and extraction
+    re-runs through :func:`sharded_extract_pairs` sized exactly from the
+    now-known tile hits (cost = the status-quo two-pass; the fused win
+    applies whenever the guesses hold). ``k`` defaults to 512 on TPU
+    (per-sub-tile top_k selection) and 0 elsewhere (scatter compaction,
+    no per-sub-tile bound — only ``cap`` can overflow).
+    """
+    d_count = mesh.shape[axis]
+    n_pad = words.shape[0]
+    assert n_pad % (d_count * block_tile) == 0, (
+        f"N_pad={n_pad} must be divisible by devices×block_tile="
+        f"{d_count * block_tile}"
+    )
+    if k is None:
+        k = 512 if jax.default_backend() == "tpu" else 0
+    k = min(k, block_tile * block_tile)
+    words_s, classes_s, weights_s, weighted = _stage_inputs(
+        mesh, words, classes, weights, P(axis, None), P(axis)
+    )
+    fn = make_ring_fused(
+        mesh, n, threshold, cap, axis, weighted, cross_amr_only,
+        block_tile=block_tile, k=k,
+    )
+    row_stats, hits, bi, bj, bc, kept = fn(words_s, classes_s, weights_s)
+    row_stats, tile_hits, tiles = _finalize_sweep(
+        mesh, row_stats, hits, n_pad, block_tile
+    )
+    bi, bj, bc, kept = jax.device_get((bi, bj, bc, kept))
+
+    per_tile = tile_hits[:, 0].astype(np.int64)
+    if not cross_amr_only:
+        per_tile = per_tile + tile_hits[:, 1]
+    total = int(per_tile.sum())
+    m = int(kept[0])
+    if m == total and m <= cap:
+        pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        return row_stats, tile_hits, tiles, pairs[order]
+    # capacity guess missed (dropped sub-tiles or cap overflow): redo
+    # extraction exactly, sized from the now-known tile hits
+    pairs = sharded_extract_pairs(
+        mesh, words, classes, n, threshold,
+        block_tile=block_tile, axis=axis, weights=weights,
+        cross_amr_only=cross_amr_only,
+        cap=max(1 << 18, total),
+        tile_cap=(
+            int(per_tile.max())
+            if jax.default_backend() == "tpu" and len(per_tile)
+            else None
+        ),
+    )
+    return row_stats, tile_hits, tiles, pairs
+
+
+# memoized: each maker returns a fresh jitted closure, and jax's jit
+# cache is keyed on function identity — without memoization EVERY
+# wrapper call would retrace + recompile (~27 s per ring-extract call
+# through the remote tunnel, measured). Mesh objects hash stably.
+@functools.lru_cache(maxsize=64)
 def make_ring_extract_2d(
     mesh: Mesh,
     n: int,

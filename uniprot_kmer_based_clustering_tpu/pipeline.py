@@ -354,6 +354,37 @@ def _sharded_similarity(
         if weights is not None
         else config.threshold
     )
+    if config.extract == "fused" and len(mesh.axis_names) == 1 and (
+        mesh.axis_names != ("k",)
+    ):
+        # fused ring: ONE pass computes the stats and compacts the
+        # survivors, halving the sweep+extract matmul/ppermute cost; the
+        # wrapper falls back to the two-pass machinery (exactly sized
+        # from the pass's own tile hits) when its capacity guesses miss.
+        # The 2-D and k-axis layouts keep the two-pass schedule.
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            sharded_pairwise_fused,
+        )
+
+        row_stats, tile_hits, tiles, pairs = sharded_pairwise_fused(
+            mesh, words, classes, bitset.n, threshold,
+            block_tile=block_tile, weights=weights,
+            cross_amr_only=config.cross_amr_only,
+            k=config.extract_k or None,
+        )
+        totals = row_stats.sum(axis=0)
+        maxes = row_stats.max(axis=0)
+        return PairwiseResult(
+            cross_weight=int(totals[0]),
+            cross_pairs=int(totals[1]),
+            cross_over=int(totals[2]),
+            cross_max=int(maxes[3]),
+            same_weight=int(totals[4]),
+            same_pairs=int(totals[5]),
+            same_over=int(totals[6]),
+            same_max=int(maxes[7]),
+            pairs=pairs,
+        )
     row_stats, tile_hits, tiles = sweep(
         mesh, words, classes, bitset.n, threshold, block_tile,
         weights=weights,
