@@ -516,3 +516,83 @@ def test_fused_ring_weighted_and_all_pairs():
         mesh, bs.words, classes, n, 40, block_tile=128, weights=wts, k=512,
     )
     assert np.array_equal(pxw, psw)
+
+
+@pytest.mark.parametrize("hc,cc", [(2, 2), (2, 4), (3, 2), (2, 3)])
+def test_fused_ring_2d_matches_single_chip(hc, cc):
+    """The fused hierarchical 2-D ring == single-chip sweep + extraction
+    for any H×C shape."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_pairwise_fused,
+    )
+
+    if hc * cc > len(jax.devices()):
+        pytest.skip("not enough virtual devices")
+    bs, classes, n = _problem(hc * cc * 128)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    rs, th, _, ps = sharded_pairwise_fused(
+        make_mesh_2d(hc, cc), bs.words, classes, n, THR,
+        block_tile=128, k=512,
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(th[:, 0], thx[:, 0])
+    assert np.array_equal(px, ps)
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+@pytest.mark.parametrize("k", [0, 512])
+def test_fused_kaxis_matches_single_chip(d, k):
+    """The fused contraction-axis sweep (one psum per row block for both
+    stats and survivors) == single-chip, both compaction paths."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        sharded_pairwise_fused,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    rsx, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+
+    mesh = make_mesh(d, axis="k")
+    rs, th, _, ps = sharded_pairwise_fused(
+        mesh, bs.words, classes, n, THR, block_tile=128, k=k,
+    )
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rsx[:, SUM_LANES].sum(axis=0)
+    )
+    assert np.array_equal(
+        rs[:, MAX_LANES].max(axis=0), rsx[:, MAX_LANES].max(axis=0)
+    )
+    assert np.array_equal(th[:, 0], thx[:, 0])
+    assert np.array_equal(px, ps)
+
+
+def test_fused_2d_and_kaxis_fallback_stay_exact():
+    """Capacity misses on the 2-D and k-axis fused layouts fall back to
+    two-pass extraction and stay bit-identical."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh_2d,
+        sharded_pairwise_fused,
+    )
+
+    bs, classes, n = _problem(1024)
+    w = jnp.asarray(bs.words)
+    _, thx, tx = sweep_xla(w, jnp.asarray(classes), n, THR, tile=128)
+    px = extract_pairs(w, classes, thx, tx, n=n, threshold=THR)
+    assert int(thx[:, 0].max()) > 4
+
+    _, _, _, ps = sharded_pairwise_fused(
+        make_mesh_2d(2, 4), bs.words, classes, n, THR, block_tile=128, k=4,
+    )
+    assert np.array_equal(px, ps)
+    _, _, _, ps_k = sharded_pairwise_fused(
+        make_mesh(4, axis="k"), bs.words, classes, n, THR,
+        block_tile=128, k=0, cap=64,
+    )
+    assert np.array_equal(px, ps_k)

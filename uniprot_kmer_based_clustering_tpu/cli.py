@@ -345,8 +345,8 @@ def main(argv=None) -> int:
                    help="pair recovery strategy (MXU engine): two_pass "
                         "recomputes hit tiles; fused compacts survivors "
                         "inside the sweep itself (dense-homology corpora; "
-                        "on a flat mesh it also halves the ring's "
-                        "sweep+extract passes). Bit-identical outputs")
+                        "on a mesh it also halves the sweep+extract "
+                        "passes on every layout). Bit-identical outputs")
     r.add_argument("--extract-k", type=int, default=0,
                    help="fused per-sub-tile candidate capacity "
                         "(0 = auto from HBM budget)")

@@ -60,11 +60,12 @@ class PipelineConfig:
                                     #   dataset); fused compacts survivors
                                     #   inside the scan-schedule sweep itself
                                     #   (optimal for dense-homology corpora
-                                    #   where most tiles hit) and, on a flat
-                                    #   mesh, fuses the ring's stats+extract
-                                    #   into ONE pass (halves its matmuls);
-                                    #   auto currently = two_pass.
-                                    #   Bit-identical outputs.
+                                    #   where most tiles hit) and, on a
+                                    #   mesh, fuses stats+extract into ONE
+                                    #   pass on every layout (halves the
+                                    #   matmuls and collectives); auto
+                                    #   currently = two_pass. Bit-identical
+                                    #   outputs.
     extract_k: int = 0              # fused per-sub-tile candidate capacity
                                     #   (0 = auto-size from the HBM budget;
                                     #   overflowing sub-tiles are detected

@@ -8,9 +8,11 @@ from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     doc_freq_psum,
     make_kaxis_extract,
     make_kaxis_sweep,
+    make_kaxis_fused,
     make_ring_extract,
     make_ring_extract_2d,
     make_ring_fused,
+    make_ring_fused_2d,
     make_ring_sweep,
     make_ring_sweep_2d,
     sharded_extract_pairs,

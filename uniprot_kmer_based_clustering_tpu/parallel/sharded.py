@@ -768,7 +768,9 @@ def sharded_pairwise_fused(
     cap: int = 1 << 20,
     k: int | None = None,
 ):
-    """One fused ring pass → (row_stats, tile_hits, tiles, pairs).
+    """One fused pass → (row_stats, tile_hits, tiles, pairs) — on any of
+    the three sharding layouts (flat ring, hierarchical 2-D ring when the
+    mesh has two axes, or contraction-axis when its only axis is "k").
 
     Statistics format matches :func:`sharded_pairwise_similarity`; the
     pair list is bit-identical to :func:`sharded_extract_pairs` (and so
@@ -781,22 +783,57 @@ def sharded_pairwise_fused(
     (per-sub-tile top_k selection) and 0 elsewhere (scatter compaction,
     no per-sub-tile bound — only ``cap`` can overflow).
     """
-    d_count = mesh.shape[axis]
+    two_d = len(mesh.axis_names) == 2
+    kaxis = not two_d and mesh.axis_names[0] == "k"
+    d_count = int(mesh.devices.size)
     n_pad = words.shape[0]
-    assert n_pad % (d_count * block_tile) == 0, (
-        f"N_pad={n_pad} must be divisible by devices×block_tile="
-        f"{d_count * block_tile}"
-    )
     if k is None:
         k = 512 if jax.default_backend() == "tpu" else 0
     k = min(k, block_tile * block_tile)
-    words_s, classes_s, weights_s, weighted = _stage_inputs(
-        mesh, words, classes, weights, P(axis, None), P(axis)
-    )
-    fn = make_ring_fused(
-        mesh, n, threshold, cap, axis, weighted, cross_amr_only,
-        block_tile=block_tile, k=k,
-    )
+    if kaxis:
+        assert n_pad % block_tile == 0, (n_pad, block_tile)
+        assert words.shape[1] % d_count == 0, (
+            f"W={words.shape[1]} packed words must divide over "
+            f"{d_count} devices"
+        )
+        words_s = jax.device_put(
+            jnp.asarray(words), NamedSharding(mesh, P(None, "k"))
+        )
+        classes_s = jax.device_put(
+            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
+        )
+        weighted = weights is not None
+        wts = weights if weighted else np.ones(words.shape[1] * 32, np.int8)
+        weights_s = jax.device_put(
+            jnp.asarray(wts, jnp.int8), NamedSharding(mesh, P("k"))
+        )
+        fn = make_kaxis_fused(
+            mesh, n, threshold, cap, block_tile, "k", weighted,
+            cross_amr_only, k=k,
+        )
+    else:
+        assert n_pad % (d_count * block_tile) == 0, (
+            f"N_pad={n_pad} must be divisible by devices×block_tile="
+            f"{d_count * block_tile}"
+        )
+        if two_d:
+            h_ax, c_ax = mesh.axis_names
+            row_spec, cls_spec = P((h_ax, c_ax), None), P((h_ax, c_ax))
+        else:
+            row_spec, cls_spec = P(axis, None), P(axis)
+        words_s, classes_s, weights_s, weighted = _stage_inputs(
+            mesh, words, classes, weights, row_spec, cls_spec
+        )
+        if two_d:
+            fn = make_ring_fused_2d(
+                mesh, n, threshold, cap, h_ax, c_ax, weighted,
+                cross_amr_only, block_tile=block_tile, k=k,
+            )
+        else:
+            fn = make_ring_fused(
+                mesh, n, threshold, cap, axis, weighted, cross_amr_only,
+                block_tile=block_tile, k=k,
+            )
     row_stats, hits, bi, bj, bc, kept = fn(words_s, classes_s, weights_s)
     row_stats, tile_hits, tiles = _finalize_sweep(
         mesh, row_stats, hits, n_pad, block_tile
@@ -1068,6 +1105,152 @@ def make_ring_sweep_2d(
     return jax.jit(sharded)
 
 
+# memoized (see make_ring_fused)
+@functools.lru_cache(maxsize=64)
+def make_ring_fused_2d(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+    block_tile: int = 128,
+    k: int = 0,
+):
+    """:func:`make_ring_fused` on the hierarchical 2-D schedule: one
+    outer(host)/inner(chip) rotation pass computes the statistics AND
+    compacts the survivors — halving the sweep+extract matmul, ICI and
+    (critically) DCN cost of running :func:`make_ring_sweep_2d` then
+    :func:`make_ring_extract_2d`. Same capacity-guess contract as the
+    flat fused ring (overflowing sub-tiles dropped in-pass; the wrapper
+    detects misses from the exact tile hits)."""
+    hc = mesh.shape[host_axis]
+    cc = mesh.shape[chip_axis]
+
+    def step(words_local, classes_local, weights):
+        h = jax.lax.axis_index(host_axis)
+        c = jax.lax.axis_index(chip_axis)
+        block = words_local.shape[0]
+        nb_local = block // block_tile
+        nb = nb_local * hc * cc
+        row_base = (h * cc + c) * block
+        gi = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+
+        row_stats = jnp.zeros((block, 8), jnp.int32)
+        hits = jnp.zeros((nb, nb, 2), jnp.int32)
+        bi = jnp.zeros(cap, jnp.int32)
+        bj = jnp.zeros(cap, jnp.int32)
+        bc = jnp.zeros(cap, jnp.int32)
+        cursor = jnp.int32(0)
+
+        moving_w = words_local
+        moving_c = classes_local
+        outer_steps = hc // 2 + 1
+        for sh in range(outer_steps):
+            if sh > 0:
+                perm_h = [((i + 1) % hc, i) for i in range(hc)]
+                moving_w = jax.lax.ppermute(moving_w, host_axis, perm_h)
+                moving_c = jax.lax.ppermute(moving_c, host_axis, perm_h)
+            inner_w = moving_w
+            inner_c = moving_c
+            inner_steps = cc if sh > 0 else (cc // 2 + 1)
+            for sc in range(inner_steps):
+                if sc > 0:
+                    perm_c = [((i + 1) % cc, i) for i in range(cc)]
+                    inner_w = jax.lax.ppermute(inner_w, chip_axis, perm_c)
+                    inner_c = jax.lax.ppermute(inner_c, chip_axis, perm_c)
+
+                moving_h = (h + sh) % hc
+                moving_chip = (c + sc) % cc
+                moving_base = (moving_h * cc + moving_chip) * block
+                gj = moving_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block), 1
+                )
+
+                if sh == 0 and sc == 0:
+                    active = jnp.bool_(True)
+                    triangle = True
+                elif sh == 0 and 2 * sc == cc:
+                    active = c < (cc // 2)      # even-C intra-host dedup
+                    triangle = False
+                elif 2 * sh == hc:
+                    active = h < (hc // 2)      # even-H host-pair dedup
+                    triangle = False
+                else:
+                    active = jnp.bool_(True)
+                    triangle = False
+
+                counts = _block_counts(
+                    words_local, inner_w, weights if weighted else None
+                )
+                stats, over_c, over_s = _pair_stats(
+                    counts, gi, gj, classes_local, inner_c,
+                    n, threshold, active, triangle,
+                )
+                row_stats = _merge_row_stats(row_stats, stats)
+                sub_c = (
+                    over_c.astype(jnp.int32)
+                    .reshape(nb_local, block_tile, nb_local, block_tile)
+                    .sum(axis=(1, 3))
+                )
+                sub_s = (
+                    over_s.astype(jnp.int32)
+                    .reshape(nb_local, block_tile, nb_local, block_tile)
+                    .sum(axis=(1, 3))
+                )
+                ti0 = (h * cc + c) * nb_local
+                tj0 = (moving_h * cc + moving_chip) * nb_local
+                hits = jax.lax.dynamic_update_slice(
+                    hits,
+                    jax.lax.dynamic_slice(
+                        hits, (ti0, tj0, 0), (nb_local, nb_local, 2)
+                    )
+                    + jnp.stack([sub_c, sub_s], axis=-1),
+                    (ti0, tj0, 0),
+                )
+
+                mask = over_c if cross_amr_only else (over_c | over_s)
+                if k > 0:
+                    sub_hits = sub_c if cross_amr_only else sub_c + sub_s
+                    keep = (sub_hits <= k)[:, None, :, None]
+                    mask &= jnp.broadcast_to(
+                        keep, (nb_local, block_tile, nb_local, block_tile)
+                    ).reshape(block, block)
+                cursor, bi, bj, bc = _compact_step(
+                    mask, counts, gi, gj, block_tile, k,
+                    (cursor, bi, bj, bc), cap,
+                )
+
+        hits = jax.lax.psum(
+            jax.lax.psum(hits, chip_axis), host_axis
+        )
+        gathered = _gather_compacted(
+            bi, bj, bc, cursor, h * cc + c, hc * cc, cap,
+            (host_axis, chip_axis),
+        )
+        return (row_stats, hits) + gathered
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P((host_axis, chip_axis), None),
+            P((host_axis, chip_axis)),
+            P(None),
+        ),
+        out_specs=(
+            P((host_axis, chip_axis), None),
+            P(None, None, None),
+        )
+        + tuple(P(None) for _ in range(4)),
+    )
+    return jax.jit(sharded)
+
+
 def sharded_pairwise_similarity_2d(
     mesh: Mesh,
     words: np.ndarray,
@@ -1270,6 +1453,109 @@ def make_kaxis_sweep(
         mesh=mesh,
         in_specs=(P(None, axis), P(None), P(axis)),
         out_specs=(P(None, None), P(None, None, None)),
+    )
+    return jax.jit(sharded)
+
+
+# memoized (see make_ring_fused)
+@functools.lru_cache(maxsize=64)
+def make_kaxis_fused(
+    mesh: Mesh,
+    n: int,
+    threshold: int,
+    cap: int,
+    block_tile: int,
+    axis: str = "k",
+    weighted: bool = False,
+    cross_amr_only: bool = True,
+    k: int = 0,
+):
+    """:func:`make_ring_fused` under contraction-axis sharding: the
+    row-block scan psums each block's partial counts ONCE and derives
+    both the statistics and the compacted survivors from them — halving
+    the matmul and (critically) the per-block [block_tile, N_pad] int32
+    all-reduce cost of running :func:`make_kaxis_sweep` then
+    :func:`make_kaxis_extract`. Outputs replicated (the compaction runs
+    on the psum'd counts, identical on every device)."""
+
+    def step(words_local, classes, weights_local):
+        n_pad = words_local.shape[0]
+        nb = n_pad // block_tile
+        a_full = unpack_words_to_int8(
+            words_local, weights_local if weighted else None
+        )
+        b_full = unpack_words_to_int8(words_local)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_tile, n_pad), 1)
+
+        def body(carry, blk):
+            row_stats, hits, bi, bj, bc, cursor = carry
+            r0 = blk * block_tile
+            a = jax.lax.dynamic_slice(
+                a_full, (r0, 0), (block_tile, a_full.shape[1])
+            )
+            ca = jax.lax.dynamic_slice(classes, (r0,), (block_tile,))
+            partial = jax.lax.dot_general(
+                a, b_full, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            counts = jax.lax.psum(partial, axis)
+            gi = r0 + jax.lax.broadcasted_iota(
+                jnp.int32, (block_tile, n_pad), 0
+            )
+            stats, over_c, over_s = _pair_stats(
+                counts, gi, col, ca, classes,
+                n, threshold, jnp.bool_(True), True,
+            )
+            prev = jax.lax.dynamic_slice(
+                row_stats, (r0, 0), (block_tile, 8)
+            )
+            row_stats = jax.lax.dynamic_update_slice(
+                row_stats, _merge_row_stats(prev, stats), (r0, 0)
+            )
+            sub_c = (
+                over_c.astype(jnp.int32)
+                .reshape(block_tile, nb, block_tile)
+                .sum(axis=(0, 2))
+            )
+            sub_s = (
+                over_s.astype(jnp.int32)
+                .reshape(block_tile, nb, block_tile)
+                .sum(axis=(0, 2))
+            )
+            hits = jax.lax.dynamic_update_slice(
+                hits, jnp.stack([sub_c, sub_s], axis=-1)[None], (blk, 0, 0)
+            )
+
+            mask = over_c if cross_amr_only else (over_c | over_s)
+            if k > 0:
+                sub_hits = sub_c if cross_amr_only else sub_c + sub_s
+                mask &= jnp.broadcast_to(
+                    (sub_hits <= k)[None, :, None],
+                    (block_tile, nb, block_tile),
+                ).reshape(block_tile, n_pad)
+            cursor, bi, bj, bc = _compact_step(
+                mask, counts, gi, col, block_tile, k,
+                (cursor, bi, bj, bc), cap,
+            )
+            return (row_stats, hits, bi, bj, bc, cursor), None
+
+        z = jnp.zeros(cap, jnp.int32)
+        init = (
+            jnp.zeros((n_pad, 8), jnp.int32),
+            jnp.zeros((nb, nb, 2), jnp.int32),
+            z, z, z, jnp.int32(0),
+        )
+        (row_stats, hits, bi, bj, bc, cursor), _ = jax.lax.scan(
+            body, init, jnp.arange(nb)
+        )
+        return row_stats, hits, bi, bj, bc, cursor[None]
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None), P(axis)),
+        out_specs=(P(None, None), P(None, None, None))
+        + tuple(P(None) for _ in range(4)),
     )
     return jax.jit(sharded)
 

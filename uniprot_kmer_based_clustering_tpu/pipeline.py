@@ -354,14 +354,12 @@ def _sharded_similarity(
         if weights is not None
         else config.threshold
     )
-    if config.extract == "fused" and len(mesh.axis_names) == 1 and (
-        mesh.axis_names != ("k",)
-    ):
-        # fused ring: ONE pass computes the stats and compacts the
-        # survivors, halving the sweep+extract matmul/ppermute cost; the
-        # wrapper falls back to the two-pass machinery (exactly sized
-        # from the pass's own tile hits) when its capacity guesses miss.
-        # The 2-D and k-axis layouts keep the two-pass schedule.
+    if config.extract == "fused":
+        # fused sweep: ONE pass computes the stats and compacts the
+        # survivors, halving the sweep+extract matmul/collective cost on
+        # every layout (flat ring, 2-D ring, k-axis); the wrapper falls
+        # back to the two-pass machinery (exactly sized from the pass's
+        # own tile hits) when its capacity guesses miss.
         from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
             sharded_pairwise_fused,
         )
