@@ -105,7 +105,7 @@ extern "C" {
 // an old .so kept by the "stale-but-working" fallback would otherwise
 // be called through a mismatched signature (argument shift = memory
 // corruption, not an error).
-int64_t ukc_abi_version() { return 2; }
+int64_t ukc_abi_version() { return 3; }
 
 // ---------------------------------------------------------------------
 // FASTA
@@ -235,6 +235,24 @@ int ukc_encode(const uint8_t* seq, const int64_t* offsets, int64_t n,
     kmer_offsets[p + 1] = pos;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------
+// Batched AND+popcount (matrix rows vs one vector)
+// ---------------------------------------------------------------------
+
+// out[i] = popcount(mat[i*w64 .. +w64] & vec) for i in [0, m). The tree
+// model's similarity-cache hot loop (models/tree.py _pool_sims_vs —
+// the revival of src/tree.rs's c-bitarray intersection scans): numpy
+// spends three full passes (AND temp, per-word popcount temp, axis
+// sum) where this is one fused stream through the matrix. Called tens
+// of thousands of times per tree build with mostly cache-resident row
+// counts, so it stays single-threaded — spawn cost would rival the
+// scan.
+void ukc_and_popcnt_rows(const uint64_t* mat, int64_t m, int64_t w64,
+                         const uint64_t* vec, int64_t* out) {
+  for (int64_t i = 0; i < m; i++)
+    out[i] = ukc_and_popcnt_row(mat + i * w64, vec, w64);
 }
 
 // ---------------------------------------------------------------------

@@ -65,6 +65,24 @@ def test_pack_bits_matches_numpy(rng):
     assert np.array_equal(words, bs.words)
 
 
+def test_and_popcnt_rows_matches_numpy(rng):
+    fn = native.and_popcnt_rows_fn()
+    assert fn is not None
+    for m, w in [(1, 1), (3, 7), (17, 16), (33, 23), (200, 57)]:
+        mat = rng.integers(0, 2**63, (m, w), dtype=np.uint64)
+        vec = rng.integers(0, 2**63, w, dtype=np.uint64)
+        out = np.empty(m, np.int64)
+        fn(mat, m, vec, out)
+        ref = np.bitwise_count(mat & vec).sum(axis=1, dtype=np.int64)
+        assert np.array_equal(out, ref), (m, w)
+        # prefix-only call leaves the tail untouched
+        if m > 2:
+            out2 = np.full(m, -1, np.int64)
+            fn(mat, m - 2, vec, out2)
+            assert np.array_equal(out2[: m - 2], ref[: m - 2])
+            assert (out2[m - 2 :] == -1).all()
+
+
 def test_popcount_sweep_matches_xla(rng):
     import jax.numpy as jnp
 

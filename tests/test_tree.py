@@ -7,9 +7,12 @@ import pytest
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
 from uniprot_kmer_based_clustering_tpu.models.tree import (
     ClusterTree,
-    _popcount_and,
     build_tree,
 )
+
+
+def _popcount_and(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.bitwise_count(a & b).sum())
 
 
 # --- direct (cache-free) transcription of the reference semantics -------
@@ -138,6 +141,20 @@ def test_identical_proteins_cluster_together():
     assert len(np.unique(labels)) == 2
     assert (labels[::2] == labels[0]).all()
     assert (labels[1::2] == labels[1]).all()
+
+
+def test_native_and_numpy_sims_paths_agree(monkeypatch):
+    """The fused native AND+popcount cache path and the numpy fallback
+    must build identical trees (labels are a full structural probe)."""
+    from uniprot_kmer_based_clustering_tpu.models import tree as treemod
+
+    rng = np.random.default_rng(3)
+    n, k = 120, 500
+    bs = _random_bitset(rng, n, k, 0.08)
+    lab_default = build_tree(bs, n).labels(n)
+    monkeypatch.setattr(treemod, "_native_rows", None)
+    lab_numpy = build_tree(bs, n).labels(n)
+    assert np.array_equal(lab_default, lab_numpy)
 
 
 def test_single_protein_tree():

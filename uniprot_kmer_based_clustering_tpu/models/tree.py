@@ -22,14 +22,16 @@ Semantics reproduced exactly (1-thread insertion order = file order):
 TPU-framework adaptation: bitsets are packed uint64 rows (the same
 rank-hash bit space as the pairwise sweep; 5-mer and 7-mer alike, the
 ``kmer_size`` plumbing of src/tree.rs:85-106 collapsing into which index
-built the bitset). Intersection sizes are hardware popcounts
-(``np.bitwise_count``); each node caches its children's pairwise
+built the bitset). Intersection sizes are hardware popcounts (the native
+fused ``ukc_and_popcnt_rows`` kernel, ``np.bitwise_count`` as fallback);
+each node caches its children's pairwise
 c-similarity matrix incrementally, so an insertion costs O(M·W) instead
 of the reference's O(M²·W) rescan.
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 from typing import List, Optional
 
@@ -37,9 +39,25 @@ import numpy as np
 
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 
+_UNRESOLVED = object()
+_native_rows = _UNRESOLVED  # fused AND+popcount kernel, lazily bound
 
-def _popcount_and(a: np.ndarray, b: np.ndarray) -> int:
-    return int(np.bitwise_count(a & b).sum())
+
+def _native_rows_fn():
+    """Native ukc_and_popcnt_rows, bound once (None → numpy fallback).
+    Tests force the fallback by setting ``tree._native_rows = None``."""
+    global _native_rows
+    if _native_rows is _UNRESOLVED:
+        from uniprot_kmer_based_clustering_tpu.io import native
+
+        _native_rows = native.and_popcnt_rows_fn()
+    return _native_rows
+
+
+@functools.lru_cache(maxsize=64)
+def _tril_pairs(m: int):
+    ii, jj = np.tril_indices(m, k=-1)
+    return ii, jj
 
 
 class _Node:
@@ -55,10 +73,12 @@ class _Node:
         self.protein = protein
         self._sims: Optional[np.ndarray] = None  # children c-sim cache
         # Pooled children-c matrix backing the cache: capacity-doubling
-        # [cap, W] array + slot-per-child list, so every cache event is a
-        # single vectorized np.bitwise_count instead of M Python-level
-        # per-pair popcounts and an O(M·W) re-stack (the tree-build hot
-        # loop: 35.7 s → 9 s full-dataset with the pool).
+        # [cap, W] array + slot-per-child list, so every cache event is
+        # one batched AND+popcount over the pool prefix (native fused
+        # kernel when built, np.bitwise_count otherwise) instead of M
+        # Python-level per-pair popcounts and an O(M·W) re-stack — the
+        # tree-build hot loop (full dataset: ~104 s per-pair python,
+        # 25.8 s pooled numpy, 9.2 s native).
         self._cmat: Optional[np.ndarray] = None
         self._rows: Optional[List[int]] = None
         self._free: Optional[List[int]] = None
@@ -98,9 +118,14 @@ class _Node:
             return out
         ridx = np.asarray(rows, dtype=np.intp)
         hi = int(ridx.max()) + 1
-        counts = np.bitwise_count(self._cmat[:hi] & cvec).sum(
-            axis=1, dtype=np.int64
-        )
+        fn = _native_rows_fn()
+        if fn is not None:
+            counts = np.empty(hi, dtype=np.int64)
+            fn(self._cmat, hi, cvec, counts)
+        else:
+            counts = np.bitwise_count(self._cmat[:hi] & cvec).sum(
+                axis=1, dtype=np.int64
+            )
         return counts[ridx]
 
     def _sim_matrix(self) -> np.ndarray:
@@ -177,7 +202,7 @@ def _balance(curr: _Node) -> None:
     # iteration order i ascending from 1, j ascending < i; strict ">" for
     # max and strict "<" for min (src/tree.rs:183-216). np.argmax returns
     # the first occurrence in that same order, preserving tie semantics.
-    ii, jj = np.tril_indices(m, k=-1)
+    ii, jj = _tril_pairs(m)
     vals = sims[ii, jj]
     k = int(np.argmax(vals))
     max_val = int(vals[k])
