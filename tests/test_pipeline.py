@@ -29,6 +29,12 @@ def test_engines_agree_end_to_end(toy_fasta):
     r_mxu = run_pipeline(toy_fasta, PipelineConfig(**{**CFG, "engine": "mxu"}))
     assert r_xla.parity_report() == r_mxu.parity_report()
     assert np.array_equal(r_xla.pairwise.pairs, r_mxu.pairwise.pairs)
+    # the out-of-core streaming engine is a full pipeline citizen too
+    r_str = run_pipeline(
+        toy_fasta, PipelineConfig(**{**CFG, "engine": "stream"})
+    )
+    assert r_xla.parity_report() == r_str.parity_report()
+    assert np.array_equal(r_xla.pairwise.pairs, r_str.pairwise.pairs)
 
 
 def test_checkpoint_resume(toy_fasta, tmp_path):

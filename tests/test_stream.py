@@ -1,0 +1,161 @@
+"""Out-of-core streaming engine (ops/stream.py) vs the in-core engines.
+
+The invariant is the usual one: every sweep engine must agree EXACTLY —
+pair-list equality and identical statistics — for every blocking choice.
+"""
+
+import numpy as np
+import pytest
+
+from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+from uniprot_kmer_based_clustering_tpu.similarity import pairwise_similarity
+
+THR = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    n, k = 150, 1200
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.06)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(threshold=THR, tile=16, word_block=128, engine="xla"),
+    )
+    return bs, classes, ref
+
+
+def _check_same(a, b):
+    for f in (
+        "cross_weight", "cross_pairs", "cross_over", "cross_max",
+        "same_weight", "same_pairs", "same_over", "same_max",
+    ):
+        assert getattr(a, f) == getattr(b, f), f
+    assert np.array_equal(a.pairs, b.pairs)
+
+
+def test_stream_engine_matches_xla(problem):
+    bs, classes, ref = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream"
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
+@pytest.mark.parametrize("bs_rows", [16, 32, 48, 160])
+def test_stream_blocking_invariance(problem, bs_rows):
+    """Bit-identical for every stream-block size, including one that
+    forces row padding beyond the packed matrix (160 rows = one block)
+    and one that doesn't divide the padded row count (48)."""
+    bs, classes, ref = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream",
+        strip=bs_rows,
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
+def test_stream_small_group_budget(problem):
+    """A budget so small that the stationary group degenerates to one
+    block per group — maximum re-streaming — must not change results."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream,
+        sweep_mxu_stream,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles = sweep_mxu_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=16, block=16,
+        hbm_budget_bytes=1 << 20, inflight=1,
+    )
+    tot = rs.sum(axis=0)
+    assert (int(tot[0]), int(tot[1]), int(tot[2])) == (
+        ref.cross_weight, ref.cross_pairs, ref.cross_over,
+    )
+    assert int(rs[:, 3].max()) == ref.cross_max
+    got = extract_pairs_stream(
+        bs.words, cls, th, tiles, n=bs.n, threshold=THR
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
+def test_stream_word_chunked(problem):
+    """Contraction-axis chunking (tiny budget forces word_chunk > 0)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import sweep_mxu_stream
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles = sweep_mxu_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=32, block=16,
+        word_chunk=128,
+    )
+    tot = rs.sum(axis=0)
+    assert (int(tot[0]), int(tot[1])) == (ref.cross_weight, ref.cross_pairs)
+
+
+def test_stream_cross_amr_false(problem):
+    bs, classes, _ = problem
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=THR, tile=16, word_block=128, engine="xla",
+            cross_amr_only=False,
+        ),
+    )
+    got = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=THR, tile=16, word_block=128, engine="stream",
+            cross_amr_only=False, strip=32,
+        ),
+    )
+    _check_same(got, ref)
+
+
+def test_stream_weighted_matches_mxu(problem):
+    """BLOSUM-style int8 column weights ride the streaming matmul; the
+    weighted dispatch must not silently reroute stream to in-core mxu
+    (it carries weights natively)."""
+    bs, classes, _ = problem
+    rng = np.random.default_rng(3)
+    weights = rng.integers(1, 12, bs.w_pad * 32).astype(np.int8)
+    cfg_m = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="mxu",
+        weighting="blosum62", weighted_threshold=THR * 6,
+    )
+    cfg_s = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream",
+        weighting="blosum62", weighted_threshold=THR * 6, strip=32,
+    )
+    ref = pairwise_similarity(bs, classes, cfg_m, weights=weights)
+    got = pairwise_similarity(bs, classes, cfg_s, weights=weights)
+    _check_same(got, ref)
+
+
+def test_stream_empty_result():
+    """No pair clears an impossible threshold — the empty-extraction
+    early return."""
+    rng = np.random.default_rng(1)
+    n, k = 40, 300
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.03)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 2, n).astype(np.int32)
+    r = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=10**6, tile=16, word_block=128, engine="stream"
+        ),
+    )
+    assert r.pairs.shape == (0, 3)

@@ -7,7 +7,7 @@ Here:
   uniprot-kmer-cluster run <fasta> [--k {5,7}] [--threshold N]
       [--sampling {all,random10}] [--weighting {none,blosum62}]
       [--cluster {components,tree,agglomerative,none}] [--min-shared N]
-      [--engine {auto,mxu,popcount,xla,native}]
+      [--engine {auto,mxu,popcount,xla,native,stream}]
       [--index-engine {host,device}]
       [--devices N] [--mesh-shape HxC] [--shard-axis {rows,kmers}]
       [--distributed] [--align {none,diamond,sw,auto}] [--all-pairs]
@@ -339,7 +339,12 @@ def main(argv=None) -> int:
                    help="agglomerative = batched MXU mutual-argmax "
                         "signature merges (the TPU-native tree)")
     r.add_argument("--engine", default="auto",
-                   choices=("auto", "mxu", "popcount", "xla", "native"))
+                   choices=("auto", "mxu", "popcount", "xla", "native",
+                            "stream"),
+                   help="stream = out-of-core MXU sweep: the packed "
+                        "matrix stays in host RAM, row blocks stream "
+                        "through the device (corpora beyond one chip's "
+                        "HBM)")
     r.add_argument("--extract", default="auto",
                    choices=("auto", "two_pass", "fused"),
                    help="pair recovery strategy (MXU engine): two_pass "

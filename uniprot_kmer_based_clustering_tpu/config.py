@@ -37,13 +37,17 @@ class PipelineConfig:
 
     # --- device execution ---
     engine: str = "auto"            # "auto" | "mxu" | "popcount" | "xla"
-                                    #   | "native"
+                                    #   | "native" | "stream"
                                     #   mxu: int8 binary-matmul sweep (fastest)
                                     #   popcount: packed-bitset Pallas kernel
                                     #     (8× less HBM; memory-lean at scale)
                                     #   xla: popcount fallback, runs anywhere
                                     #   native: threaded C++ host sweep (the
                                     #     fast no-accelerator path)
+                                    #   stream: out-of-core MXU sweep — the
+                                    #     packed matrix stays in host RAM and
+                                    #     row blocks stream through the device
+                                    #     (corpora beyond one chip's HBM)
                                     #   auto: mxu on TPU; native on the cpu
                                     #     platform when built; xla otherwise
                                     #     (GPUs keep the device engine)
@@ -99,7 +103,9 @@ class PipelineConfig:
             raise ValueError(f"unknown weighting mode {self.weighting!r}")
         if self.cluster not in ("components", "tree", "agglomerative", "none"):
             raise ValueError(f"unknown cluster mode {self.cluster!r}")
-        if self.engine not in ("auto", "mxu", "popcount", "xla", "native"):
+        if self.engine not in (
+            "auto", "mxu", "popcount", "xla", "native", "stream"
+        ):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")

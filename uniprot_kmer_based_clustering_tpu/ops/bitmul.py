@@ -83,6 +83,16 @@ def topk_subtile_candidates(mask_i32, counts, i0, j0, *, tile: int, k: int):
     )
 
 
+def bucket_pow2(kmax: int, floor: int, cap: int) -> int:
+    """Power-of-two compiled-shape bucket for top_k widths: the smallest
+    pow2 ≥ kmax, floored (tiny k buckets churn compiles for no win) and
+    capped at the tile area."""
+    k = floor
+    while k < int(kmax):
+        k *= 2
+    return min(k, cap)
+
+
 def compact_positions(keep, cap, cursor=0):
     """Scatter positions for on-device stream compaction.
 

@@ -27,6 +27,7 @@ from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
     FusedCandidates,
+    bucket_pow2,
     compact_positions,  # re-exported: the sharded extractors import these
     subtile_rows,
     sweep_mxu,
@@ -106,16 +107,6 @@ def _extract_batch(
 # Per-tile hit counts above this use the scatter buffer instead of top_k
 # (k would approach the tile area; top_k cost grows with k·log).
 _TOPK_CAP = 1 << 17
-
-
-def bucket_pow2(kmax: int, floor: int, cap: int) -> int:
-    """Power-of-two compiled-shape bucket for top_k widths: the smallest
-    pow2 ≥ kmax, floored (tiny k buckets churn compiles for no win) and
-    capped at the tile area."""
-    k = floor
-    while k < int(kmax):
-        k *= 2
-    return min(k, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("vcap",))
@@ -684,7 +675,8 @@ def pairwise_similarity(
             # kernels count unweighted bits only — so a weighted run
             # without the sparse path's prerequisites takes the MXU
             engine = "mxu"
-    elif weights is not None:
+    elif weights is not None and engine != "stream":
+        # stream is matmul-based too and carries weights natively
         engine = "mxu"
 
     threshold = (
@@ -697,6 +689,38 @@ def pairwise_similarity(
         return _pairwise_native(
             bitset, classes, config, threshold, index=index,
             weights=weights,
+        )
+
+    if engine == "stream":
+        # out-of-core: the packed matrix stays in HOST memory and row
+        # blocks stream through the device (ops/stream.py) — for corpora
+        # beyond one chip's HBM. Same int8-matmul math as the MXU engine.
+        from uniprot_kmer_based_clustering_tpu.ops.stream import (
+            extract_pairs_stream,
+            sweep_mxu_stream,
+        )
+
+        row_stats, tile_hits, tiles = sweep_mxu_stream(
+            bitset.words, classes, n=n, threshold=threshold,
+            bs=config.strip, block=config.tile, weights=weights,
+        )
+        totals = row_stats.sum(axis=0)
+        maxes = row_stats.max(axis=0)
+        pairs = extract_pairs_stream(
+            bitset.words, classes, tile_hits, tiles,
+            n=n, threshold=threshold,
+            cross_amr_only=config.cross_amr_only, weights=weights,
+        )
+        return PairwiseResult(
+            cross_weight=int(totals[0]),
+            cross_pairs=int(totals[1]),
+            cross_over=int(totals[2]),
+            cross_max=int(maxes[3]),
+            same_weight=int(totals[4]),
+            same_pairs=int(totals[5]),
+            same_over=int(totals[6]),
+            same_max=int(maxes[7]),
+            pairs=pairs,
         )
 
     words = jnp.asarray(bitset.words)
