@@ -88,18 +88,41 @@ def test_stream_small_group_budget(problem):
 
 
 def test_stream_word_chunked(problem):
-    """Contraction-axis chunking (tiny budget forces word_chunk > 0)."""
+    """Contraction-axis chunking: word_chunk=64 < w_words=128 actually
+    takes the lax.scan chunked branch (128 would be the unchunked one)."""
     from uniprot_kmer_based_clustering_tpu.ops.stream import sweep_mxu_stream
 
     bs, classes, ref = problem
+    assert bs.w_pad > 64  # the chunked branch requires word_chunk < W
     cls = np.full(bs.n_pad, -1, np.int32)
     cls[: bs.n] = classes
     rs, th, tiles = sweep_mxu_stream(
         bs.words, cls, n=bs.n, threshold=THR, bs=32, block=16,
-        word_chunk=128,
+        word_chunk=64,
     )
     tot = rs.sum(axis=0)
     assert (int(tot[0]), int(tot[1])) == (ref.cross_weight, ref.cross_pairs)
+
+
+def test_stream_dense_scatter_path(problem, monkeypatch):
+    """Ultra-dense tiles route to the cumsum+scatter extractor: shrink
+    the density crossover so every hit tile counts as dense, then demand
+    bit-identical output at threshold 0 (the densest regime)."""
+    import uniprot_kmer_based_clustering_tpu.ops.stream as stream_mod
+
+    bs, classes, _ = problem
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(threshold=0, tile=16, word_block=128, engine="xla"),
+    )
+    monkeypatch.setattr(stream_mod, "TOPK_CAP", 1)
+    got = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=0, tile=16, word_block=128, engine="stream", strip=32
+        ),
+    )
+    _check_same(got, ref)
 
 
 def test_stream_cross_amr_false(problem):

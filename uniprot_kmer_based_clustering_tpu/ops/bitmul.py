@@ -155,6 +155,62 @@ def unpack_words_to_int8(words, weights: Optional[jnp.ndarray] = None):
     return bits
 
 
+# Per-tile hit counts above this use the scatter buffer instead of top_k
+# (k would approach the tile area; top_k cost grows with k·log).
+TOPK_CAP = 1 << 17
+
+
+def pair_block_stats(counts, ca, cb, i0, j0, *, n, threshold, block,
+                     w_thresh):
+    """Full XLA statistics epilogue for one [bs, bs] counts block at
+    global offset (i0, j0): validity/class masks, the 8-lane row stats,
+    and per-`block` sub-tile hit counts.
+
+    THE single implementation shared by the scan sweep and the streaming
+    engine — the exact-agreement invariant depends on these masks never
+    drifting apart. Returns (rs [bs,8], bh [nbs,nbs,2], over_c, over_s).
+    """
+    bs = counts.shape[0]
+    nbs = bs // block
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    valid = (gi < gj) & (gj < n)
+    cross = valid & (ca[:, None] != cb[None, :])
+    same = valid & ~cross
+    rs, over_c, over_s = stack_row_stats(
+        counts, cross, same, threshold, w_thresh
+    )
+    bh = jnp.stack(
+        [
+            over_c.astype(jnp.int32)
+            .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+            over_s.astype(jnp.int32)
+            .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
+        ],
+        axis=-1,
+    )
+    return rs, bh, over_c, over_s
+
+
+def accumulate_pair_block(row_stats, block_hits, rs, bh, i0, j0, *,
+                          block):
+    """Merge one block pair's (rs, bh) into the full accumulators at
+    (i0, j0): stat lanes %4==3 merge by max, the rest by sum (the
+    ROW_STAT_NAMES contract). Shared by scan and stream."""
+    bs = rs.shape[0]
+    nbs = bs // block
+    lanes8 = jnp.arange(8)[None, :]
+    prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
+    merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
+    row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
+    bi, bj = i0 // block, j0 // block
+    prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
+    block_hits = jax.lax.dynamic_update_slice(
+        block_hits, prev_bh + bh, (bi, bj, 0)
+    )
+    return row_stats, block_hits
+
+
 def stack_row_stats(counts, cross, same, threshold, w_thresh=1):
     """The canonical 8-lane per-row statistics over one counts block
     (lane layout = ops.popcount.ROW_STAT_NAMES: [cross_weight,
@@ -443,8 +499,6 @@ def _scan_sweep(
         raise ValueError("fused extraction requires stats_engine='xla'")
     n_pad, w_words = words.shape
     nb = n_pad // block
-    nbs = bs // block
-    lanes8 = jnp.arange(8)[None, :]
 
     def body(carry, ij):
         row_stats, block_hits = carry
@@ -471,22 +525,9 @@ def _scan_sweep(
                 n=n, threshold=threshold, w_thresh=w_thresh, tile=block,
             )
         else:
-            gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
-            gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
-            valid = (gi < gj) & (gj < n)
-            cross = valid & (ca[:, None] != cb[None, :])
-            same = valid & ~cross
-            rs, over_c, over_s = stack_row_stats(
-                counts, cross, same, threshold, w_thresh
-            )
-            bh = jnp.stack(
-                [
-                    over_c.astype(jnp.int32)
-                    .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-                    over_s.astype(jnp.int32)
-                    .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-                ],
-                axis=-1,
+            rs, bh, over_c, over_s = pair_block_stats(
+                counts, ca, cb, i0, j0,
+                n=n, threshold=threshold, block=block, w_thresh=w_thresh,
             )
         ys = None
         if fused_k:
@@ -495,14 +536,8 @@ def _scan_sweep(
                 em.astype(jnp.int32), counts, i0, j0,
                 tile=block, k=fused_k,
             )
-        prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
-        merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
-        row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
-
-        bi, bj = i0 // block, j0 // block
-        prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
-        block_hits = jax.lax.dynamic_update_slice(
-            block_hits, prev_bh + bh, (bi, bj, 0)
+        row_stats, block_hits = accumulate_pair_block(
+            row_stats, block_hits, rs, bh, i0, j0, block=block
         )
         return (row_stats, block_hits), ys
 

@@ -26,6 +26,13 @@ This is the single-chip analogue of the mesh row sharding in
 count): a 1-chip user with a corpus beyond HBM streams; a pod user
 shards. The reference has no counterpart — its whole 258M-edge graph
 lives in a 512 GB RAM envelope (run.sh).
+
+Remaining scale ceiling: the ``block_hits [nb, nb, 2]`` accumulator is
+device-resident and grows quadratically in the corpus size — ~8 bytes
+per block² (3 GB at 10M rows with block=512). The budgeting below
+accounts for it, but past ~20M rows it alone outgrows HBM; a host-side
+per-group fetch-and-reset would lift that (not implemented — far beyond
+any AMR corpus).
 """
 
 from __future__ import annotations
@@ -38,9 +45,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    TOPK_CAP,
     _counts_window_pair,
+    accumulate_pair_block,
     bucket_pow2,
-    stack_row_stats,
+    compact_positions,
+    pair_block_stats,
     topk_subtile_candidates,
 )
 
@@ -69,41 +79,21 @@ def _stream_step(
 ):
     """One block-pair: counts matmul + stats, accumulated in place.
 
-    Identical math to ``_scan_sweep``'s body (ops/bitmul.py) — the stats
-    definitions are shared via :func:`stack_row_stats` so the engines
-    cannot drift. ``probe`` (int32 scalar, NOT donated) forces step
-    completion when fetched — the in-flight window bound.
+    The epilogue and merge are the SAME code as ``_scan_sweep``'s body
+    (:func:`pair_block_stats` / :func:`accumulate_pair_block` in
+    ops/bitmul.py) so the engines cannot drift. ``probe`` (int32 scalar,
+    NOT donated) forces step completion when fetched — the in-flight
+    window bound.
     """
-    bs = wa.shape[0]
-    nbs = bs // block
     counts = _counts_window_pair(wa, wb, weights, word_chunk=word_chunk)
-    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
-    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
-    valid = (gi < gj) & (gj < n)
-    cross = valid & (ca[:, None] != cb[None, :])
-    same = valid & ~cross
-    rs, over_c, over_s = stack_row_stats(
-        counts, cross, same, threshold, w_thresh
-    )
-    bh = jnp.stack(
-        [
-            over_c.astype(jnp.int32)
-            .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-            over_s.astype(jnp.int32)
-            .reshape(nbs, block, nbs, block).sum(axis=(1, 3)),
-        ],
-        axis=-1,
-    )
-    lanes8 = jnp.arange(8)[None, :]
-    prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
-    merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
-    row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
-    bi, bj = i0 // block, j0 // block
-    prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
-    block_hits = jax.lax.dynamic_update_slice(
-        block_hits, prev_bh + bh, (bi, bj, 0)
+    rs, bh, _, _ = pair_block_stats(
+        counts, ca, cb, i0, j0,
+        n=n, threshold=threshold, block=block, w_thresh=w_thresh,
     )
     probe = counts[0, 0] + rs[0, 0]
+    row_stats, block_hits = accumulate_pair_block(
+        row_stats, block_hits, rs, bh, i0, j0, block=block
+    )
     return row_stats, block_hits, probe
 
 
@@ -132,12 +122,15 @@ def auto_stream_block(n_pad: int, w_words: int, block: int,
     the MXU contraction long, but one block must fit comfortably many
     times over (stationary group + in-flight moving blocks + the int32
     counts square). Capped so the [bs, bs] counts block stays ≤ 1/16 of
-    the budget and bs ≤ 4096 (beyond which the counts square dominates)."""
+    the budget, one packed [bs, W] block ≤ 1/8 (room for a stationary
+    group AND the in-flight window), and bs ≤ 4096 (beyond which the
+    counts square dominates)."""
     bs = block
     while (
         bs * 2 <= 4096
         and bs * 2 <= n_pad
         and (bs * 2) * (bs * 2) * 4 <= hbm_budget_bytes // 16
+        and (bs * 2) * w_words * 4 <= hbm_budget_bytes // 8
     ):
         bs *= 2
     # round UP to a block multiple of n_pad only via padding (caller pads)
@@ -187,11 +180,25 @@ def sweep_mxu_stream(
     nb = n_pad // block
     nbk = n_pad // bs
 
+    block_bytes = bs * w_words * 4
+    # device-resident fixed cost the blocking must leave room for: the
+    # two accumulators (row_stats [n_pad,8] + block_hits [nb,nb,2] —
+    # the latter grows QUADRATICALLY in corpus size), the in-flight
+    # window of moving blocks + their counts squares, and the class
+    # blocks
+    fixed = (
+        n_pad * 8 * 4
+        + nb * nb * 2 * 4
+        + (inflight + 1) * (block_bytes + bs * bs * 4)
+        + n_pad * 4
+    )
+    avail = max(block_bytes, hbm_budget_bytes - fixed)
+
     if word_chunk is None:
         # bound the unpacked int8 transients (8× the packed block each)
         word_chunk = 0
-        if 2 * bs * w_words * 32 > hbm_budget_bytes // 4:
-            target = max(128, hbm_budget_bytes // 4 // (2 * bs * 32))
+        if 2 * bs * w_words * 32 > avail // 2:
+            target = max(128, avail // 2 // (2 * bs * 32))
             base = w_words // 128
             best = 1
             for d in range(1, base + 1):
@@ -200,8 +207,7 @@ def sweep_mxu_stream(
             word_chunk = best * 128
 
     # stationary group size: how many [bs, W] blocks stay resident
-    block_bytes = bs * w_words * 4
-    resident_budget = max(block_bytes, hbm_budget_bytes // 2)
+    resident_budget = max(block_bytes, avail // 2)
     g = int(min(nbk, max(1, resident_budget // block_bytes)))
 
     wts = jnp.asarray(
@@ -299,6 +305,45 @@ def _extract_stream_topk(
     return bi, bj, bc
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "weighted", "cross_amr_only", "cap"),
+)
+def _extract_stream_scatter(
+    wa, wb, ca, cb, weights, gi0s, gj0s, valid_t, n, threshold,
+    *, tile: int, weighted: bool, cross_amr_only: bool, cap: int,
+):
+    """Ultra-dense-tile variant: cumsum+scatter compaction into one
+    fixed-capacity buffer (the in-core ``_extract_batch`` idiom — top_k
+    at k near the tile area is the slow path, pairwise.py TOPK_CAP).
+    Returns (gi [cap], gj [cap], cnt [cap], count)."""
+
+    def step(carry, idx):
+        cursor, bi, bj, bc = carry
+        counts = _counts_window_pair(
+            wa[idx], wb[idx], weights if weighted else None
+        )
+        gi0 = gi0s[idx]
+        gj0 = gj0s[idx]
+        gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        mask = (counts > threshold) & (gi < gj) & (gj < n) & valid_t[idx]
+        if cross_amr_only:
+            mask &= ca[idx][:, None] != cb[idx][None, :]
+        pos, kept = compact_positions(mask.ravel(), cap, cursor)
+        opts = dict(mode="drop", unique_indices=True)
+        bi = bi.at[pos].set(gi.ravel(), **opts)
+        bj = bj.at[pos].set(gj.ravel(), **opts)
+        bc = bc.at[pos].set(counts.ravel(), **opts)
+        return (cursor + kept, bi, bj, bc), None
+
+    z = jnp.zeros(cap, jnp.int32)
+    (cursor, bi, bj, bc), _ = jax.lax.scan(
+        step, (jnp.int32(0), z, z, z), jnp.arange(wa.shape[0])
+    )
+    return bi, bj, bc, cursor
+
+
 def extract_pairs_stream(
     words_host: np.ndarray,
     classes: np.ndarray,
@@ -309,15 +354,19 @@ def extract_pairs_stream(
     cross_amr_only: bool = True,
     weights: Optional[np.ndarray] = None,
     batch_budget_bytes: int = 512 << 20,
+    inflight: int = 2,
 ) -> np.ndarray:
     """Pass-2 exact pair recovery for the streaming engine.
 
     Only the row windows of tiles that reported hits are (re)uploaded —
     ``2 · tile · W · 4`` bytes per hit tile, stacked into batches bounded
-    by ``batch_budget_bytes``. Weighted mode note: ``_counts_window_pair``
-    scales its SECOND operand, so weights ride on the ``wb`` stack —
-    either operand is equivalent (the weight is a per-column scale of the
-    product).
+    by ``batch_budget_bytes``; at most ``inflight``+1 batches are in
+    flight at once (the dispatch queue has no other backpressure).
+    Tiles denser than ``TOPK_CAP`` hits take the cumsum+scatter buffer
+    instead of ``top_k`` (the in-core extractor's density crossover).
+    Weighted mode note: ``_counts_window_pair`` scales its SECOND
+    operand, so weights ride on the ``wb`` stack — either operand is
+    equivalent (the weight is a per-column scale of the product).
     """
     ti, tj, tile = tiles
     words_host = np.ascontiguousarray(words_host)
@@ -355,14 +404,9 @@ def extract_pairs_stream(
     batch = int(
         max(1, min(64, batch_budget_bytes // (2 * tile * w_words * 4)))
     )
-    # sort by hit count so each batch's k bucket fits its tiles tightly
-    hit_tiles = hit_tiles[np.argsort(-hits_per_tile[hit_tiles])]
 
-    parts = []
-    for lo in range(0, len(hit_tiles), batch):
-        gsel = hit_tiles[lo : lo + batch]
-        k = bucket_pow2(hits_per_tile[gsel].max(), 512, tile * tile)
-        b = len(gsel)
+    def _stack(gsel):
+        """Upload one padded batch of hit-tile row windows."""
         wa = np.zeros((batch, tile, w_words), np.uint32)
         wb = np.zeros((batch, tile, w_words), np.uint32)
         ca = np.full((batch, tile), -1, np.int32)
@@ -380,22 +424,87 @@ def extract_pairs_stream(
             gi0s[t] = i0
             gj0s[t] = j0
             valid_t[t] = True
-        parts.append(
-            _extract_stream_topk(
-                jnp.asarray(wa), jnp.asarray(wb),
-                jnp.asarray(ca), jnp.asarray(cb), wts,
-                jnp.asarray(gi0s), jnp.asarray(gj0s), jnp.asarray(valid_t),
-                jnp.int32(n), jnp.int32(threshold),
-                tile=tile, weighted=weighted,
-                cross_amr_only=cross_amr_only, k=k,
-            )
+        return (
+            jnp.asarray(wa), jnp.asarray(wb),
+            jnp.asarray(ca), jnp.asarray(cb), wts,
+            jnp.asarray(gi0s), jnp.asarray(gj0s), jnp.asarray(valid_t),
+            jnp.int32(n), jnp.int32(threshold),
         )
-        del wa, wb  # the host stacks are the transient cost; drop eagerly
 
     out = []
-    for bi, bj, bc in jax.device_get(parts):
-        m = bc >= 0
-        out.append(np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64))
+    pending = []  # (kind, device_result) — bounded in-flight window
+
+    def _drain(limit):
+        # each pending batch holds two [batch, tile, W] operand stacks on
+        # device; without this bound the dispatch loop would enqueue
+        # every batch's uploads at once (the sweep's probe-window
+        # rationale — nothing else backpressures the queue)
+        while len(pending) > limit:
+            kind, res = pending.pop(0)
+            if kind == "topk":
+                bi, bj, bc = jax.device_get(res)
+                m = bc >= 0
+                out.append(
+                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64)
+                )
+            else:
+                bi, bj, bc, cnt = jax.device_get(res)
+                m = int(cnt)
+                out.append(
+                    np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(
+                        np.int64
+                    )
+                )
+
+    hcounts = hits_per_tile[hit_tiles]
+    sparse = hit_tiles[hcounts <= TOPK_CAP]
+    dense = hit_tiles[hcounts > TOPK_CAP]
+    # sort by hit count so each batch's k bucket fits its tiles tightly
+    sparse = sparse[np.argsort(-hits_per_tile[sparse])]
+
+    for lo in range(0, len(sparse), batch):
+        gsel = sparse[lo : lo + batch]
+        k = bucket_pow2(hits_per_tile[gsel].max(), 512, tile * tile)
+        pending.append(
+            (
+                "topk",
+                _extract_stream_topk(
+                    *_stack(gsel),
+                    tile=tile, weighted=weighted,
+                    cross_amr_only=cross_amr_only, k=k,
+                ),
+            )
+        )
+        _drain(inflight)
+
+    if len(dense):
+        # ultra-dense tiles (threshold-0 full dumps): the scatter buffer,
+        # grouped so each scan group's survivors fit one cap buffer
+        cap = max(1 << 18, tile * tile)
+        groups = []
+        cur, cur_hits = [], 0
+        for t in dense:
+            h = int(hits_per_tile[t])
+            if cur and (len(cur) == batch or cur_hits + h > cap):
+                groups.append(cur)
+                cur, cur_hits = [], 0
+            cur.append(t)
+            cur_hits += h
+        groups.append(cur)
+        for g in groups:
+            pending.append(
+                (
+                    "scatter",
+                    _extract_stream_scatter(
+                        *_stack(np.asarray(g)),
+                        tile=tile, weighted=weighted,
+                        cross_amr_only=cross_amr_only, cap=cap,
+                    ),
+                )
+            )
+            _drain(inflight)
+
+    _drain(0)
     pairs = np.concatenate(out, axis=0)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     return pairs[order]

@@ -26,6 +26,7 @@ import numpy as np
 from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import BitsetMatrix
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    TOPK_CAP as _TOPK_CAP,  # scatter-vs-top_k density crossover
     FusedCandidates,
     bucket_pow2,
     compact_positions,  # re-exported: the sharded extractors import these
@@ -104,9 +105,6 @@ def _extract_batch(
     return bi, bj, bc, cursor
 
 
-# Per-tile hit counts above this use the scatter buffer instead of top_k
-# (k would approach the tile area; top_k cost grows with k·log).
-_TOPK_CAP = 1 << 17
 
 
 @functools.partial(jax.jit, static_argnames=("vcap",))
