@@ -200,6 +200,57 @@ def main():
                 ),
             }
 
+    # out-of-core streaming engine (opt-in: UKC_SCALE_STREAM=1): pack on
+    # HOST (the stream engine's natural source) and stream row blocks
+    # through the device — quantifies the out-of-core overhead vs the
+    # in-core scan at the same scale. Pair-list equality is gated.
+    stream_stats = {}
+    if os.environ.get("UKC_SCALE_STREAM", "0") != "0":
+        from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
+            pack_bitsets,
+        )
+        from uniprot_kmer_based_clustering_tpu.ops.stream import (
+            extract_pairs_stream,
+            sweep_mxu_stream,
+        )
+
+        t0 = time.perf_counter()
+        bs_host = pack_bitsets(
+            idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
+            row_multiple=7 * blk,
+        )
+        t_pack_host = time.perf_counter() - t0
+        cls_np = np.full(bs_host.n_pad, -1, np.int32)
+        cls_np[:n] = classes
+        # two fetch-synced warm-ups (each sweep ends in a device_get), then
+        # best-of-2
+        sweep_mxu_stream(bs_host.words, cls_np, n, 10, block=blk)
+        sweep_mxu_stream(bs_host.words, cls_np, n, 10, block=blk)
+        t_sweep_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rs_s, th_s, tl_s = sweep_mxu_stream(
+                bs_host.words, cls_np, n, 10, block=blk
+            )
+            t_sweep_s = min(t_sweep_s, time.perf_counter() - t0)
+        tot_s = rs_s.sum(axis=0)
+        pairs_s = extract_pairs_stream(
+            bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
+        )
+        t0 = time.perf_counter()
+        pairs_s = extract_pairs_stream(
+            bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
+        )
+        t_extract_s = time.perf_counter() - t0
+        assert np.array_equal(pairs_s, pairs), "stream != in-core"
+        assert int(tot_s[2]) == int(rs.sum(axis=0)[2])
+        stream_stats = {
+            "stream_sweep_seconds": round(t_sweep_s, 3),
+            "stream_extract_seconds": round(t_extract_s, 1),
+            "stream_pack_host_seconds": round(t_pack_host, 1),
+            "stream_value": round(n * (n - 1) / 2.0 / t_sweep_s, 1),
+        }
+
     n_pairs = n * (n - 1) / 2.0
     tot = rs.sum(axis=0)
     assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
@@ -219,6 +270,7 @@ def main():
         "extract_seconds": round(t_extract, 1),
         "device": str(jax.devices()[0]),
         **fused_stats,
+        **stream_stats,
     }))
 
 
