@@ -345,6 +345,101 @@ int64_t ukc_popcount_sweep(const uint64_t* words, int64_t n, int64_t w64,
 // from shared-k-mer counts to weighted sums — the host counterpart of
 // the weighted MXU sweep (utils/blosum.py rank weights are ≥ k ≥ 1, so
 // the ≥1-shared pair counters keep their unweighted meaning).
+// Per-survivor epilogue shared by the row finishers: fold one (i, j,
+// cnt) into row i's stats and the pair buffer.
+static inline void ukc_emit_hit(int64_t i, int64_t j, int64_t cnt,
+                                const int32_t* classes, int32_t threshold,
+                                int include_same, int64_t* rs,
+                                int64_t* pairs_out, int64_t pairs_cap,
+                                std::atomic<int64_t>* n_pairs) {
+  bool cross = classes[i] != classes[j];
+  int64_t base = cross ? 0 : 4;
+  rs[base + 0] += cnt;
+  rs[base + 1] += cnt >= 1;
+  rs[base + 2] += cnt > threshold;
+  if (cnt > rs[base + 3]) rs[base + 3] = cnt;
+  if (cnt > threshold && (cross || include_same)) {
+    int64_t slot = n_pairs->fetch_add(1);
+    if (slot < pairs_cap) {
+      pairs_out[slot * 3 + 0] = i;
+      pairs_out[slot * 3 + 1] = j;
+      pairs_out[slot * 3 + 2] = cnt;
+    }
+  }
+}
+
+// Row finisher: scan acc[lo..nn) for nonzero entries (the row's
+// partners), emit stats/pairs, and zero the accumulator behind itself.
+// Entries below `lo` are never written (partners are strictly j > i in
+// the protein-ascending expansion lists), so block-aligned vector scans
+// may safely cover them. The scan replaces the old per-increment
+// touched-list tracking: the increment loop stays branch-free and the
+// suffix scan is ~3 ms total at bundled scale (16 lanes per compare
+// over an L1/L2-resident accumulator).
+static void ukc_row_finish_scalar(int32_t* acc, int64_t lo, int64_t nn,
+                                  int64_t i, const int32_t* classes,
+                                  int32_t threshold, int include_same,
+                                  int64_t* rs, int64_t* pairs_out,
+                                  int64_t pairs_cap,
+                                  std::atomic<int64_t>* n_pairs) {
+  for (int64_t j = lo; j < nn; j++) {
+    int64_t cnt = acc[j];
+    if (!cnt) continue;
+    acc[j] = 0;
+    ukc_emit_hit(i, j, cnt, classes, threshold, include_same, rs,
+                 pairs_out, pairs_cap, n_pairs);
+  }
+}
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f"))) static void ukc_row_finish_avx512(
+    int32_t* acc, int64_t lo, int64_t nn, int64_t i,
+    const int32_t* classes, int32_t threshold, int include_same,
+    int64_t* rs, int64_t* pairs_out, int64_t pairs_cap,
+    std::atomic<int64_t>* n_pairs) {
+  int64_t b = lo & ~int64_t(15);
+  const __m512i zero = _mm512_setzero_si512();
+  alignas(64) int32_t buf[16];
+  for (; b + 16 <= nn; b += 16) {
+    __m512i v = _mm512_loadu_si512((const void*)(acc + b));
+    __mmask16 m = _mm512_test_epi32_mask(v, v);
+    if (!m) continue;
+    _mm512_storeu_si512((void*)(acc + b), zero);
+    _mm512_store_si512((void*)buf, v);
+    do {
+      int l = __builtin_ctz((unsigned)m);
+      m = (__mmask16)(m & (m - 1));
+      ukc_emit_hit(i, b + l, buf[l], classes, threshold, include_same,
+                   rs, pairs_out, pairs_cap, n_pairs);
+    } while (m);
+  }
+  ukc_row_finish_scalar(acc, b > lo ? b : lo, nn, i, classes, threshold,
+                        include_same, rs, pairs_out, pairs_cap, n_pairs);
+}
+
+static bool ukc_have_avx512f() {
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  return ok;
+}
+
+// Vectorized accumulator increment over one expansion list: 16
+// gather+add+scatter lanes per step. Legal WITHOUT conflict detection
+// because each rank's expansion list is strictly protein-ascending —
+// one vector never holds the same index twice (vectors from different
+// lists execute in program order, so cross-list repeats are safe).
+__attribute__((target("avx512f"))) static void ukc_scatter_inc_avx512(
+    int32_t* acc, const int32_t* idx, int64_t m, int32_t w) {
+  const __m512i vw = _mm512_set1_epi32(w);
+  int64_t q = 0;
+  for (; q + 16 <= m; q += 16) {
+    __m512i vi = _mm512_loadu_si512((const void*)(idx + q));
+    __m512i g = _mm512_i32gather_epi32(vi, (const void*)acc, 4);
+    _mm512_i32scatter_epi32((void*)acc, vi, _mm512_add_epi32(g, vw), 4);
+  }
+  for (; q < m; q++) acc[idx[q]] += w;
+}
+#endif
+
 int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
                          int64_t nnz, int64_t n, int64_t n_ranks,
                          const int32_t* classes, int32_t threshold,
@@ -377,50 +472,48 @@ int64_t ukc_sparse_sweep(const int32_t* inc_protein, const int32_t* inc_rank,
 
   auto worker = [&]() {
     std::vector<int32_t> acc(n, 0);
-    std::vector<int32_t> touched;
-    touched.reserve(4096);
     for (;;) {
       int64_t i = next_row.fetch_add(1);
       if (i >= n) break;
+      // hot loop: pure scatter-increment, no branches — partner tracking
+      // moved to the vectorized suffix scan in the row finisher
+#if defined(__x86_64__)
+      if (ukc_have_avx512f()) {
+        for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
+          int32_t r = inc_rank[t];
+          int64_t lo = posof[t] + 1;
+          ukc_scatter_inc_avx512(acc.data(), rlist.data() + lo,
+                                 roff[r + 1] - lo,
+                                 weights ? weights[r] : 1);
+        }
+      } else
+#endif
       if (weights == nullptr) {
         for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
           int32_t r = inc_rank[t];
-          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
-            int32_t j = rlist[q];
-            if (acc[j]++ == 0) touched.push_back(j);
-          }
+          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++)
+            acc[rlist[q]]++;
         }
       } else {
         for (int64_t t = poff[i]; t < poff[i + 1]; t++) {
           int32_t r = inc_rank[t];
           int32_t w = weights[r];
-          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++) {
-            int32_t j = rlist[q];
-            if (acc[j] == 0) touched.push_back(j);
-            acc[j] += w;
-          }
+          for (int64_t q = posof[t] + 1; q < roff[r + 1]; q++)
+            acc[rlist[q]] += w;
         }
       }
       int64_t* rs = row_stats + i * 8;
-      for (int32_t j : touched) {
-        int64_t cnt = acc[j];
-        acc[j] = 0;
-        bool cross = classes[i] != classes[j];
-        int64_t base = cross ? 0 : 4;
-        rs[base + 0] += cnt;
-        rs[base + 1] += cnt >= 1;
-        rs[base + 2] += cnt > threshold;
-        if (cnt > rs[base + 3]) rs[base + 3] = cnt;
-        if (cnt > threshold && (cross || include_same)) {
-          int64_t slot = n_pairs.fetch_add(1);
-          if (slot < pairs_cap) {
-            pairs_out[slot * 3 + 0] = i;
-            pairs_out[slot * 3 + 1] = j;
-            pairs_out[slot * 3 + 2] = cnt;
-          }
-        }
+#if defined(__x86_64__)
+      if (ukc_have_avx512f()) {
+        ukc_row_finish_avx512(acc.data(), i + 1, n, i, classes, threshold,
+                              include_same, rs, pairs_out, pairs_cap,
+                              &n_pairs);
+        continue;
       }
-      touched.clear();
+#endif
+      ukc_row_finish_scalar(acc.data(), i + 1, n, i, classes, threshold,
+                            include_same, rs, pairs_out, pairs_cap,
+                            &n_pairs);
     }
   };
 

@@ -358,8 +358,10 @@ def sparse_sweep(
                 f"weights cover {w8.shape[0]} ranks, need {n_ranks}"
             )
         if n_ranks and int(w8.min()) < 1:
-            # the C++ touched-list logic relies on scores being strictly
-            # increasing per shared k-mer (blosum rank weights are ≥ k)
+            # a zero/negative weight would let a sharing pair score 0 and
+            # vanish from the ≥1 'pairs' counter (and the suffix-scan
+            # partner recovery); blosum rank weights are ≥ k, so this is
+            # a misuse guard, not a real restriction
             raise ValueError("sparse_sweep weights must be ≥ 1")
         wptr = w8.ctypes.data_as(ctypes.c_void_p)
     else:
