@@ -164,6 +164,44 @@ def test_stream_weighted_matches_mxu(problem):
     _check_same(got, ref)
 
 
+def test_stream_fuzz_parity():
+    """Randomized shapes/densities/thresholds/class layouts (the native
+    fuzz matrix): stream must match xla exactly, row stats AND pairs,
+    including degenerate inputs (single protein, empty incidence,
+    threshold 0 with same-class pairs kept)."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (1, 40, 0.2, 1, 0),
+        (2, 40, 0.0, 3, 1),    # no incidences at all
+        (17, 130, 0.3, 1, 0),  # all same class, threshold 0
+        (33, 513, 0.08, 4, 2),
+        (64, 64, 0.5, 2, 5),   # dense bitset, high counts
+    ]
+    for n, k, dens, n_cls, thr in cases:
+        rows, cols = np.nonzero(rng.random((n, k)) < dens)
+        bs = pack_bitsets(
+            rows.astype(np.int32), cols.astype(np.int32), n, k,
+            row_multiple=8, word_multiple=128,
+        )
+        classes = rng.integers(0, n_cls, n).astype(np.int32)
+        for cross_only in (True, False):
+            ref = pairwise_similarity(
+                bs, classes,
+                PipelineConfig(
+                    threshold=thr, tile=8, word_block=128, engine="xla",
+                    cross_amr_only=cross_only,
+                ),
+            )
+            got = pairwise_similarity(
+                bs, classes,
+                PipelineConfig(
+                    threshold=thr, tile=8, word_block=128, engine="stream",
+                    cross_amr_only=cross_only, strip=16,
+                ),
+            )
+            _check_same(got, ref)
+
+
 def test_stream_empty_result():
     """No pair clears an impossible threshold — the empty-extraction
     early return."""
