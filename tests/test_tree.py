@@ -157,6 +157,27 @@ def test_native_and_numpy_sims_paths_agree(monkeypatch):
     assert np.array_equal(lab_default, lab_numpy)
 
 
+def test_cluster_tree_accepts_uint32_rows():
+    """ClusterTree is public API and BitsetMatrix rows are uint32 — the
+    natural direct input. The native cache kernel's ABI is uint64 rows,
+    so non-uint64 inputs must fall through to the numpy path instead of
+    raising ctypes.ArgumentError mid-insertion (environment-dependent
+    crash: only reproduced with the native lib built)."""
+    from uniprot_kmer_based_clustering_tpu.models.tree import ClusterTree
+
+    rng = np.random.default_rng(9)
+    n, k = 40, 300
+    bs = _random_bitset(rng, n, k, 0.1)
+    rows32 = bs.words  # uint32, NOT viewed as uint64
+    assert rows32.dtype == np.uint32
+    t = ClusterTree(0, rows32[0])
+    for i in range(1, n):
+        t.add_protein(i, rows32[i])
+    lab32 = t.labels(n)
+    lab64 = build_tree(bs, n).labels(n)  # the uint64 fast path
+    assert np.array_equal(lab32, lab64)
+
+
 def test_single_protein_tree():
     bs = _random_bitset(np.random.default_rng(0), 1, 64, 0.2)
     t = build_tree(bs, 1)

@@ -54,8 +54,11 @@ def _native_rows_fn():
     return _native_rows
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=1)
 def _tril_pairs(m: int):
+    # maxsize=1: _balance sees consecutive m values as the tree grows, so
+    # one slot gives the same hit rate; a deeper cache would pin up to 64
+    # O(m²) index pairs (~32 MB each at m≈2000) for no benefit
     ii, jj = np.tril_indices(m, k=-1)
     return ii, jj
 
@@ -119,7 +122,17 @@ class _Node:
         ridx = np.asarray(rows, dtype=np.intp)
         hi = int(ridx.max()) + 1
         fn = _native_rows_fn()
-        if fn is not None:
+        # the native kernel's ABI is C-contiguous uint64 rows (ctypes
+        # ndpointer would raise mid-insertion otherwise); other layouts
+        # (e.g. a caller passing raw uint32 BitsetMatrix rows) keep the
+        # numpy path, which handles any unsigned dtype
+        if (
+            fn is not None
+            and self._cmat.dtype == np.uint64
+            and cvec.dtype == np.uint64
+            and self._cmat.flags.c_contiguous
+            and cvec.flags.c_contiguous
+        ):
             counts = np.empty(hi, dtype=np.int64)
             fn(self._cmat, hi, cvec, counts)
         else:

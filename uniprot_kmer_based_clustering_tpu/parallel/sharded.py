@@ -141,18 +141,41 @@ def _step_stats(
     stats, over_c, over_s = _pair_stats(
         counts, gi, gj, ca, cb, n, threshold, active, triangle
     )
-    bh = jnp.stack(
-        [
-            over_c.astype(jnp.int32)
-            .reshape(nb_local, block_tile, nb_local, block_tile)
-            .sum(axis=(1, 3)),
-            over_s.astype(jnp.int32)
-            .reshape(nb_local, block_tile, nb_local, block_tile)
-            .sum(axis=(1, 3)),
-        ],
-        axis=-1,
-    )
+    bh, _ = _fused_subtiles(over_c, over_s, block_tile, 0, True)
     return stats, bh
+
+
+def _fused_subtiles(over_c, over_s, block_tile: int, k: int,
+                    cross_amr_only: bool):
+    """Per-sub-tile hit counts + the fused extraction mask for one
+    [R, C] survivor-mask window (R, C multiples of ``block_tile``).
+
+    THE single implementation shared by every fused mesh layout (flat
+    ring / 2-D ring / k-axis) and the plain ring's XLA stats branch —
+    the drop criterion and the hit layout must never drift between
+    them. Returns (bh int32 [qi, qj, 2], mask): with ``k`` > 0, mask
+    zeroes every sub-tile whose survivor count exceeds the top_k width
+    ``k`` (those pairs are recovered exactly by the fallback pass,
+    never silently truncated)."""
+    qi = over_c.shape[0] // block_tile
+    qj = over_c.shape[1] // block_tile
+    sub_c = (
+        over_c.astype(jnp.int32)
+        .reshape(qi, block_tile, qj, block_tile).sum(axis=(1, 3))
+    )
+    sub_s = (
+        over_s.astype(jnp.int32)
+        .reshape(qi, block_tile, qj, block_tile).sum(axis=(1, 3))
+    )
+    bh = jnp.stack([sub_c, sub_s], axis=-1)
+    mask = over_c if cross_amr_only else (over_c | over_s)
+    if k > 0:
+        sub_hits = sub_c if cross_amr_only else sub_c + sub_s
+        mask &= jnp.broadcast_to(
+            (sub_hits <= k)[:, None, :, None],
+            (qi, block_tile, qj, block_tile),
+        ).reshape(over_c.shape)
+    return bh, mask
 
 
 def _merge_row_stats(row_stats, stats):
@@ -184,18 +207,21 @@ def _stage_inputs(mesh, words, classes, weights, row_spec, cls_spec):
     return words_s, classes_s, weights_s, weighted
 
 
-def _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile):
-    """Fetch + convert a sharded sweep's outputs to the single-chip
-    engine format. Multi-host: row_stats may be row-sharded across
-    processes — replicate via one all-gather (rides DCN once,
-    SURVEY.md §5) before fetching, since device_get cannot read
-    non-addressable shards."""
+def _replicate_row_stats(mesh, row_stats):
+    """Multi-host: row_stats may be row-sharded across processes —
+    replicate via one all-gather (rides DCN once, SURVEY.md §5) before
+    fetching, since device_get cannot read non-addressable shards."""
     if jax.process_count() > 1:
         row_stats = jax.jit(
             lambda x: x,
             out_shardings=NamedSharding(mesh, P(None, None)),
         )(row_stats)
-    row_stats, hits = jax.device_get((row_stats, hits))
+    return row_stats
+
+
+def _convert_sweep_host(row_stats, hits, n_pad, block_tile):
+    """Host-side conversion of fetched sweep outputs to the single-chip
+    engine format."""
     row_stats = row_stats.astype(np.int64)
 
     from uniprot_kmer_based_clustering_tpu.ops.popcount import (
@@ -210,6 +236,14 @@ def _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile):
         (ti != tj)[:, None], hits[tj, ti], 0
     )
     return row_stats, tile_hits, (ti, tj, block_tile)
+
+
+def _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile):
+    """Fetch + convert a sharded sweep's outputs to the single-chip
+    engine format (one device_get)."""
+    row_stats = _replicate_row_stats(mesh, row_stats)
+    row_stats, hits = jax.device_get((row_stats, hits))
+    return _convert_sweep_host(row_stats, hits, n_pad, block_tile)
 
 
 # memoized: each maker returns a fresh jitted closure, and jax's jit
@@ -702,17 +736,9 @@ def make_ring_fused(
                 n, threshold, active, triangle,
             )
             row_stats = _merge_row_stats(row_stats, stats)
-            sub_c = (
-                over_c.astype(jnp.int32)
-                .reshape(nb_local, block_tile, nb_local, block_tile)
-                .sum(axis=(1, 3))
+            bh, mask = _fused_subtiles(
+                over_c, over_s, block_tile, k, cross_amr_only
             )
-            sub_s = (
-                over_s.astype(jnp.int32)
-                .reshape(nb_local, block_tile, nb_local, block_tile)
-                .sum(axis=(1, 3))
-            )
-            bh = jnp.stack([sub_c, sub_s], axis=-1)
             hits = jax.lax.dynamic_update_slice(
                 hits,
                 jax.lax.dynamic_slice(
@@ -723,17 +749,6 @@ def make_ring_fused(
                 + bh,
                 (dev * nb_local, (dev + s) % d_count * nb_local, 0),
             )
-
-            mask = over_c if cross_amr_only else (over_c | over_s)
-            if k > 0:
-                # drop sub-tiles whose survivor count exceeds the top_k
-                # width — their pairs are recovered by the fallback pass,
-                # never silently truncated
-                sub_hits = sub_c if cross_amr_only else sub_c + sub_s
-                keep = (sub_hits <= k)[:, None, :, None]
-                mask &= jnp.broadcast_to(
-                    keep, (nb_local, block_tile, nb_local, block_tile)
-                ).reshape(block, block)
             cursor, bi, bj, bc = _compact_step(
                 mask, counts, gi, gj, block_tile, k,
                 (cursor, bi, bj, bc), cap,
@@ -835,10 +850,15 @@ def sharded_pairwise_fused(
                 block_tile=block_tile, k=k,
             )
     row_stats, hits, bi, bj, bc, kept = fn(words_s, classes_s, weights_s)
-    row_stats, tile_hits, tiles = _finalize_sweep(
-        mesh, row_stats, hits, n_pad, block_tile
+    # ONE batched fetch for every output of the already-dispatched pass
+    # (each synchronizing readback costs a ~30 ms tunnel round trip)
+    row_stats = _replicate_row_stats(mesh, row_stats)
+    row_stats, hits, bi, bj, bc, kept = jax.device_get(
+        (row_stats, hits, bi, bj, bc, kept)
     )
-    bi, bj, bc, kept = jax.device_get((bi, bj, bc, kept))
+    row_stats, tile_hits, tiles = _convert_sweep_host(
+        row_stats, hits, n_pad, block_tile
+    )
 
     per_tile = tile_hits[:, 0].astype(np.int64)
     if not cross_amr_only:
@@ -1192,15 +1212,8 @@ def make_ring_fused_2d(
                     n, threshold, active, triangle,
                 )
                 row_stats = _merge_row_stats(row_stats, stats)
-                sub_c = (
-                    over_c.astype(jnp.int32)
-                    .reshape(nb_local, block_tile, nb_local, block_tile)
-                    .sum(axis=(1, 3))
-                )
-                sub_s = (
-                    over_s.astype(jnp.int32)
-                    .reshape(nb_local, block_tile, nb_local, block_tile)
-                    .sum(axis=(1, 3))
+                bh, mask = _fused_subtiles(
+                    over_c, over_s, block_tile, k, cross_amr_only
                 )
                 ti0 = (h * cc + c) * nb_local
                 tj0 = (moving_h * cc + moving_chip) * nb_local
@@ -1209,17 +1222,9 @@ def make_ring_fused_2d(
                     jax.lax.dynamic_slice(
                         hits, (ti0, tj0, 0), (nb_local, nb_local, 2)
                     )
-                    + jnp.stack([sub_c, sub_s], axis=-1),
+                    + bh,
                     (ti0, tj0, 0),
                 )
-
-                mask = over_c if cross_amr_only else (over_c | over_s)
-                if k > 0:
-                    sub_hits = sub_c if cross_amr_only else sub_c + sub_s
-                    keep = (sub_hits <= k)[:, None, :, None]
-                    mask &= jnp.broadcast_to(
-                        keep, (nb_local, block_tile, nb_local, block_tile)
-                    ).reshape(block, block)
                 cursor, bi, bj, bc = _compact_step(
                     mask, counts, gi, gj, block_tile, k,
                     (cursor, bi, bj, bc), cap,
@@ -1512,27 +1517,11 @@ def make_kaxis_fused(
             row_stats = jax.lax.dynamic_update_slice(
                 row_stats, _merge_row_stats(prev, stats), (r0, 0)
             )
-            sub_c = (
-                over_c.astype(jnp.int32)
-                .reshape(block_tile, nb, block_tile)
-                .sum(axis=(0, 2))
+            # one row strip = a [1, nb] sub-tile grid for the shared helper
+            bh, mask = _fused_subtiles(
+                over_c, over_s, block_tile, k, cross_amr_only
             )
-            sub_s = (
-                over_s.astype(jnp.int32)
-                .reshape(block_tile, nb, block_tile)
-                .sum(axis=(0, 2))
-            )
-            hits = jax.lax.dynamic_update_slice(
-                hits, jnp.stack([sub_c, sub_s], axis=-1)[None], (blk, 0, 0)
-            )
-
-            mask = over_c if cross_amr_only else (over_c | over_s)
-            if k > 0:
-                sub_hits = sub_c if cross_amr_only else sub_c + sub_s
-                mask &= jnp.broadcast_to(
-                    (sub_hits <= k)[None, :, None],
-                    (block_tile, nb, block_tile),
-                ).reshape(block_tile, n_pad)
+            hits = jax.lax.dynamic_update_slice(hits, bh, (blk, 0, 0))
             cursor, bi, bj, bc = _compact_step(
                 mask, counts, gi, col, block_tile, k,
                 (cursor, bi, bj, bc), cap,

@@ -370,25 +370,11 @@ def _sharded_similarity(
             cross_amr_only=config.cross_amr_only,
             k=config.extract_k or None,
         )
-        totals = row_stats.sum(axis=0)
-        maxes = row_stats.max(axis=0)
-        return PairwiseResult(
-            cross_weight=int(totals[0]),
-            cross_pairs=int(totals[1]),
-            cross_over=int(totals[2]),
-            cross_max=int(maxes[3]),
-            same_weight=int(totals[4]),
-            same_pairs=int(totals[5]),
-            same_over=int(totals[6]),
-            same_max=int(maxes[7]),
-            pairs=pairs,
-        )
+        return PairwiseResult.from_row_stats(row_stats, pairs)
     row_stats, tile_hits, tiles = sweep(
         mesh, words, classes, bitset.n, threshold, block_tile,
         weights=weights,
     )
-    totals = row_stats.sum(axis=0)
-    maxes = row_stats.max(axis=0)
     # mesh-parallel extraction on every layout (flat ring, 2-D ring, or
     # the k-axis replicated compaction): no device ever holds the full
     # bitset — the single-chip extractor replicates it, which cannot
@@ -416,14 +402,4 @@ def _sharded_similarity(
             else None
         ),
     )
-    return PairwiseResult(
-        cross_weight=int(totals[0]),
-        cross_pairs=int(totals[1]),
-        cross_over=int(totals[2]),
-        cross_max=int(maxes[3]),
-        same_weight=int(totals[4]),
-        same_pairs=int(totals[5]),
-        same_over=int(totals[6]),
-        same_max=int(maxes[7]),
-        pairs=pairs,
-    )
+    return PairwiseResult.from_row_stats(row_stats, pairs)

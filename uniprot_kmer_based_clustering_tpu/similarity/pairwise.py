@@ -290,6 +290,26 @@ class PairwiseResult:
     same_max: int
     pairs: np.ndarray
 
+    @classmethod
+    def from_row_stats(cls, row_stats, pairs: np.ndarray) -> "PairwiseResult":
+        """Assemble from the engines' canonical [N, 8] row statistics
+        (ops.popcount.ROW_STAT_NAMES lane order) — THE single place the
+        lane→field mapping lives, so engines cannot drift."""
+        rs = np.asarray(row_stats).astype(np.int64)
+        totals = rs.sum(axis=0)
+        maxes = rs.max(axis=0)
+        return cls(
+            cross_weight=int(totals[0]),
+            cross_pairs=int(totals[1]),
+            cross_over=int(totals[2]),
+            cross_max=int(maxes[3]),
+            same_weight=int(totals[4]),
+            same_pairs=int(totals[5]),
+            same_over=int(totals[6]),
+            same_max=int(maxes[7]),
+            pairs=pairs,
+        )
+
     def parity_counters(self) -> Dict[str, int]:
         return {
             "edges_after_amr_filter": self.cross_weight,
@@ -611,19 +631,7 @@ def _pairwise_native(
             "`make -C native` or pick engine='xla'"
         )
     row_stats, pairs = out
-    totals = row_stats.sum(axis=0)
-    maxes = row_stats.max(axis=0)
-    return PairwiseResult(
-        cross_weight=int(totals[0]),
-        cross_pairs=int(totals[1]),
-        cross_over=int(totals[2]),
-        cross_max=int(maxes[3]),
-        same_weight=int(totals[4]),
-        same_pairs=int(totals[5]),
-        same_over=int(totals[6]),
-        same_max=int(maxes[7]),
-        pairs=pairs,
-    )
+    return PairwiseResult.from_row_stats(row_stats, pairs)
 
 
 def pairwise_similarity(
@@ -702,24 +710,12 @@ def pairwise_similarity(
             bitset.words, classes, n=n, threshold=threshold,
             bs=config.strip, block=config.tile, weights=weights,
         )
-        totals = row_stats.sum(axis=0)
-        maxes = row_stats.max(axis=0)
         pairs = extract_pairs_stream(
             bitset.words, classes, tile_hits, tiles,
             n=n, threshold=threshold,
             cross_amr_only=config.cross_amr_only, weights=weights,
         )
-        return PairwiseResult(
-            cross_weight=int(totals[0]),
-            cross_pairs=int(totals[1]),
-            cross_over=int(totals[2]),
-            cross_max=int(maxes[3]),
-            same_weight=int(totals[4]),
-            same_pairs=int(totals[5]),
-            same_over=int(totals[6]),
-            same_max=int(maxes[7]),
-            pairs=pairs,
-        )
+        return PairwiseResult.from_row_stats(row_stats, pairs)
 
     words = jnp.asarray(bitset.words)
     classes_j = jnp.asarray(classes)
@@ -758,9 +754,6 @@ def pairwise_similarity(
             use_pallas=(engine == "popcount"),
             interpret=interpret,
         )
-    totals = row_stats.astype(np.int64).sum(axis=0)
-    maxes = row_stats.astype(np.int64).max(axis=0)
-
     if fused is not None:
         pairs = extract_pairs_fused(
             words,
@@ -785,14 +778,4 @@ def pairwise_similarity(
             weights=weights,
         )
 
-    return PairwiseResult(
-        cross_weight=int(totals[0]),
-        cross_pairs=int(totals[1]),
-        cross_over=int(totals[2]),
-        cross_max=int(maxes[3]),
-        same_weight=int(totals[4]),
-        same_pairs=int(totals[5]),
-        same_over=int(totals[6]),
-        same_max=int(maxes[7]),
-        pairs=pairs,
-    )
+    return PairwiseResult.from_row_stats(row_stats, pairs)
