@@ -124,6 +124,37 @@ def test_sorted_build_empty_universe():
     assert not np.asarray(words).any()
 
 
+def test_sorted_build_matrix_narrower_than_k():
+    """lmax ≤ k−2 (every sequence much shorter than k): the encode must
+    not build a negative-width window matrix (regression: TypeError
+    from jnp.zeros((n, -2)) before the empty-index early return)."""
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        build_bitset_device_sorted,
+    )
+
+    mat = np.zeros((3, 4), np.int32)
+    lengths = np.full(3, 4, np.int32)
+    words, codes, counts, n_rep = build_bitset_device_sorted(
+        mat, lengths, 3, 7, row_multiple=8, word_multiple=128
+    )
+    assert n_rep == 0 and codes.shape == (0,)
+    assert not np.asarray(words).any()
+
+
+def test_encode_device_rejects_k_over_7():
+    """21^8 > 2^31 would silently wrap the int32 stencil — corrupt index
+    with no error; must refuse instead."""
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import (
+        encode_kmers_device,
+    )
+
+    with pytest.raises(ValueError, match="overflows int32"):
+        encode_kmers_device(np.zeros((2, 16), np.int32),
+                            np.full(2, 16, np.int32), 8)
+
+
 def test_flat_index_space_guard():
     import pytest
 

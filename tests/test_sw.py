@@ -229,6 +229,31 @@ def test_align_pairs_sw_small_batches_keep_order(toy_fasta, tmp_path):
     assert open(one).read() == open(many).read()
 
 
+def test_align_pairs_sw_zero_score_pair_emits_no_row(tmp_path):
+    """A pair with no local alignment at all (empty sequence) must emit
+    NO TSV row — the Karlin-Altschul formula would otherwise stamp it
+    with e-value 0.0, the most significant value (diamond emits no row
+    either)."""
+    from uniprot_kmer_based_clustering_tpu.align import align_pairs_sw
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+
+    fa = tmp_path / "z.fasta"
+    fa.write_text(
+        ">E0|F|U|beta_lactam|g0\n"
+        ">P1|F|U|bacitracin|g1\nMKTAYIAKQR\n"
+        ">P2|F|U|MLS|g2\nMKTAYIAKQR\n"
+    )
+    table = read_fasta(str(fa))
+    out = str(tmp_path / "z.tsv")
+    pairs = np.array([[0, 1, 1], [1, 2, 5]], np.int64)
+    align_pairs_sw(table, pairs, out, device_scores=False)
+    lines = open(out).read().splitlines()
+    # header + only the real (1,2) alignment; the empty-vs-P1 pair is gone
+    assert len(lines) == 2
+    assert "E0|" not in lines[1]
+    assert float(lines[1].split("\t")[10]) < 1  # a genuinely strong hit
+
+
 def test_align_pairs_sw_empty(toy_fasta, tmp_path):
     """Empty pair list writes a header-only TSV (regression: IndexError
     from indexing a 1-D empty array)."""

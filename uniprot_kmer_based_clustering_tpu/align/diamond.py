@@ -48,11 +48,15 @@ def _align_one(
     """makedb on protein i, blastp protein j against it — the reference
     uses edge vertex order (ref = vertices_key[0], query = [1]); with our
     canonical pairs that is ref = i (lower index), query = j."""
-    ref_id, ref_acc = table.ids[i], table.ids[i].split("|")[0]
-    qry_id, qry_acc = table.ids[j], table.ids[j].split("|")[0]
-    ref_fa = os.path.join(workdir, f"{key}_{ref_acc}.fasta")
-    qry_fa = os.path.join(workdir, f"{key}_{qry_acc}.fasta")
-    db = os.path.join(workdir, f"{key}_{ref_acc}")
+    ref_id = table.ids[i]
+    qry_id = table.ids[j]
+    # scratch paths keyed by (pair key, protein INDEX) — parsed accession
+    # fields can collide (ids sharing their first '|'-field would map ref
+    # and query to the SAME file, and makedb would silently index the
+    # query: a self-alignment with no error)
+    ref_fa = os.path.join(workdir, f"{key}_ref_{i}.fasta")
+    qry_fa = os.path.join(workdir, f"{key}_qry_{j}.fasta")
+    db = os.path.join(workdir, f"{key}_ref_{i}")
     with open(ref_fa, "w") as f:
         f.write(f">{ref_id}\n{table.seq(i)}\n")
     with open(qry_fa, "w") as f:
@@ -102,13 +106,18 @@ def align_pairs(
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             list(pool.map(job, range(len(pairs))))
 
-    with open(output_path, "wb") as f:
-        f.write(TSV_HEADER.encode())
-        for c in chunks:
-            f.write(c)
     if errors:
+        # raise BEFORE writing: a complete-looking TSV with silently
+        # missing rows is worse than no file (the checkpoint module's
+        # tmp+replace discipline, applied here as fail-first)
         raise RuntimeError(
             f"{len(errors)} / {len(pairs)} alignments failed; first: "
             + errors[0]
         )
+    tmp = output_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(TSV_HEADER.encode())
+        for c in chunks:
+            f.write(c)
+    os.replace(tmp, output_path)
     return output_path

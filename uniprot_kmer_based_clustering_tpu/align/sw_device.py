@@ -127,7 +127,6 @@ def sw_ends_and_starts_device(q_idx, q_len, s_idx, s_len):
     s_idx = np.asarray(s_idx)
     q_len = np.asarray(q_len, np.int64)
     s_len = np.asarray(s_len, np.int64)
-    score, q_end, s_end = sw_scores_device(q_idx, q_len, s_idx, s_len)
 
     def rev(mat, lens):
         out = np.zeros_like(mat)
@@ -136,8 +135,21 @@ def sw_ends_and_starts_device(q_idx, q_len, s_idx, s_len):
             out[r, :L] = mat[r, :L][::-1]
         return out
 
-    score_r, q_end_r, s_end_r = sw_scores_device(
-        rev(q_idx, q_len), q_len, rev(s_idx, s_len), s_len
+    # the reverse pass depends only on the inputs — dispatch BOTH passes
+    # before any fetch and read all six arrays in ONE device_get (each
+    # synchronizing readback costs a ~30 ms tunnel round trip per batch)
+    matrix = jnp.asarray(blosum62_matrix(), jnp.int32)
+    fwd = _sw_scan(
+        jnp.asarray(q_idx), jnp.asarray(q_len, jnp.int32),
+        jnp.asarray(s_idx), jnp.asarray(s_len, jnp.int32), matrix,
+    )
+    bwd = _sw_scan(
+        jnp.asarray(rev(q_idx, q_len)), jnp.asarray(q_len, jnp.int32),
+        jnp.asarray(rev(s_idx, s_len)), jnp.asarray(s_len, jnp.int32),
+        matrix,
+    )
+    (score, q_end, s_end), (score_r, q_end_r, s_end_r) = jax.device_get(
+        (fwd, bwd)
     )
     assert (score_r == score).all(), "forward/reverse score mismatch"
     q_start = q_len + 1 - q_end_r.astype(np.int64)

@@ -152,6 +152,13 @@ def align_pairs_sw(
                                 f"({i},{j}): {score} vs {a.score}"
                             )
             qlen, slen = len(q), len(s)
+            if a.score == 0:
+                # no local alignment at all (e.g. an empty sequence):
+                # diamond emits no row; the Karlin-Altschul formula would
+                # otherwise assign e-value 0.0 — the MOST significant
+                # value — to the weakest possible pair
+                lines[int(sel[r])] = ""
+                continue
             ev = a.evalue(qlen, slen)
             lines[int(sel[r])] = (
                 f"{table.ids[j]}\t{qlen}\t{table.ids[i]}\t{slen}\t"

@@ -164,7 +164,18 @@ def encode_kmers_device(residue_idx, lengths, k: int):
     """
     import jax.numpy as jnp
 
+    if k > 7:
+        # 21^8 > 2^31: the int32 stencil would wrap silently, and wrapped
+        # codes still sort/dedup "successfully" into a corrupt index
+        raise ValueError(f"k={k} overflows int32 k-mer codes (max 7)")
     n, lmax = residue_idx.shape
+    if lmax < k:
+        # every sequence shorter than k: zero real windows. Pad to one
+        # fully-masked window — a negative-width array is a trace error,
+        # and the callers' empty-index early returns need the encode to
+        # succeed (valid below is all-False since lengths < k).
+        residue_idx = jnp.pad(residue_idx, ((0, 0), (0, k - lmax)))
+        lmax = k
     w = lmax - k + 1
     codes = jnp.zeros((n, w), dtype=jnp.int32)
     for j in range(k):

@@ -168,10 +168,14 @@ def _sorted_index_sizes(codes, valid):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_pad", "w_pad", "n_distinct", "n_repeated"),
+    # n_repeated deliberately NOT in the signature: the body never uses
+    # it (w_pad carries the only shape dependence) and a spurious static
+    # arg fragments the jit cache — two builds rounding to the same
+    # w_pad would each pay a ~60-90 s remote compile
+    static_argnames=("n_pad", "w_pad", "n_distinct"),
 )
 def _device_index_sorted(
-    codes, valid, *, n_pad: int, w_pad: int, n_distinct: int, n_repeated: int
+    codes, valid, *, n_pad: int, w_pad: int, n_distinct: int
 ):
     """Sort-based index build (any k): returns (words [n_pad, w_pad],
     unique codes [n_distinct] ascending, doc-freq counts [n_distinct])."""
@@ -259,7 +263,7 @@ def build_bitset_device_sorted(
     words, uniq, counts = _device_index_sorted(
         codes, valid,
         n_pad=n_pad, w_pad=w_pad,
-        n_distinct=n_distinct, n_repeated=n_repeated,
+        n_distinct=n_distinct,
     )
     return (
         words,

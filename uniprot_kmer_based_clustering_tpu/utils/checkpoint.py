@@ -37,9 +37,21 @@ class CheckpointStore:
         p = self.path(key)
         if not p:
             return
-        import jax
+        import sys
 
-        if jax.process_count() > 1 and jax.process_index() != 0:
+        # Only consult jax when the process actually runs a multi-host
+        # cluster (jax.distributed.initialize was called). An
+        # unconditional jax.process_count() would force backend init
+        # from this numpy-only module — pinned to the axon platform by
+        # sitecustomize, which kills pure-host runs with no device
+        # attached. is_initialized() touches no backend.
+        jax = sys.modules.get("jax")
+        if (
+            jax is not None
+            and jax.distributed.is_initialized()
+            and jax.process_count() > 1
+            and jax.process_index() != 0
+        ):
             # multi-host: artifacts are replicated; only process 0 writes
             # (hosts share the checkpoint filesystem on a pod)
             return
