@@ -49,7 +49,10 @@ def _build_config(args):
     )
 
 
-def cmd_run(args) -> int:
+def _init_jax(args) -> None:
+    """Shared run/query jax setup: honor --cpu BEFORE any device use
+    (the axon sitecustomize pins JAX_PLATFORMS) and point the
+    compilation cache at a stable location."""
     import jax
 
     if args.cpu:
@@ -58,6 +61,12 @@ def cmd_run(args) -> int:
         "jax_compilation_cache_dir",
         os.path.expanduser("~/.cache/ukc_jax_cache"),
     )
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    _init_jax(args)
 
     from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
 
@@ -233,14 +242,7 @@ def cmd_query(args) -> int:
     sequence gets one [Q, K]x[K, N] matmul against the standing index;
     matches print as TSV (query, corpus id, AMR class, shared k-mers).
     """
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/ukc_jax_cache"),
-    )
+    _init_jax(args)
 
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
     from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
@@ -307,7 +309,27 @@ def cmd_bench(args) -> int:
         # an explicitly passed path wins over an exported UKC_BENCH_FASTA;
         # with no positional arg the env var (then bench.py's default) rules
         os.environ["UKC_BENCH_FASTA"] = args.fasta
-    import bench  # repo-root bench script
+    try:
+        import bench  # repo-root bench script (running from a checkout)
+    except ModuleNotFoundError:
+        # installed console entry point run from an arbitrary cwd: load
+        # the script by path from the repo root two levels up, if present
+        import importlib.util
+
+        cand = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        if not os.path.exists(cand):
+            print(
+                "ukc bench needs the repo checkout's bench.py "
+                "(run from the repository root)",
+                file=sys.stderr,
+            )
+            return 2
+        spec = importlib.util.spec_from_file_location("bench", cand)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
 
     bench.main()
     return 0

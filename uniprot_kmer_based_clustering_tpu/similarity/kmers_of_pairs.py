@@ -42,10 +42,17 @@ def shared_kmer_ranks(
             out.append(np.nonzero(both[: index.n_repeated])[0])
         return out
 
-    order = np.argsort(index.incidence_protein, kind="stable")
-    ip = index.incidence_protein[order]
-    ir = index.incidence_rank[order]
+    # incidences are already sorted by (protein, rank) — the KmerIndex
+    # layout contract native.sparse_sweep also relies on; no re-sort
+    ip = index.incidence_protein
+    ir = index.incidence_rank
+    pr = np.asarray(pairs)
+    # size the CSR to cover every queried protein, not just the last
+    # incidence-bearing one — a trailing protein with no repeated k-mers
+    # would otherwise read past the searchsorted array
     n = int(ip[-1]) + 1 if len(ip) else 0
+    if pr.size:
+        n = max(n, int(pr[:, :2].max()) + 1)
     starts = np.searchsorted(ip, np.arange(n + 1))
 
     def ranks_of(p: int) -> np.ndarray:
@@ -81,10 +88,7 @@ def protein_kmer_strings(
         rows = range(bitset.n)
     out = []
     for i in rows:
-        bits = np.unpackbits(
-            bitset.words[int(i)].view(np.uint8), bitorder="little"
-        )
-        ranks = np.nonzero(bits[: index.n_repeated])[0]
+        ranks = np.nonzero(bitset.row_bits(int(i)))[0]
         codes = index.repeated_codes[ranks]
         out.append([decode_kmer(int(c), index.k) for c in codes])
     return out
