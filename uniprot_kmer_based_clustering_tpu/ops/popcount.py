@@ -100,8 +100,6 @@ def _sweep_kernel(
     # outputs
     row_stats_ref,  # [T, 128] int32, indexed by i (revisited across t)
     tile_hits_ref,  # [8, 128] int32, indexed by t (hits in row 0)
-    # scratch
-    acc_ref,        # [T, 128] int32 — per-tile stat accumulator
     *,
     tile: int,
     n: int,
@@ -166,7 +164,6 @@ def _sweep_kernel(
         jnp.zeros((tile, _STAT_LANES), jnp.int32),
         unroll=False,
     )
-    acc_ref[...] = acc
 
     first = first_of_t_ref[t] == 1
     prev = jnp.where(first, 0, row_stats_ref[...])
@@ -257,7 +254,6 @@ def sweep_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tile, _STAT_LANES), jnp.int32)],
     )
     row_stats, tile_hits = pl.pallas_call(
         kernel,
@@ -398,6 +394,16 @@ def sweep(words, classes, n, threshold, tile=512, word_block=512,
                     pallas_tile = d
                     break
         if pallas_tile >= 8:
+            # per-tile-pair metadata scales O((N/tile)²): the tile_hits
+            # out_shape costs 4 KB per pair and the scalar-prefetch
+            # schedule arrays live in SMEM. Small tiles at large N (the
+            # VMEM cap at UniProt-scale widths forces tile=32 at 100k →
+            # ~4.9M pairs ≈ 20 GB of hits) must take the XLA
+            # formulation instead of OOMing.
+            nt_rows = words.shape[0] // pallas_tile
+            nt_pairs = nt_rows * (nt_rows + 1) // 2
+            if nt_pairs * 8 * _STAT_LANES * 4 > 1 << 30:
+                return sweep_xla(words, classes, n, threshold, tile)
             row_stats, tile_hits, tiles = sweep_pallas(
                 words, classes, n, threshold, pallas_tile,
                 interpret=interpret and not on_tpu,

@@ -304,6 +304,19 @@ def stats_from_counts(
     assert s % tile == 0 and j % tile == 0
     ti, tj = stats_tiles(s, j, i_off, j_off, tile)
     nt = int(ti.shape[0])
+    # every stationary tile row must keep ≥1 tile: a row whose tiles are
+    # all below the pair diagonal would never be visited, leaving its
+    # row_stats output block UNINITIALIZED (pallas_call returns whatever
+    # HBM held). In-repo callers pass diagonal-or-above blocks only —
+    # enforce the precondition instead of returning garbage.
+    covered = np.zeros(s // tile, bool)
+    covered[ti] = True
+    if not covered.all():
+        raise ValueError(
+            "stats_from_counts: some tile rows keep no tile (block lies "
+            "entirely below the pair diagonal) — their row_stats would "
+            "be uninitialized; pass diagonal-or-above blocks only"
+        )
     first = np.ones(nt, dtype=np.int32)
     first[1:] = (ti[1:] != ti[:-1]).astype(np.int32)
 

@@ -190,6 +190,17 @@ def sweep_tri_mxu(
         # the kernel operand is int8 either way (permute_weights_bitplane
         # casts), so the true bound is the int8 range, not the fp mantissa
         assert not weighted or int(np.max(np.abs(weights))) <= 127
+        # …but the CROSS-chunk running total must also stay an exact
+        # float32 integer: past 2²⁴ the accumulator rounds and the engine
+        # silently breaks the all-engines-agree-exactly invariant
+        maxw = int(np.max(np.abs(weights))) if weighted else 1
+        worst = kc_total * 32 * wc * maxw
+        if worst >= 1 << 24:
+            raise ValueError(
+                f"dot_dtype='bfloat16' cannot accumulate exactly here: "
+                f"worst-case count {worst} ≥ 2^24 (float32 integer "
+                f"range); use dot_dtype='int8'"
+            )
     else:
         raise ValueError(dot_dtype)
 

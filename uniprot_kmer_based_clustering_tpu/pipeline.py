@@ -119,7 +119,7 @@ def run_pipeline(
             index, bitset = _device_index(table, config)
     else:
         index = None
-        key_index = config.cache_key("index", fasta_path)
+        key_index = config.cache_key("index", _fasta_fingerprint(fasta_path))
         cached = store.load(key_index)
         if cached is not None:
             index = KmerIndex(k=config.k, **cached)
@@ -153,16 +153,6 @@ def run_pipeline(
                 row_multiple=_row_multiple(config, table.n),
             )
 
-    weights = None
-    if config.weighting == "blosum62":
-        from uniprot_kmer_based_clustering_tpu.utils.blosum import (
-            rank_weights_int8,
-        )
-
-        weights = rank_weights_int8(
-            index.repeated_codes, config.k, bitset.w_pad * 32
-        )
-
     if stop_after == "pack":
         return PipelineResult(
             table=table,
@@ -173,7 +163,19 @@ def run_pipeline(
             timings=timers.as_dict(),
         )
 
-    key_pairs = config.cache_key("pairs", fasta_path)
+    # weights feed only the sweep — computed after the stop_after="pack"
+    # early return so the serving warm-start path never pays for them
+    weights = None
+    if config.weighting == "blosum62":
+        from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+            rank_weights_int8,
+        )
+
+        weights = rank_weights_int8(
+            index.repeated_codes, config.k, bitset.w_pad * 32
+        )
+
+    key_pairs = config.cache_key("pairs", _fasta_fingerprint(fasta_path))
     cached_pairs = store.load(key_pairs)
     if cached_pairs is not None:
         # resume: the O(N²) sweep is the expensive stage — rebuild the
@@ -265,6 +267,18 @@ def run_pipeline(
     )
 
 
+def _fasta_fingerprint(fasta_path: str) -> str:
+    """Checkpoint-key component identifying the input FILE CONTENTS, not
+    just its path — an in-place edit of the FASTA must invalidate the
+    index/pairs artifacts instead of silently resuming stale results.
+    size+mtime_ns is the rsync-style heuristic (content hashing a
+    multi-GB corpus on every resume would defeat the point)."""
+    import os
+
+    st = os.stat(fasta_path)
+    return f"{fasta_path}:{st.st_size}:{st.st_mtime_ns}"
+
+
 def _device_index(table: ProteinTable, config: PipelineConfig):
     """Index + bitset built entirely on device (kmers/index_device.py).
 
@@ -286,7 +300,9 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
     )
 
     lengths = table.lengths.astype(_np.int32)
-    lmax = int(lengths.max())
+    # empty FASTA (n=0): lengths.max() raises on a zero-size array — the
+    # host path supports this input, so the device engine must too
+    lmax = int(lengths.max()) if table.n else 1
     mat = _np.zeros((table.n, lmax), _np.int32)
     res = residues_to_indices(table.seq_buf)
     for i in range(table.n):
