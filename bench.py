@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
-import sys
 import time
 
 import numpy as np
@@ -43,8 +41,14 @@ GOLDEN = {
 }
 
 
-def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float) -> float:
-    import scipy.sparse as sp
+def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float):
+    """Scipy-sparse stand-in baseline, or None when scipy is missing —
+    the bench must still emit its one JSON line (minutes of completed
+    TPU measurement would otherwise die on the baseline import)."""
+    try:
+        import scipy.sparse as sp
+    except ImportError:
+        return None
 
     best = float("inf")
     for _ in range(2):  # best-of-2: the single shared CPU core is noisy
@@ -69,35 +73,24 @@ def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float) -> float:
     return n_pairs / best
 
 
-def _probe_accelerator(timeout_s: int):
-    """Return None when the default JAX backend initializes to an
-    accelerator, else a reason string for the CPU fallback.
+def _baseline_fields(value: float, baseline):
+    """vs_baseline record fields, tolerating a missing scipy baseline."""
+    if baseline is None:
+        return {"vs_baseline": 0.0, "baseline_unavailable": "scipy missing"}
+    return {
+        "vs_baseline": round(value / baseline, 2),
+        "cpu_baseline_pairs_per_s": round(baseline, 1),
+    }
 
-    The axon remote backend can HANG indefinitely (not error) when the
-    TPU tunnel is down — an in-process ``jax.devices()`` would wedge the
-    whole bench, so the probe runs in a subprocess under a timeout.
-    """
-    try:
-        r = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import jax; print(jax.devices()[0].platform)",
-            ],
-            timeout=timeout_s,
-            capture_output=True,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return f"backend init timed out after {timeout_s}s"
-    if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()
-        detail = tail[-1] if tail else f"exit code {r.returncode}"
-        return f"backend init failed: {detail[:200]}"
-    platform = (r.stdout or "").strip().splitlines()[-1:]
-    if platform and platform[0] == "cpu":
-        return "no accelerator (cpu backend)"
-    return None
+
+def _probe_accelerator(timeout_s: int):
+    """Shared subprocess probe (utils/accel.py): None on an accelerator,
+    else the reason string for the CPU fallback."""
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        probe_accelerator,
+    )
+
+    return probe_accelerator(timeout_s)
 
 
 def _main_cpu_fallback(reason: str):
@@ -172,9 +165,8 @@ def _main_cpu_fallback(reason: str):
         "metric": "pairwise_similarity",
         "value": round(value, 1),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(value / baseline, 2),
+        **_baseline_fields(value, baseline),
         "sweep_seconds": round(best, 4),
-        "cpu_baseline_pairs_per_s": round(baseline, 1),
         "parity": "golden-exact",
         "device": "cpu (native C++ engine)",
         "tpu_unavailable": reason,
@@ -299,10 +291,9 @@ def main():
         "metric": "pairwise_similarity",
         "value": round(value, 1),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(value / baseline, 2),
+        **_baseline_fields(value, baseline),
         "sweep_seconds": round(steady, 4),
         "sync_latency_seconds": round(latency, 4),
-        "cpu_baseline_pairs_per_s": round(baseline, 1),
         "cpu_native_engine_pairs_per_s": native_rate,
         "parity": "golden-exact",
         "device": str(jax.devices()[0]),

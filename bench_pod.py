@@ -50,7 +50,40 @@ def _steady(fn, args, reps=5):
     return (time.perf_counter() - t0) / reps, out
 
 
+def _fail(msg: str) -> None:
+    """One zero-valued record in the success shape, from process 0 only
+    (an H-host run would otherwise print H shapeless duplicates)."""
+    import jax
+
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "metric": "ring_sweep_scaling",
+            "value": 0.0,
+            "unit": "pairs/s/chip",
+            "error": msg,
+        }))
+
+
 def main():
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        cpu_requested,
+        honor_cpu_request,
+        probe_accelerator,
+    )
+
+    if not honor_cpu_request() and not cpu_requested():
+        # the axon backend can HANG (not error) when the tunnel is down —
+        # probe in a subprocess and emit one JSON line instead of wedging
+        reason = probe_accelerator()
+        if reason is not None:
+            print(json.dumps({
+                "metric": "ring_sweep_scaling",
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "error": f"accelerator unavailable: {reason}",
+            }))
+            return
+
     import jax
 
     if os.environ.get("UKC_POD_DISTRIBUTED"):
@@ -110,16 +143,17 @@ def main():
     n_pairs = table.n * (table.n - 1) / 2.0
 
     def run_mesh(mesh, axes):
+        # the library's own staging + replicate helpers (one multi-host
+        # staging fix there reaches this harness automatically)
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            _replicate_row_stats,
+            _stage_inputs,
+        )
+
         row_spec = P(axes if len(axes) > 1 else axes[0], None)
         cls_spec = P(axes if len(axes) > 1 else axes[0])
-        words_s = jax.device_put(
-            jnp.asarray(bitset.words), NamedSharding(mesh, row_spec)
-        )
-        classes_s = jax.device_put(
-            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, cls_spec)
-        )
-        weights_s = jax.device_put(
-            jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(None))
+        words_s, classes_s, weights_s, _ = _stage_inputs(
+            mesh, bitset.words, classes, weights, row_spec, cls_spec
         )
         if len(axes) > 1:
             raw = make_ring_sweep_2d(
@@ -128,16 +162,12 @@ def main():
         else:
             raw = make_ring_sweep(mesh, table.n, 10, block_tile, axes[0])
 
-        # replicate row_stats before any host fetch: it is row-sharded
-        # across processes and device_get cannot read non-addressable
-        # shards (the all-gather rides DCN once)
-        rep = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
-        )
-
         def fn(*a):
             rs, hits = raw(*a)
-            return rep(rs), hits
+            # replicate row_stats before any host fetch: it may be
+            # row-sharded across processes and device_get cannot read
+            # non-addressable shards (the all-gather rides DCN once)
+            return _replicate_row_stats(mesh, rs), hits
 
         dt, out = _steady(fn, (words_s, classes_s, weights_s))
         row_stats, hits = jax.device_get(out)
@@ -152,7 +182,7 @@ def main():
 
     dt_mesh, got, tile_cap = run_mesh(mesh, axes)
     if got != GOLDEN:
-        print(json.dumps({"error": f"golden parity FAILED: {got}"}))
+        _fail(f"golden parity FAILED: {got}")
         return
 
     # mesh-parallel extraction (same schedule, no full-matrix replication)
@@ -178,7 +208,7 @@ def main():
         )
         t_extract = min(t_extract, time.perf_counter() - t0)
     if len(pairs) != GOLDEN[2] or int(pairs[:, 2].max()) != GOLDEN[3]:
-        print(json.dumps({"error": f"extraction parity FAILED: {len(pairs)}"}))
+        _fail(f"extraction parity FAILED: {len(pairs)}")
         return
 
     # fused ring (flat mesh): stats + compacted survivors in ONE pass —
@@ -214,7 +244,7 @@ def main():
             int(rs_f[:, 2].sum()), int(rs_f[:, 3].max()),
         )
         if got_f != GOLDEN or not np.array_equal(pairs_f, pairs):
-            print(json.dumps({"error": "fused ring parity FAILED"}))
+            _fail("fused ring parity FAILED")
             return
         fused_stats = {
             "fused_seconds": round(t_fused, 4),

@@ -68,6 +68,26 @@ def synth_proteins(n: int, seed: int = 0):
 
 
 def main():
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        cpu_requested,
+        honor_cpu_request,
+        probe_accelerator,
+    )
+
+    if not honor_cpu_request() and not cpu_requested():
+        # no explicit CPU request: the axon backend can HANG (not error)
+        # when the tunnel is down — probe in a subprocess and emit the
+        # one JSON line instead of wedging (bench.py's guard, shared)
+        reason = probe_accelerator()
+        if reason is not None:
+            print(json.dumps({
+                "metric": "pairwise_similarity_scale",
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "error": f"accelerator unavailable: {reason}",
+            }))
+            return
+
     import jax
     import jax.numpy as jnp
 
@@ -125,10 +145,20 @@ def main():
         extract_pairs,
     )
 
-    pairs = extract_pairs(words, np.asarray(cls), th, tl, n=n, threshold=10)
-    t0 = time.perf_counter()
-    pairs = extract_pairs(words, np.asarray(cls), th, tl, n=n, threshold=10)
-    t_extract = time.perf_counter() - t0  # warm (compile amortized)
+    # two warm-ups (extract ends in real fetches) then best-of-2 — the
+    # same discipline as the sweep timings (CLAUDE.md: one warm-up leaks
+    # first-execution residue; tunnel jitter ~±10%)
+    for _ in range(2):
+        pairs = extract_pairs(
+            words, np.asarray(cls), th, tl, n=n, threshold=10
+        )
+    t_extract = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = extract_pairs(
+            words, np.asarray(cls), th, tl, n=n, threshold=10
+        )
+        t_extract = min(t_extract, time.perf_counter() - t0)
 
     # fused extraction (in-sweep top-k compaction): the synthetic corpus
     # is dense-homology by construction — every tile hits, the regime
@@ -147,17 +177,17 @@ def main():
         )
         t_fused_first = time.perf_counter() - t0
         if out[3] is None:
-            # distinguish the two fallbacks (sweep_mxu_async's schedule
-            # resolution): ≤8 strips resolves to the strip schedule (no
-            # in-sweep compaction); otherwise the scan ran but the HBM
+            # distinguish the two fallbacks using the sweep's OWN
+            # schedule resolution (no drift): the strip schedule has no
+            # in-sweep compaction; otherwise the scan ran but the HBM
             # auto-sizing couldn't fit the candidate buffers
             from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
-                auto_strip,
+                resolve_schedule,
             )
 
-            ns = words.shape[0] // (strip or auto_strip(words.shape[0], blk))
+            sched, _, _ = resolve_schedule(words.shape[0], blk, strip)
             why = (
-                "strip schedule" if ns <= 8
+                "strip schedule" if sched == "strips"
                 else "HBM auto-sizing (candidate buffers do not fit)"
             )
             fused_stats = {"fused": f"unavailable ({why})"}
@@ -175,20 +205,22 @@ def main():
                     words, cls, n, 10, strip=strip, block=blk, fused_k=None
                 )
                 t_sweep_f = min(t_sweep_f, time.perf_counter() - t0)
+            # extract_pairs_fused only READS the candidate buffers (no
+            # donation), so the timed sweep's cands are reusable — no
+            # extra sweep needed to refresh them
             pairs_f = extract_pairs_fused(
                 words, np.asarray(cls), th_f, tl_f, cands, n=n,
                 threshold=10,
             )
             assert np.array_equal(pairs_f, pairs), "fused != two_pass"
-            rs_f, th_f, tl_f, cands = sweep_mxu(
-                words, cls, n, 10, strip=strip, block=blk, fused_k=None
-            )
-            t0 = time.perf_counter()
-            pairs_f = extract_pairs_fused(
-                words, np.asarray(cls), th_f, tl_f, cands, n=n,
-                threshold=10,
-            )
-            t_extract_f = time.perf_counter() - t0
+            t_extract_f = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pairs_f = extract_pairs_fused(
+                    words, np.asarray(cls), th_f, tl_f, cands, n=n,
+                    threshold=10,
+                )
+                t_extract_f = min(t_extract_f, time.perf_counter() - t0)
             assert np.array_equal(pairs_f, pairs)
             fused_stats = {
                 "fused_k": cands.k,
@@ -234,14 +266,17 @@ def main():
             )
             t_sweep_s = min(t_sweep_s, time.perf_counter() - t0)
         tot_s = rs_s.sum(axis=0)
-        pairs_s = extract_pairs_stream(
-            bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
-        )
-        t0 = time.perf_counter()
-        pairs_s = extract_pairs_stream(
-            bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
-        )
-        t_extract_s = time.perf_counter() - t0
+        for _ in range(2):
+            pairs_s = extract_pairs_stream(
+                bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
+            )
+        t_extract_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs_s = extract_pairs_stream(
+                bs_host.words, cls_np, th_s, tl_s, n=n, threshold=10
+            )
+            t_extract_s = min(t_extract_s, time.perf_counter() - t0)
         assert np.array_equal(pairs_s, pairs), "stream != in-core"
         assert int(tot_s[2]) == int(rs.sum(axis=0)[2])
         stream_stats = {

@@ -589,6 +589,22 @@ def auto_strip(n_pad: int, block: int, budget_bytes: int = 2 << 30) -> int:
     return best
 
 
+def resolve_schedule(n_pad: int, block: int, strip: Optional[int] = None,
+                     schedule: str = "auto"):
+    """The strip/scan decision :func:`sweep_mxu_async` makes, exported so
+    harnesses can report the same reason without re-implementing it.
+    Returns (schedule, strip, ns)."""
+    if strip is None:
+        strip = auto_strip(n_pad, block)
+    ns = n_pad // strip
+    if schedule == "auto":
+        # each strip compiles its own program (distinct suffix shapes);
+        # beyond ~8 strips the one-shape block-pair scan wins on compile
+        # time (~80 s per shape through the remote tunnel)
+        schedule = "scan" if ns > 8 else "strips"
+    return schedule, strip, ns
+
+
 def sweep_mxu_async(
     words,
     classes,
@@ -623,16 +639,9 @@ def sweep_mxu_async(
     """
     n_pad, w_words = words.shape
     fused_requested = fused_k != 0
-    if strip is None:
-        strip = auto_strip(n_pad, block)
+    schedule, strip, ns = resolve_schedule(n_pad, block, strip, schedule)
     assert n_pad % strip == 0 and strip % block == 0
-    ns = n_pad // strip
     nb = n_pad // block
-    if schedule == "auto":
-        # each strip compiles its own program (distinct suffix shape);
-        # beyond ~8 strips the one-shape block-pair scan wins on compile
-        # time (~80 s per shape through the remote tunnel)
-        schedule = "scan" if ns > 8 else "strips"
     fused_bytes = 0
     if schedule != "scan":
         fused_k = 0  # the strip programs have no in-sweep compaction
