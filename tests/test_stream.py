@@ -164,6 +164,53 @@ def test_stream_weighted_matches_mxu(problem):
     _check_same(got, ref)
 
 
+def test_stream_fused_matches_two_pass(problem):
+    """Fused (in-sweep candidate drain) extraction is bit-identical to
+    the two-pass stream extractor."""
+    bs, classes, ref = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream",
+        extract="fused", strip=32,
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
+def test_stream_fused_overflow_redo(problem):
+    """A candidate capacity smaller than the densest tile's hit count
+    forces the truncation-detect + two-pass-redo path; output must stay
+    bit-identical (threshold 0 maximizes per-tile density)."""
+    bs, classes, _ = problem
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(threshold=0, tile=16, word_block=128, engine="xla"),
+    )
+    cfg = PipelineConfig(
+        threshold=0, tile=16, word_block=128, engine="stream",
+        extract="fused", extract_k=8, strip=32,  # 8 << 16*16 tile area
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
+def test_stream_fused_all_pairs(problem):
+    """cross_amr_only=False rides the fused_same candidate mask."""
+    bs, classes, _ = problem
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=THR, tile=16, word_block=128, engine="xla",
+            cross_amr_only=False,
+        ),
+    )
+    got = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=THR, tile=16, word_block=128, engine="stream",
+            cross_amr_only=False, extract="fused", strip=32,
+        ),
+    )
+    _check_same(got, ref)
+
+
 def test_stream_fuzz_parity():
     """Randomized shapes/densities/thresholds/class layouts (the native
     fuzz matrix): stream must match xla exactly, row stats AND pairs,

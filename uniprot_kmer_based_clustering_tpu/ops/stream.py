@@ -57,7 +57,10 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "threshold", "block", "w_thresh", "word_chunk"),
+    static_argnames=(
+        "n", "threshold", "block", "w_thresh", "word_chunk",
+        "fused_k", "fused_same",
+    ),
     donate_argnames=("row_stats", "block_hits"),
 )
 def _stream_step(
@@ -76,6 +79,8 @@ def _stream_step(
     block: int,
     w_thresh: int,
     word_chunk: int = 0,
+    fused_k: int = 0,
+    fused_same: bool = False,
 ):
     """One block-pair: counts matmul + stats, accumulated in place.
 
@@ -84,17 +89,30 @@ def _stream_step(
     ops/bitmul.py) so the engines cannot drift. ``probe`` (int32 scalar,
     NOT donated) forces step completion when fetched — the in-flight
     window bound.
+
+    With ``fused_k`` > 0 the step also returns its per-sub-tile top-k
+    survivor candidates (``ys`` — the ``_scan_sweep`` fused-extraction
+    idiom): the host drains them inside the in-flight window, so the
+    dense-homology out-of-core regime never re-uploads the matrix for a
+    second extraction pass. A sub-tile whose exact hit count exceeds
+    ``fused_k`` is incomplete and is redone by the two-pass extractor.
     """
     counts = _counts_window_pair(wa, wb, weights, word_chunk=word_chunk)
-    rs, bh, _, _ = pair_block_stats(
+    rs, bh, over_c, over_s = pair_block_stats(
         counts, ca, cb, i0, j0,
         n=n, threshold=threshold, block=block, w_thresh=w_thresh,
     )
     probe = counts[0, 0] + rs[0, 0]
+    ys = None
+    if fused_k:
+        em = (over_c | over_s) if fused_same else over_c
+        ys = topk_subtile_candidates(
+            em.astype(jnp.int32), counts, i0, j0, tile=block, k=fused_k
+        )
     row_stats, block_hits = accumulate_pair_block(
         row_stats, block_hits, rs, bh, i0, j0, block=block
     )
-    return row_stats, block_hits, probe
+    return row_stats, block_hits, probe, ys
 
 
 def _pad_rows(words: np.ndarray, classes: np.ndarray, multiple: int):
@@ -150,6 +168,8 @@ def sweep_mxu_stream(
     word_chunk: Optional[int] = None,
     hbm_budget_bytes: int = 13 << 30,
     inflight: int = 4,
+    fused_k: int = 0,
+    fused_same: bool = False,
 ):
     """Full upper-triangle sweep with the packed matrix in HOST memory.
 
@@ -159,6 +179,14 @@ def sweep_mxu_stream(
     (ti, tj, block))`` triple — note ``N_pad'`` may exceed
     ``words_host.shape[0]`` (rows padded to a ``bs`` multiple; padding
     rows carry zero stats).
+
+    With ``fused_k`` > 0 a 4th element is returned: int64 ``[M, 3]``
+    candidate survivors, drained from each step's per-sub-tile top-k
+    inside the in-flight window (so candidate buffers never accumulate
+    on device). Candidates of a sub-tile whose exact hit count exceeds
+    ``fused_k`` are truncated — :func:`extract_pairs_stream_fused`
+    detects those from the tile hits and redoes them exactly.
+    ``fused_same`` widens the candidate mask to same-class survivors.
     """
     words_host = np.ascontiguousarray(words_host)
     classes = np.asarray(classes, np.int32)
@@ -220,7 +248,26 @@ def sweep_mxu_stream(
         jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
     ]
 
-    probes = []
+    pending = []  # per-step (probe, ys) awaiting completion
+    cand_parts = []  # host-filtered fused survivor candidates
+
+    def _drain(limit):
+        # completing step t-inflight bounds live moving-block buffers
+        # (uploads dispatch asynchronously; nothing else backpressures
+        # the queue). In fused mode the candidate fetch doubles as the
+        # probe and the buffers leave the device inside the window.
+        while len(pending) > limit:
+            probe, ys = pending.pop(0)
+            if ys is None:
+                jax.device_get(probe)
+                continue
+            bi, bj, bc = jax.device_get(ys)
+            m = bc >= 0
+            if m.any():
+                cand_parts.append(
+                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64)
+                )
+
     for s0 in range(0, nbk, g):
         g_here = min(g, nbk - s0)
         stationary = [
@@ -236,19 +283,17 @@ def sweep_mxu_stream(
                 ib = s0 + t
                 if ib > jb:
                     continue
-                row_stats, block_hits, probe = _stream_step(
+                row_stats, block_hits, probe, ys = _stream_step(
                     row_stats, block_hits, stationary[t], wb,
                     cls_dev[ib], cls_dev[jb], wts,
                     jnp.int32(ib * bs), jnp.int32(jb * bs),
                     n=n, threshold=threshold, block=block,
                     w_thresh=w_thresh, word_chunk=word_chunk,
+                    fused_k=fused_k, fused_same=fused_same,
                 )
-                probes.append(probe)
-                if len(probes) > inflight:
-                    # completing step t-inflight bounds live moving-block
-                    # buffers (uploads dispatch asynchronously; nothing
-                    # else backpressures the queue)
-                    jax.device_get(probes.pop(0))
+                pending.append((probe, ys))
+                _drain(inflight)
+    _drain(0)
 
     rs, bh = jax.device_get((row_stats, block_hits))
     from uniprot_kmer_based_clustering_tpu.ops.popcount import (
@@ -256,7 +301,79 @@ def sweep_mxu_stream(
     )
 
     ti, tj = upper_triangle_tiles(n_pad, block)
-    return rs.astype(np.int64), bh[ti, tj], (ti, tj, block)
+    base = (rs.astype(np.int64), bh[ti, tj], (ti, tj, block))
+    if not fused_k:
+        return base
+    cands = (
+        np.concatenate(cand_parts, axis=0)
+        if cand_parts
+        else np.zeros((0, 3), np.int64)
+    )
+    return base + (cands,)
+
+
+def extract_pairs_stream_fused(
+    words_host: np.ndarray,
+    classes: np.ndarray,
+    tile_hits: np.ndarray,
+    tiles,
+    cands: np.ndarray,
+    k: int,
+    n: int,
+    threshold: int,
+    cross_amr_only: bool = True,
+    weights: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Fused-mode pair recovery for the streaming engine.
+
+    ``cands`` are the sweep's drained per-sub-tile top-k survivors —
+    complete for every tile whose exact hit count (from ``tile_hits``)
+    is ≤ ``k``; denser tiles were truncated by the top-k and are redone
+    exactly by the two-pass extractor (a masked
+    :func:`extract_pairs_stream` call — only those tiles' row windows
+    re-upload). Bit-identical to two-pass in every regime; in the
+    dense-homology out-of-core regime this avoids re-streaming the
+    whole matrix for extraction (the second full host→device pass).
+    """
+    ti, tj, tile = tiles
+    h = tile_hits[:, 0].astype(np.int64)
+    if not cross_amr_only:
+        h = h + tile_hits[:, 1]
+    keep = h <= k  # tiles whose candidates are complete
+
+    parts = []
+    if cands.shape[0]:
+        # map each candidate to its tile and keep only complete tiles
+        nb = int(max(ti.max(), tj.max())) + 1 if len(ti) else 1
+        keep_m = np.zeros((nb, nb), bool)
+        keep_m[ti[keep], tj[keep]] = True
+        ci = (cands[:, 0] // tile).astype(np.int64)
+        cj = (cands[:, 1] // tile).astype(np.int64)
+        sel = keep_m[ci, cj]
+        parts.append(cands[sel])
+        expected = int(h[keep].sum())
+        if int(sel.sum()) != expected:
+            raise AssertionError(
+                f"fused stream compaction found {int(sel.sum())} "
+                f"survivors, sweep stats promised {expected}"
+            )
+
+    if not keep.all():
+        masked = np.zeros_like(tile_hits)
+        masked[~keep] = tile_hits[~keep]
+        parts.append(
+            extract_pairs_stream(
+                words_host, classes, masked, tiles, n=n,
+                threshold=threshold, cross_amr_only=cross_amr_only,
+                weights=weights,
+            )
+        )
+
+    if not parts:
+        return np.zeros((0, 3), dtype=np.int64)
+    pairs = np.concatenate(parts, axis=0)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
 
 
 @functools.partial(

@@ -703,8 +703,26 @@ def pairwise_similarity(
         # beyond one chip's HBM. Same int8-matmul math as the MXU engine.
         from uniprot_kmer_based_clustering_tpu.ops.stream import (
             extract_pairs_stream,
+            extract_pairs_stream_fused,
             sweep_mxu_stream,
         )
+
+        if config.extract == "fused":
+            # drain survivor candidates inside the sweep's in-flight
+            # window — the dense-homology out-of-core regime otherwise
+            # re-uploads the whole matrix for extraction
+            k = config.extract_k or min(512, config.tile * config.tile)
+            row_stats, tile_hits, tiles, cands = sweep_mxu_stream(
+                bitset.words, classes, n=n, threshold=threshold,
+                bs=config.strip, block=config.tile, weights=weights,
+                fused_k=k, fused_same=not config.cross_amr_only,
+            )
+            pairs = extract_pairs_stream_fused(
+                bitset.words, classes, tile_hits, tiles, cands, k,
+                n=n, threshold=threshold,
+                cross_amr_only=config.cross_amr_only, weights=weights,
+            )
+            return PairwiseResult.from_row_stats(row_stats, pairs)
 
         row_stats, tile_hits, tiles = sweep_mxu_stream(
             bitset.words, classes, n=n, threshold=threshold,
