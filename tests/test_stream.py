@@ -211,6 +211,41 @@ def test_stream_fused_all_pairs(problem):
     _check_same(got, ref)
 
 
+def test_stream_fused_weighted(problem):
+    """Weighted scores ride the fused candidate drain (bc carries the
+    weighted counts) — reachable in production since weighted runs stay
+    on the stream engine."""
+    bs, classes, _ = problem
+    rng = np.random.default_rng(5)
+    weights = rng.integers(1, 12, bs.w_pad * 32).astype(np.int8)
+    kwargs = dict(
+        threshold=THR, tile=16, word_block=128,
+        weighting="blosum62", weighted_threshold=THR * 6, strip=32,
+    )
+    ref = pairwise_similarity(
+        bs, classes, PipelineConfig(engine="mxu", **kwargs),
+        weights=weights,
+    )
+    got = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(engine="stream", extract="fused", **kwargs),
+        weights=weights,
+    )
+    _check_same(got, ref)
+
+
+def test_stream_fused_extract_k_over_tile_area(problem):
+    """extract_k beyond the sub-tile area must be clamped, not crash in
+    lax.top_k (the in-core engine clamps; the keep/redo split must use
+    the clamped value on BOTH sides)."""
+    bs, classes, ref = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream",
+        extract="fused", extract_k=4096, strip=32,  # 4096 >> 16*16
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
 def test_stream_fuzz_parity():
     """Randomized shapes/densities/thresholds/class layouts (the native
     fuzz matrix): stream must match xla exactly, row stats AND pairs,

@@ -37,6 +37,7 @@ any AMR corpus).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -53,6 +54,20 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
     pair_block_stats,
     topk_subtile_candidates,
 )
+
+
+@dataclasses.dataclass
+class StreamCandidates:
+    """Survivor candidates drained from a fused streaming sweep.
+
+    ``pairs`` (int64 [M, 3]) are complete for every tile whose exact hit
+    count is ≤ ``k``; ``include_same`` records the candidate mask the
+    sweep used (the extract side asserts consistency, mirroring the
+    in-core ``FusedCandidates`` contract)."""
+
+    pairs: np.ndarray
+    k: int
+    include_same: bool
 
 
 @functools.partial(
@@ -208,16 +223,24 @@ def sweep_mxu_stream(
     nb = n_pad // block
     nbk = n_pad // bs
 
+    if fused_k:
+        # capacity beyond a sub-tile's area is meaningless (top_k would
+        # reject it); extract_pairs_stream_fused applies the SAME clamp
+        # so the keep/redo split stays consistent
+        fused_k = min(fused_k, block * block)
     block_bytes = bs * w_words * 4
     # device-resident fixed cost the blocking must leave room for: the
     # two accumulators (row_stats [n_pad,8] + block_hits [nb,nb,2] —
     # the latter grows QUADRATICALLY in corpus size), the in-flight
-    # window of moving blocks + their counts squares, and the class
-    # blocks
+    # window of moving blocks + their counts squares + their fused
+    # candidate buffers, and the class blocks
+    nsub = (bs // block) ** 2
     fixed = (
         n_pad * 8 * 4
         + nb * nb * 2 * 4
-        + (inflight + 1) * (block_bytes + bs * bs * 4)
+        + (inflight + 1) * (
+            block_bytes + bs * bs * 4 + nsub * fused_k * 12
+        )
         + n_pad * 4
     )
     avail = max(block_bytes, hbm_budget_bytes - fixed)
@@ -304,10 +327,14 @@ def sweep_mxu_stream(
     base = (rs.astype(np.int64), bh[ti, tj], (ti, tj, block))
     if not fused_k:
         return base
-    cands = (
-        np.concatenate(cand_parts, axis=0)
-        if cand_parts
-        else np.zeros((0, 3), np.int64)
+    cands = StreamCandidates(
+        pairs=(
+            np.concatenate(cand_parts, axis=0)
+            if cand_parts
+            else np.zeros((0, 3), np.int64)
+        ),
+        k=fused_k,
+        include_same=fused_same,
     )
     return base + (cands,)
 
@@ -317,8 +344,7 @@ def extract_pairs_stream_fused(
     classes: np.ndarray,
     tile_hits: np.ndarray,
     tiles,
-    cands: np.ndarray,
-    k: int,
+    cands: "StreamCandidates",
     n: int,
     threshold: int,
     cross_amr_only: bool = True,
@@ -326,15 +352,21 @@ def extract_pairs_stream_fused(
 ) -> np.ndarray:
     """Fused-mode pair recovery for the streaming engine.
 
-    ``cands`` are the sweep's drained per-sub-tile top-k survivors —
+    ``cands`` holds the sweep's drained per-sub-tile top-k survivors —
     complete for every tile whose exact hit count (from ``tile_hits``)
-    is ≤ ``k``; denser tiles were truncated by the top-k and are redone
-    exactly by the two-pass extractor (a masked
+    is ≤ ``cands.k``; denser tiles were truncated by the top-k and are
+    redone exactly by the two-pass extractor (a masked
     :func:`extract_pairs_stream` call — only those tiles' row windows
     re-upload). Bit-identical to two-pass in every regime; in the
     dense-homology out-of-core regime this avoids re-streaming the
     whole matrix for extraction (the second full host→device pass).
     """
+    assert cands.include_same == (not cross_amr_only), (
+        "candidate mask/class-filter mismatch: the sweep's fused_same "
+        "must equal (not cross_amr_only)"
+    )
+    k = cands.k
+    cpairs = cands.pairs
     ti, tj, tile = tiles
     h = tile_hits[:, 0].astype(np.int64)
     if not cross_amr_only:
@@ -342,15 +374,15 @@ def extract_pairs_stream_fused(
     keep = h <= k  # tiles whose candidates are complete
 
     parts = []
-    if cands.shape[0]:
+    if cpairs.shape[0]:
         # map each candidate to its tile and keep only complete tiles
         nb = int(max(ti.max(), tj.max())) + 1 if len(ti) else 1
         keep_m = np.zeros((nb, nb), bool)
         keep_m[ti[keep], tj[keep]] = True
-        ci = (cands[:, 0] // tile).astype(np.int64)
-        cj = (cands[:, 1] // tile).astype(np.int64)
+        ci = (cpairs[:, 0] // tile).astype(np.int64)
+        cj = (cpairs[:, 1] // tile).astype(np.int64)
         sel = keep_m[ci, cj]
-        parts.append(cands[sel])
+        parts.append(cpairs[sel])
         expected = int(h[keep].sum())
         if int(sel.sum()) != expected:
             raise AssertionError(

@@ -710,7 +710,9 @@ def pairwise_similarity(
         if config.extract == "fused":
             # drain survivor candidates inside the sweep's in-flight
             # window — the dense-homology out-of-core regime otherwise
-            # re-uploads the whole matrix for extraction
+            # re-uploads the whole matrix for extraction. The sweep
+            # clamps the capacity to the tile area and records the
+            # effective k/mask on the returned StreamCandidates.
             k = config.extract_k or min(512, config.tile * config.tile)
             row_stats, tile_hits, tiles, cands = sweep_mxu_stream(
                 bitset.words, classes, n=n, threshold=threshold,
@@ -718,7 +720,7 @@ def pairwise_similarity(
                 fused_k=k, fused_same=not config.cross_amr_only,
             )
             pairs = extract_pairs_stream_fused(
-                bitset.words, classes, tile_hits, tiles, cands, k,
+                bitset.words, classes, tile_hits, tiles, cands,
                 n=n, threshold=threshold,
                 cross_amr_only=config.cross_amr_only, weights=weights,
             )
