@@ -66,7 +66,7 @@ def _tril_pairs(m: int):
 class _Node:
     __slots__ = (
         "children", "u", "c", "protein",
-        "_sims", "_cmat", "_rows", "_free",
+        "_sims", "_sbuf", "_cmat", "_rows", "_free",
     )
 
     def __init__(self, u, c, protein: Optional[int], children=None):
@@ -75,6 +75,7 @@ class _Node:
         self.c = c
         self.protein = protein
         self._sims: Optional[np.ndarray] = None  # children c-sim cache
+        self._sbuf: Optional[np.ndarray] = None  # its capacity buffer
         # Pooled children-c matrix backing the cache: capacity-doubling
         # [cap, W] array + slot-per-child list, so every cache event is
         # one batched AND+popcount over the pool prefix (native fused
@@ -145,7 +146,9 @@ class _Node:
         m = len(self.children)
         if self._sims is None or self._sims.shape[0] != m:
             self._pool_reset()
-            s = np.zeros((m, m), dtype=np.int64)
+            cap = max(8, 2 * m)
+            self._sbuf = np.zeros((cap, cap), dtype=np.int64)
+            s = self._sbuf[:m, :m]
             for i in range(1, m):
                 row = self._pool_sims_vs(self.children[i].c, upto=i)
                 s[i, :i] = row
@@ -154,22 +157,35 @@ class _Node:
         return self._sims
 
     def _sims_append(self, child: "_Node"):
+        # capacity-doubling buffer + view, like the _cmat pool: a fresh
+        # (m+1)² alloc+copy per insertion is O(m²) in the hot loop
         if self._sims is None:
             return
         m = self._sims.shape[0]
-        s = np.zeros((m + 1, m + 1), dtype=np.int64)
-        s[:m, :m] = self._sims
+        if m + 1 > self._sbuf.shape[0]:
+            grown = np.zeros((2 * self._sbuf.shape[0],) * 2, np.int64)
+            grown[:m, :m] = self._sims
+            self._sbuf = grown
+        buf = self._sbuf
         if m:
             row = self._pool_sims_vs(child.c)
-            s[m, :m] = row
-            s[:m, m] = row
-        self._sims = s
+            buf[m, :m] = row
+            buf[:m, m] = row
+        buf[m, m] = 0  # fresh-alloc semantics: the (unused) diagonal is 0
+        self._sims = buf[: m + 1, : m + 1]
         self._pool_append(child)
 
     def _sims_remove(self, idx: int):
         if self._sims is None:
             return
-        self._sims = np.delete(np.delete(self._sims, idx, 0), idx, 1)
+        # in-place forward shifts (numpy buffers overlapping basic-slice
+        # assignments) — two tail copies instead of np.delete's two full
+        # matrix copies
+        m = self._sims.shape[0]
+        buf = self._sbuf
+        buf[idx : m - 1, :m] = buf[idx + 1 : m, :m]
+        buf[:m - 1, idx : m - 1] = buf[: m - 1, idx + 1 : m]
+        self._sims = buf[: m - 1, : m - 1]
         self._free.append(self._rows.pop(idx))
 
     def _sims_refresh(self, idx: int):

@@ -73,6 +73,15 @@ def make_mesh_2d(
         raise ValueError(
             f"requested {need} devices, only {len(devs)} available"
         )
+    if jax.process_count() > 1 and n_chips != jax.local_device_count():
+        # the reshape's host axis is only the REAL host boundary when
+        # each row holds exactly one process's devices — otherwise every
+        # inner (chip-axis) rotation crosses DCN, silently inverting the
+        # 2-D ring's whole premise (one DCN hop per outer step)
+        raise ValueError(
+            f"n_chips={n_chips} must equal the per-process device count "
+            f"({jax.local_device_count()}) on a multi-host mesh"
+        )
     grid = np.array(devs[:need]).reshape(n_hosts, n_chips)
     return Mesh(grid, (host_axis, chip_axis))
 

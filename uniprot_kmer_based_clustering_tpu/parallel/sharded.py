@@ -207,15 +207,65 @@ def _stage_inputs(mesh, words, classes, weights, row_spec, cls_spec):
     return words_s, classes_s, weights_s, weighted
 
 
+def _stage_inputs_kaxis(mesh, words, classes, weights, axis, block_tile):
+    """device_put the sweep inputs in the contraction-sharded layout:
+    bitset column-sharded over `axis`, classes replicated, weights
+    sharded over the k axis (column slices, unlike the rings) — shared
+    by every k-axis wrapper."""
+    d_count = int(mesh.devices.size)
+    n_pad, w_words = words.shape
+    assert n_pad % block_tile == 0, (n_pad, block_tile)
+    assert w_words % d_count == 0, (
+        f"W={w_words} packed words must divide over {d_count} devices"
+    )
+    words_s = jax.device_put(
+        jnp.asarray(words), NamedSharding(mesh, P(None, axis))
+    )
+    classes_s = jax.device_put(
+        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
+    )
+    weighted = weights is not None
+    if weights is None:
+        weights = np.ones(w_words * 32, np.int8)
+    weights_s = jax.device_put(
+        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(axis))
+    )
+    return words_s, classes_s, weights_s, weighted
+
+
+def _pairs_from_buffers(bi, bj, bc, m, cap, expected_total=None):
+    """Shared compacted-buffer epilogue: overflow/shortfall checks +
+    canonical (i, j)-sorted pair list."""
+    if m > cap:
+        raise ValueError(
+            f"sharded extraction overflow: {m} pairs > cap={cap}; "
+            f"re-run with a larger cap"
+        )
+    if expected_total is not None and m != expected_total:
+        raise ValueError(
+            f"sharded extraction found {m} pairs, sweep stats promised "
+            f"{expected_total} (tile_cap too small?)"
+        )
+    pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate_jit(mesh):
+    # memoized: a fresh jit identity per call would retrace+recompile
+    # the reshard program every sweep (~27 s per retrace, CLAUDE.md)
+    return jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
+    )
+
+
 def _replicate_row_stats(mesh, row_stats):
     """Multi-host: row_stats may be row-sharded across processes —
     replicate via one all-gather (rides DCN once, SURVEY.md §5) before
     fetching, since device_get cannot read non-addressable shards."""
     if jax.process_count() > 1:
-        row_stats = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(mesh, P(None, None)),
-        )(row_stats)
+        row_stats = _replicate_jit(mesh)(row_stats)
     return row_stats
 
 
@@ -303,17 +353,7 @@ def make_ring_sweep(
             gj = moving_base + jax.lax.broadcasted_iota(
                 jnp.int32, (block, block), 1
             )
-            if s == 0:
-                active = jnp.bool_(True)
-                triangle = True
-            elif 2 * s == d_count:
-                # even-D final step: each unordered block pair appears on
-                # two devices — keep only the first half of the ring.
-                active = dev < (d_count // 2)
-                triangle = False
-            else:
-                active = jnp.bool_(True)
-                triangle = False
+            active, triangle = _ring_gate(s, d_count, dev)
 
             counts = _block_counts(
                 words_local, moving_w, weights if weighted else None
@@ -381,6 +421,35 @@ def sharded_pairwise_similarity(
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
+def _ring_gate(s: int, d_count: int, dev):
+    """Flat-ring dedup gate for rotation step ``s``: (active, triangle).
+
+    THE single implementation of exact pair coverage — step 0 is the
+    diagonal (upper-triangle masked), the even-D final step sees each
+    unordered block pair on two devices (keep the first half of the
+    ring), every other step is fully active. Shared by the plain,
+    extract, and fused ring makers so a schedule fix cannot drift.
+    """
+    if s == 0:
+        return jnp.bool_(True), True
+    if 2 * s == d_count:
+        return dev < (d_count // 2), False
+    return jnp.bool_(True), False
+
+
+def _ring_gate_2d(sh: int, sc: int, hc: int, cc: int, h, c):
+    """Hierarchical (hosts × chips) dedup gate for outer step ``sh``,
+    inner step ``sc``: (active, triangle) — even-C intra-host and
+    even-H host-pair dedup. Shared by all three 2-D makers."""
+    if sh == 0 and sc == 0:
+        return jnp.bool_(True), True
+    if sh == 0 and 2 * sc == cc:
+        return c < (cc // 2), False
+    if 2 * sh == hc:
+        return h < (hc // 2), False
+    return jnp.bool_(True), False
+
+
 def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
     """Compact one ring step's survivors into the carried (cursor, bi,
     bj, bc) buffers, canonicalized to (min, max).
@@ -389,8 +458,13 @@ def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
     sub-tile with batched ``top_k`` (TPU scatter serializes — compacting
     the full [block²] mask measured 29 s on the bundled D=1 square vs
     sub-second with the selection; `k` must be ≥ the densest sub-tile's
-    hit count, known exactly from the sweep's tile_hits). ``k == 0``
-    scatters the full mask (CPU tests; platforms with fast scatter).
+    hit count, known exactly from the sweep's tile_hits). A sub-tile
+    whose survivor count exceeds ``k`` is dropped ENTIRELY — never
+    silently top_k-truncated — so an undersized k shows up as a cursor
+    shortfall the wrappers can detect against the exact tile hits
+    (callers passing the fused pre-masked survivors already satisfy
+    sub_hits ≤ k, making the guard free there). ``k == 0`` scatters the
+    full mask (CPU tests; platforms with fast scatter).
     """
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
         compact_positions,
@@ -400,11 +474,13 @@ def _compact_step(mask, counts, gi, gj, block_tile, k, carry, cap):
     cursor, bi, bj, bc = carry
     if k > 0:
         bt = block_tile
-        vals, sel = jax.lax.top_k(subtile_rows(mask.astype(jnp.int32), bt), k)
+        rows_mask = subtile_rows(mask.astype(jnp.int32), bt)
+        vals, sel = jax.lax.top_k(rows_mask, k)
         cnt = jnp.take_along_axis(subtile_rows(counts, bt), sel, 1).ravel()
         gi_c = jnp.take_along_axis(subtile_rows(gi, bt), sel, 1).ravel()
         gj_c = jnp.take_along_axis(subtile_rows(gj, bt), sel, 1).ravel()
-        hit = (vals > 0).ravel()
+        ok = rows_mask.sum(axis=1, keepdims=True) <= k
+        hit = ((vals > 0) & ok).ravel()
     else:
         hit = mask.ravel()
         gi_c = gi.ravel()
@@ -475,12 +551,7 @@ def make_ring_extract(
             gj = moving_base + jax.lax.broadcasted_iota(
                 jnp.int32, (block, block), 1
             )
-            if s == 0:
-                active = jnp.bool_(True)
-            elif 2 * s == d_count:
-                active = dev < (d_count // 2)
-            else:
-                active = jnp.bool_(True)
+            active, _ = _ring_gate(s, d_count, dev)
 
             counts = _block_counts(
                 words_local, moving_w, weights if weighted else None
@@ -547,8 +618,14 @@ def sharded_extract_pairs(
     cross_amr_only: bool = True,
     cap: int = 1 << 20,
     tile_cap: int | None = None,
+    expected_total: int | None = None,
 ):
     """Mesh-parallel exact pair extraction (the ring schedule, one pass).
+
+    `expected_total`: the exact global survivor count (the sweep's
+    tile_hits sum). When given, a result of any other size raises —
+    in particular the shortfall produced by an undersized `tile_cap`
+    (over-capacity sub-tiles are dropped whole, never truncated).
 
     Bit-identical (after the canonical (i, j) sort) to the single-chip
     :func:`similarity.pairwise.extract_pairs` for every device count,
@@ -579,22 +656,8 @@ def sharded_extract_pairs(
     if not two_d and mesh.axis_names[0] == "k":
         # contraction-axis layout (same convention as the pipeline): the
         # bitset stays column-sharded, the compaction is replicated
-        assert n_pad % block_tile == 0, (n_pad, block_tile)
-        assert words.shape[1] % d_count == 0, (
-            f"W={words.shape[1]} packed words must divide over "
-            f"{d_count} devices"
-        )
-        words_s = jax.device_put(
-            jnp.asarray(words), NamedSharding(mesh, P(None, "k"))
-        )
-        classes_s = jax.device_put(
-            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
-        )
-        weighted = weights is not None
-        if weights is None:
-            weights = np.ones(words.shape[1] * 32, np.int8)
-        weights_s = jax.device_put(
-            jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P("k"))
+        words_s, classes_s, weights_s, weighted = _stage_inputs_kaxis(
+            mesh, words, classes, weights, "k", block_tile
         )
         fn = make_kaxis_extract(
             mesh, n, threshold, cap, block_tile, "k", weighted,
@@ -603,15 +666,9 @@ def sharded_extract_pairs(
         bi, bj, bc, cursor = jax.device_get(
             fn(words_s, classes_s, weights_s)
         )
-        m = int(cursor[0])
-        if m > cap:
-            raise ValueError(
-                f"sharded extraction overflow: {m} pairs > cap={cap}; "
-                f"re-run with a larger cap"
-            )
-        pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
-        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-        return pairs[order]
+        return _pairs_from_buffers(
+            bi, bj, bc, int(cursor[0]), cap, expected_total
+        )
     assert n_pad % (d_count * block_tile) == 0, (
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
@@ -638,15 +695,9 @@ def sharded_extract_pairs(
     # scatter + psum concatenates every device's occupied prefix), so the
     # fetch is ~12 bytes per surviving pair — multi-process included
     bi, bj, bc, total = jax.device_get(fn(words_s, classes_s, weights_s))
-    m = int(total[0])
-    if m > cap:
-        raise ValueError(
-            f"sharded extraction overflow: {m} total pairs > cap={cap}; "
-            f"re-run with a larger cap"
-        )
-    pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
-    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-    return pairs[order]
+    return _pairs_from_buffers(
+        bi, bj, bc, int(total[0]), cap, expected_total
+    )
 
 
 # memoized: each maker returns a fresh jitted closure, and jax's jit
@@ -718,15 +769,7 @@ def make_ring_fused(
             gj = moving_base + jax.lax.broadcasted_iota(
                 jnp.int32, (block, block), 1
             )
-            if s == 0:
-                active = jnp.bool_(True)
-                triangle = True
-            elif 2 * s == d_count:
-                active = dev < (d_count // 2)
-                triangle = False
-            else:
-                active = jnp.bool_(True)
-                triangle = False
+            active, triangle = _ring_gate(s, d_count, dev)
 
             counts = _block_counts(
                 words_local, moving_w, weights if weighted else None
@@ -806,21 +849,8 @@ def sharded_pairwise_fused(
         k = 512 if jax.default_backend() == "tpu" else 0
     k = min(k, block_tile * block_tile)
     if kaxis:
-        assert n_pad % block_tile == 0, (n_pad, block_tile)
-        assert words.shape[1] % d_count == 0, (
-            f"W={words.shape[1]} packed words must divide over "
-            f"{d_count} devices"
-        )
-        words_s = jax.device_put(
-            jnp.asarray(words), NamedSharding(mesh, P(None, "k"))
-        )
-        classes_s = jax.device_put(
-            jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
-        )
-        weighted = weights is not None
-        wts = weights if weighted else np.ones(words.shape[1] * 32, np.int8)
-        weights_s = jax.device_put(
-            jnp.asarray(wts, jnp.int8), NamedSharding(mesh, P("k"))
+        words_s, classes_s, weights_s, weighted = _stage_inputs_kaxis(
+            mesh, words, classes, weights, "k", block_tile
         )
         fn = make_kaxis_fused(
             mesh, n, threshold, cap, block_tile, "k", weighted,
@@ -881,6 +911,7 @@ def sharded_pairwise_fused(
             if jax.default_backend() == "tpu" and len(per_tile)
             else None
         ),
+        expected_total=total,
     )
     return row_stats, tile_hits, tiles, pairs
 
@@ -946,18 +977,7 @@ def make_ring_extract_2d(
                     jnp.int32, (block, block), 1
                 )
 
-                if sh == 0 and sc == 0:
-                    active = jnp.bool_(True)
-                    triangle = True
-                elif sh == 0 and 2 * sc == cc:
-                    active = c < (cc // 2)
-                    triangle = False
-                elif 2 * sh == hc:
-                    active = h < (hc // 2)
-                    triangle = False
-                else:
-                    active = jnp.bool_(True)
-                    triangle = False
+                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
 
                 counts = _block_counts(
                     words_local, inner_w, weights if weighted else None
@@ -1069,18 +1089,7 @@ def make_ring_sweep_2d(
                     jnp.int32, (block, block), 1
                 )
 
-                if sh == 0 and sc == 0:
-                    active = jnp.bool_(True)
-                    triangle = True
-                elif sh == 0 and 2 * sc == cc:
-                    active = c < (cc // 2)      # even-C intra-host dedup
-                    triangle = False
-                elif 2 * sh == hc:
-                    active = h < (hc // 2)      # even-H host-pair dedup
-                    triangle = False
-                else:
-                    active = jnp.bool_(True)
-                    triangle = False
+                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
 
                 counts = _block_counts(
                     words_local, inner_w, weights if weighted else None
@@ -1191,18 +1200,7 @@ def make_ring_fused_2d(
                     jnp.int32, (block, block), 1
                 )
 
-                if sh == 0 and sc == 0:
-                    active = jnp.bool_(True)
-                    triangle = True
-                elif sh == 0 and 2 * sc == cc:
-                    active = c < (cc // 2)      # even-C intra-host dedup
-                    triangle = False
-                elif 2 * sh == hc:
-                    active = h < (hc // 2)      # even-H host-pair dedup
-                    triangle = False
-                else:
-                    active = jnp.bool_(True)
-                    triangle = False
+                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
 
                 counts = _block_counts(
                     words_local, inner_w, weights if weighted else None
@@ -1560,34 +1558,19 @@ def sharded_pairwise_similarity_kaxis(
     weights: np.ndarray | None = None,
 ):
     """K-axis-sharded sweep; single-chip engine output format."""
-    d_count = mesh.shape[axis]
-    n_pad, w_words = words.shape
-    assert n_pad % block_tile == 0, (n_pad, block_tile)
-    assert w_words % d_count == 0, (
-        f"W={w_words} packed words must divide over {d_count} devices"
-    )
-    words_s = jax.device_put(
-        jnp.asarray(words), NamedSharding(mesh, P(None, axis))
-    )
-    classes_s = jax.device_put(
-        jnp.asarray(classes, jnp.int32), NamedSharding(mesh, P(None))
-    )
-    weighted = weights is not None
-    if weights is None:
-        weights = np.ones(w_words * 32, np.int8)
-    # weights shard over the k axis (column slices), unlike the rings
-    weights_s = jax.device_put(
-        jnp.asarray(weights, jnp.int8), NamedSharding(mesh, P(axis))
+    n_pad = words.shape[0]
+    words_s, classes_s, weights_s, weighted = _stage_inputs_kaxis(
+        mesh, words, classes, weights, axis, block_tile
     )
     fn = make_kaxis_sweep(mesh, n, threshold, block_tile, axis, weighted)
     row_stats, hits = fn(words_s, classes_s, weights_s)
     return _finalize_sweep(mesh, row_stats, hits, n_pad, block_tile)
 
 
-def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
-    """Distributed dense doc-freq for k=5: per-shard bincount over the 21^k
-    universe, merged with one psum (replaces the reference's global mutexed
-    sorted list, src/main.rs:101-114)."""
+@functools.lru_cache(maxsize=None)
+def _make_doc_freq_psum(mesh: Mesh, k: int, axis: str):
+    # memoized like every other maker here: a fresh jit identity per
+    # call would recompile the distributed program each invocation
     from uniprot_kmer_based_clustering_tpu.kmers.index import (
         doc_freq_dense_device,
     )
@@ -1596,10 +1579,18 @@ def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
         local = doc_freq_dense_device(codes_local, valid_local, k)
         return jax.lax.psum(local, axis)
 
-    fn = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None)),
-        out_specs=P(None),
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(None),
+        )
     )
-    return jax.jit(fn)(codes, valid)
+
+
+def doc_freq_psum(mesh: Mesh, codes, valid, k: int, axis: str = "p"):
+    """Distributed dense doc-freq for k=5: per-shard bincount over the 21^k
+    universe, merged with one psum (replaces the reference's global mutexed
+    sorted list, src/main.rs:101-114)."""
+    return _make_doc_freq_psum(mesh, k, axis)(codes, valid)

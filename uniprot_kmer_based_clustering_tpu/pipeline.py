@@ -410,6 +410,7 @@ def _sharded_similarity(
         block_tile=block_tile, weights=weights,
         cross_amr_only=config.cross_amr_only,
         cap=max(1 << 18, int(per_tile.sum())),
+        expected_total=int(per_tile.sum()),
         # per-sub-tile top_k selection on TPU (scatter serializes there);
         # CPU keeps the scatter path (its top_k is a full sort)
         tile_cap=(
