@@ -538,19 +538,24 @@ namespace {
 // table still lives in L1; only digits covering max_key run). The k=5
 // code universe (22 bits) sorts in 2 passes, (code, protein) pair keys
 // in 3-4.
+// ``start_bit`` > 0 sorts only the key bits at/above it (stably): when
+// the input is already ordered by the low bits' grouping (e.g. built
+// protein-major), the low-bit passes are pure wasted bandwidth.
 void radix_sort_u64(std::vector<uint64_t>& keys, std::vector<uint64_t>& tmp,
-                    uint64_t max_key) {
+                    uint64_t max_key, int start_bit = 0) {
   const int64_t m = (int64_t)keys.size();
   constexpr int kBits = 11;
   constexpr int kBuckets = 1 << kBits;
   constexpr uint64_t kMask = kBuckets - 1;
   int passes = 0;
-  while (passes * kBits < 64 && (max_key >> (kBits * passes))) ++passes;
-  if (passes == 0) passes = 1;
+  while (start_bit + passes * kBits < 64 &&
+         (max_key >> (start_bit + kBits * passes)))
+    ++passes;
+  if (passes == 0 && start_bit == 0) passes = 1;
   std::vector<int64_t> count(kBuckets);
   for (int p = 0; p < passes; ++p) {
     std::fill(count.begin(), count.end(), 0);
-    const int shift = kBits * p;
+    const int shift = start_bit + kBits * p;
     for (int64_t i = 0; i < m; ++i) ++count[(keys[i] >> shift) & kMask];
     int64_t acc = 0;
     for (int d = 0; d < kBuckets; ++d) {
@@ -584,52 +589,63 @@ int ukc_index_build(const int64_t* codes, const int64_t* offsets, int64_t n,
                     int64_t* n_repeated, int64_t* nnz,
                     int64_t* nnz_repeated) {
   const int64_t m_total = offsets[n];
+  // Keys pack (code << pb) | protein with SHIFT/MASK (sorts identically
+  // to code*n + protein, unpacks without 64-bit division). The input is
+  // built protein-major, so ONE stable radix over only the code bits
+  // (start_bit = pb; 2 passes at k=5, 3 at k=7) yields the code-major
+  // order with proteins ascending within each code — the old pipeline's
+  // (p,code) sort + dedup + (code,p) re-sort (8 passes) collapses into
+  // it, with (code,protein) duplicates deduped inline in the scan. The
+  // final (protein, rank) order needs one stable COUNTING-sort pass by
+  // protein (rank emission order is rank-ascending, stability keeps it).
+  const auto bits_for = [](uint64_t max_val) {
+    int b = 1;
+    while (max_val >> b) ++b;
+    return b;
+  };
+  const int cb = bits_for(universe > 0 ? (uint64_t)(universe - 1) : 0);
+  const int pb = bits_for(n > 0 ? (uint64_t)(n - 1) : 0);
+  if (cb + pb > 64) return -1;  // key would overflow (caller falls back)
+  const uint64_t pmask = (pb == 64) ? ~0ull : ((1ull << pb) - 1);
+  const uint64_t cmask = (cb == 64) ? ~0ull : ((1ull << cb) - 1);
+
   std::vector<uint64_t> keys((size_t)m_total);
   for (int64_t p = 0; p < n; ++p)
     for (int64_t i = offsets[p]; i < offsets[p + 1]; ++i)
-      keys[(size_t)i] = (uint64_t)p * (uint64_t)universe + (uint64_t)codes[i];
+      keys[(size_t)i] = ((uint64_t)codes[i] << pb) | (uint64_t)p;
   std::vector<uint64_t> tmp((size_t)m_total);
-  const uint64_t max_key =
-      n ? (uint64_t)(n - 1) * (uint64_t)universe + (uint64_t)(universe - 1)
-        : 0;
-
-  // (protein, code) sort + dedup — src/main.rs:100-102 for all proteins.
-  radix_sort_u64(keys, tmp, max_key);
-  int64_t m = 0;
-  for (int64_t i = 0; i < m_total; ++i)
-    if (i == 0 || keys[i] != keys[i - 1]) keys[m++] = keys[i];
-  keys.resize((size_t)m);
-  tmp.resize((size_t)m);
-  *nnz = m;
-
-  // code-major order: sort the incidences by code, protein ascending
-  // within a code (stable radix on the full (code, protein) value).
-  for (int64_t i = 0; i < m; ++i) {
-    uint64_t prot = keys[i] / (uint64_t)universe;
-    uint64_t code = keys[i] % (uint64_t)universe;
-    keys[i] = code * (uint64_t)(n ? n : 1) + prot;
-  }
   const uint64_t max_key2 =
-      (uint64_t)(universe - 1) * (uint64_t)(n ? n : 1) + (uint64_t)(n - 1);
-  radix_sort_u64(keys, tmp, max_key2);
+      (((uint64_t)(universe ? universe - 1 : 0)) << pb) |
+      (uint64_t)(n ? n - 1 : 0);
+  radix_sort_u64(keys, tmp, max_key2, /*start_bit=*/pb);
 
-  // linear scan: distinct codes, doc freq, rank assignment for repeated
-  // codes, (protein, rank) incidence emission.
-  int64_t nd = 0, nr = 0, mr = 0;
+  // linear scan over code runs: per-(code,protein) dedup (the
+  // reference's per-protein sort+dedup, src/main.rs:100-102), distinct
+  // codes, document frequency, rank assignment, and (protein, rank)
+  // incidence emission for repeated codes.
+  const int64_t m = m_total;
+  int64_t nd = 0, nr = 0, mr = 0, nnz_all = 0;
   int64_t i = 0;
   while (i < m) {
-    const uint64_t code = keys[i] / (uint64_t)(n ? n : 1);
+    const uint64_t code = keys[i] >> pb;
     int64_t j = i;
-    while (j < m && keys[j] / (uint64_t)(n ? n : 1) == code) ++j;
-    const int64_t freq = j - i;
+    uint64_t prev = ~keys[i];  // != keys[i]
+    int64_t freq = 0;
+    while (j < m && (keys[j] >> pb) == code) {
+      freq += keys[j] != prev;
+      prev = keys[j];
+      ++j;
+    }
+    nnz_all += freq;
     distinct_codes[nd] = (int64_t)code;
     doc_freq[nd] = freq;
     ++nd;
     if (freq >= 2) {
+      prev = ~keys[i];
       for (int64_t t = i; t < j; ++t) {
-        // emit as a packed (protein, rank) key for the final sort
-        const uint64_t prot = keys[t] % (uint64_t)(n ? n : 1);
-        tmp[(size_t)mr] = prot * (uint64_t)universe + (uint64_t)nr;
+        if (keys[t] == prev) continue;  // duplicate (code, protein)
+        prev = keys[t];
+        tmp[(size_t)mr] = ((keys[t] & pmask) << cb) | (uint64_t)nr;
         ++mr;
       }
       ++nr;
@@ -638,15 +654,19 @@ int ukc_index_build(const int64_t* codes, const int64_t* offsets, int64_t n,
   }
   *n_distinct = nd;
   *n_repeated = nr;
+  *nnz = nnz_all;
   *nnz_repeated = mr;
 
-  // final sort by (protein, rank) and split
-  std::vector<uint64_t> inc(tmp.begin(), tmp.begin() + mr);
-  tmp.resize((size_t)mr);
-  radix_sort_u64(inc, tmp, max_key);
+  // stable counting sort by protein: emission order is rank-ascending,
+  // so the result is (protein, rank)-sorted in ONE pass
+  std::vector<int64_t> pstart((size_t)(n + 1), 0);
+  for (int64_t t = 0; t < mr; ++t) ++pstart[(tmp[(size_t)t] >> cb) + 1];
+  for (int64_t p = 0; p < n; ++p) pstart[(size_t)p + 1] += pstart[(size_t)p];
   for (int64_t t = 0; t < mr; ++t) {
-    inc_protein[t] = (int32_t)(inc[(size_t)t] / (uint64_t)universe);
-    inc_rank[t] = (int32_t)(inc[(size_t)t] % (uint64_t)universe);
+    const uint64_t prot = tmp[(size_t)t] >> cb;
+    const int64_t dst = pstart[(size_t)prot]++;
+    inc_protein[dst] = (int32_t)prot;
+    inc_rank[dst] = (int32_t)(tmp[(size_t)t] & cmask);
   }
   return 0;
 }
