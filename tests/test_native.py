@@ -30,6 +30,24 @@ def test_fasta_parse_matches_python(toy_fasta):
     assert np.array_equal(off, py_off)
 
 
+def test_read_fasta_gzipped(toy_fasta, tmp_path):
+    """Gzipped corpora parse identically (magic-sniffed — no .gz
+    extension needed; UniProt ships gzipped)."""
+    import gzip
+
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+
+    gz = tmp_path / "toy.fasta.gz"
+    with open(toy_fasta, "rb") as f:
+        gz.write_bytes(gzip.compress(f.read()))
+    plain = read_fasta(toy_fasta)
+    zipped = read_fasta(str(gz))
+    assert zipped.ids == plain.ids
+    assert np.array_equal(zipped.seq_buf, plain.seq_buf)
+    assert np.array_equal(zipped.offsets, plain.offsets)
+    assert np.array_equal(zipped.amr_class_ids, plain.amr_class_ids)
+
+
 def test_fasta_parse_edge_cases(tmp_path):
     from uniprot_kmer_based_clustering_tpu.io.fasta import parse_fasta_bytes
 

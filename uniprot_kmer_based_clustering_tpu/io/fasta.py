@@ -123,8 +123,20 @@ def parse_fasta_bytes(data: bytes) -> tuple[List[str], np.ndarray, np.ndarray]:
     return ids, seq_buf, np.asarray(offsets, dtype=np.int64)
 
 
+def _read_file_bytes(path: str) -> bytes:
+    """File bytes, transparently gunzipped (magic-sniffed, so a .gz
+    extension is not required — UniProt corpora usually ship gzipped)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    return data
+
+
 def read_fasta(path: str) -> ProteinTable:
-    """Read a protein FASTA into a ProteinTable.
+    """Read a protein FASTA (plain or gzipped) into a ProteinTable.
 
     Uses the native C++ parser when the shared library has been built
     (``native/``), otherwise the numpy fallback — both produce identical
@@ -132,17 +144,16 @@ def read_fasta(path: str) -> ProteinTable:
     """
     from uniprot_kmer_based_clustering_tpu.io import native
 
+    data = _read_file_bytes(path)
     # parse_fasta returns None when the library is unavailable (that is
     # the graceful-degradation case); real parse failures — including its
     # "malformed FASTA" ValueError — must propagate, not silently fall
     # back to a second full read on the numpy path
-    parsed = native.parse_fasta(path)
+    parsed = native.parse_fasta(path, data=data)
 
     if parsed is not None:
         ids, seq_buf, offsets = parsed
     else:
-        with open(path, "rb") as f:
-            data = f.read()
         ids, seq_buf, offsets = parse_fasta_bytes(data)
 
     classes = [_amr_class(pid) for pid in ids]

@@ -137,13 +137,19 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_fasta(path: str) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
-    """Native FASTA parse → (ids, seq_buf, offsets); None when unavailable."""
+def parse_fasta(
+    path: str, data: Optional[bytes] = None
+) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
+    """Native FASTA parse → (ids, seq_buf, offsets); None when
+    unavailable. ``data`` supplies pre-read (e.g. gunzipped) bytes —
+    ``path`` is then only used in error messages."""
     lib = _load()
     if lib is None:
         return None
-    with open(path, "rb") as f:
-        data = np.frombuffer(f.read(), dtype=np.uint8)
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
+    data = np.frombuffer(data, dtype=np.uint8)
     n = _i64(0)
     idb = _i64(0)
     seqb = _i64(0)
