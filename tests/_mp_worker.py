@@ -102,6 +102,23 @@ pairs_k = sharded_extract_pairs(
 )
 assert np.array_equal(pairs_k, np.asarray(pairs)), "k-axis extraction"
 
+# fused pass across the real process boundary: stats + survivors in ONE
+# collective pass (also the only place the multi-host row_stats
+# replicate-before-fetch path runs)
+from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: E402
+    sharded_pairwise_fused,
+)
+
+rs_f, th_f, _, pairs_f = sharded_pairwise_fused(
+    mesh, words, classes, n, 10, block_tile=128
+)
+assert np.array_equal(pairs_f, np.asarray(pairs)), "fused ring pairs"
+agg_f = np.concatenate(
+    [rs_f[:, SUM_LANES].sum(axis=0), rs_f[:, MAX_LANES].max(axis=0)]
+)
+assert np.array_equal(agg_f, agg), "fused ring stats"
+assert np.array_equal(np.asarray(th_f), np.asarray(tile_hits)), "fused hits"
+
 # Hierarchical 2-D ring: host axis = the real process boundary (gloo/DCN
 # analogue), chip axis = the 2 local devices. Must be bit-identical to
 # the flat ring.
