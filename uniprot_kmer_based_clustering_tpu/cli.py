@@ -254,11 +254,14 @@ def cmd_query(args) -> int:
     names = [f"query{i}" for i in range(len(seqs))]
     if args.query_fasta:
         from uniprot_kmer_based_clustering_tpu.io.fasta import (
+            _read_file_bytes,
             parse_fasta_bytes,
         )
 
-        with open(args.query_fasta, "rb") as f:
-            qids, qbuf, qoff = parse_fasta_bytes(f.read())
+        # _read_file_bytes: gzip handled identically to the corpus path
+        qids, qbuf, qoff = parse_fasta_bytes(
+            _read_file_bytes(args.query_fasta)
+        )
         for qi, qid in enumerate(qids):
             names.append(qid)
             # latin-1 round-trips arbitrary residue bytes (anything

@@ -125,14 +125,18 @@ def parse_fasta_bytes(data: bytes) -> tuple[List[str], np.ndarray, np.ndarray]:
 
 def _read_file_bytes(path: str) -> bytes:
     """File bytes, transparently gunzipped (magic-sniffed, so a .gz
-    extension is not required — UniProt corpora usually ship gzipped)."""
+    extension is not required — UniProt corpora usually ship gzipped).
+    The compressed stream is decompressed FROM DISK (gzip.open) so peak
+    memory is the decompressed buffer alone, not compressed+decompressed."""
     with open(path, "rb") as f:
-        data = f.read()
-    if data[:2] == b"\x1f\x8b":
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
         import gzip
 
-        data = gzip.decompress(data)
-    return data
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def read_fasta(path: str) -> ProteinTable:
