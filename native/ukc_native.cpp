@@ -22,9 +22,13 @@
 //
 //   4. k-mer index build — per-protein dedup, global document-frequency
 //      counting, and dense-rank compaction (the semantics of
-//      src/main.rs:77-199 / kmers/index.py::build_index) as two LSD radix
-//      sorts + linear scans. Replaces numpy's comparison sorts on the
-//      host index path — the dominant host stage at 100k+ proteins.
+//      src/main.rs:77-199 / kmers/index.py::build_index) as ONE stable
+//      LSD radix over the code bits (the input is protein-major, so
+//      protein order within a code is free) + inline dedup + a single
+//      counting-sort pass by protein. Replaces numpy's comparison sorts
+//      on the host index path — the dominant host stage at 100k+
+//      proteins (where the ~85 MB/s RAM-write throttle, not the CPU,
+//      bounds it on this box).
 //
 // Build: `make -C native` → native/build/libukc_native.so
 
