@@ -51,7 +51,7 @@ def _cpu_baseline_pairs_per_s(idx, table, n_pairs: float):
         return None
 
     best = float("inf")
-    for _ in range(2):  # best-of-2: the single shared CPU core is noisy
+    for _ in range(3):  # best-of-3: the single shared CPU core is noisy
         t0 = time.perf_counter()
         b = sp.csr_matrix(
             (
@@ -129,7 +129,7 @@ def _main_cpu_fallback(reason: str):
 
     best = float("inf")
     out = None
-    for _ in range(3):  # best-of-3: the single shared core is noisy
+    for _ in range(5):  # best-of-5: the single shared core is noisy ±30%
         t0 = time.perf_counter()
         out = native.sparse_sweep(
             idx.incidence_protein, idx.incidence_rank, table.n,
