@@ -174,7 +174,10 @@ def _main_cpu_fallback(reason: str):
 
 
 def main():
-    probe_timeout = int(os.environ.get("UKC_BENCH_PROBE_TIMEOUT", "300"))
+    # generous default: a slow-but-alive tunnel (cold backend init can
+    # take minutes) should win over a premature CPU fallback; a dead
+    # tunnel still produces the one JSON line after the wait
+    probe_timeout = int(os.environ.get("UKC_BENCH_PROBE_TIMEOUT", "480"))
     reason = _probe_accelerator(probe_timeout)
     if reason is not None:
         _main_cpu_fallback(reason)
