@@ -34,6 +34,37 @@ def test_cli_run_artifacts(toy_fasta, tmp_path, capsys):
         assert len(kmers.split(",")) == scores[(i, j)]
 
 
+def test_cli_all_pairs_stats_match_pairs_tsv(toy_fasta, tmp_path, capsys):
+    """--all-pairs: stats.json counters must track pairs.tsv exactly
+    (round-1 bug: parity_counters() hardcoded the cross-AMR lanes, so an
+    --all-pairs run under-reported pairs_over_threshold)."""
+    out = str(tmp_path / "out_ap")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--all-pairs", "--out", out, "--cpu",
+    ])
+    assert rc == 0
+    parity = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = open(os.path.join(out, "pairs.tsv")).read().strip().splitlines()
+    assert len(rows) - 1 == parity["pairs_over_threshold"]
+    assert parity["max_shared_kmers"] == max(
+        int(r.split("\t")[6]) for r in rows[1:]
+    )
+    # the all-pairs gate is a strict superset of the cross-AMR gate
+    out2 = str(tmp_path / "out_cross")
+    rc = main([
+        "run", toy_fasta, "--engine", "xla", "--threshold", "2",
+        "--out", out2, "--cpu",
+    ])
+    assert rc == 0
+    p_cross = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parity["pairs_over_threshold"] > p_cross["pairs_over_threshold"]
+    cross_rows = set(
+        open(os.path.join(out2, "pairs.tsv")).read().strip().splitlines()[1:]
+    )
+    assert cross_rows <= set(rows[1:])
+
+
 def test_cli_tree_cluster_mode(toy_fasta, tmp_path):
     out = str(tmp_path / "out_tree")
     rc = main([

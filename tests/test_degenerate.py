@@ -93,9 +93,16 @@ def test_all_same_class_filtered_empty(degen_dir):
     assert rep["edges_after_amr_filter"] == 0
     assert rep["pairs_after_merge"] == 0
     assert r.pairwise.pairs.shape[0] == 0
-    # --all-pairs keeps them
+    # --all-pairs keeps them: the counters must track the surfaced pair
+    # list (mode-aware parity_counters — same-class lanes count when the
+    # AMR gate is off)
     r2 = _run(p, cross_amr_only=False)
-    assert r2.parity_report()["pairs_over_threshold"] == 1
+    assert r2.pairwise.pairs.shape[0] == 1
+    assert r2.pairwise.same_over == 1
+    rep2 = r2.parity_report()
+    assert rep2["pairs_over_threshold"] == 1
+    assert rep2["pairs_after_merge"] == 1
+    assert rep2["max_shared_kmers"] == int(r2.pairwise.pairs[0, 2])
 
 
 def test_engines_agree_on_degenerate(degen_dir):

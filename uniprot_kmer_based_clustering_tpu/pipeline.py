@@ -183,7 +183,8 @@ def run_pipeline(
         # so a single-chip checkpoint resumes on any mesh and back)
         s = cached_pairs["stats"]
         pairwise = PairwiseResult(
-            *(int(v) for v in s), pairs=cached_pairs["pairs"]
+            *(int(v) for v in s), pairs=cached_pairs["pairs"],
+            cross_amr_only=config.cross_amr_only,
         )
     else:
         with timers.stage("sweep"):
@@ -303,11 +304,17 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
     # empty FASTA (n=0): lengths.max() raises on a zero-size array — the
     # host path supports this input, so the device engine must too
     lmax = int(lengths.max()) if table.n else 1
+    # one offsets-based scatter builds the padded [N, Lmax] residue
+    # matrix — a per-protein Python loop is O(N) interpreter overhead
+    # that dominates staging at 100k+ proteins
     mat = _np.zeros((table.n, lmax), _np.int32)
     res = residues_to_indices(table.seq_buf)
-    for i in range(table.n):
-        s, e = table.offsets[i], table.offsets[i + 1]
-        mat[i, : e - s] = res[s:e]
+    starts = _np.asarray(table.offsets[:-1], _np.int64)
+    rows = _np.repeat(_np.arange(table.n, dtype=_np.int64), lengths)
+    cols = _np.arange(res.shape[0], dtype=_np.int64) - _np.repeat(
+        starts, lengths
+    )
+    mat[rows, cols] = res
     if config.k == 5:
         words, freq, n_repeated = build_bitset_device(
             mat, lengths, table.n,
@@ -386,7 +393,9 @@ def _sharded_similarity(
             cross_amr_only=config.cross_amr_only,
             k=config.extract_k or None,
         )
-        return PairwiseResult.from_row_stats(row_stats, pairs)
+        return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )
     row_stats, tile_hits, tiles = sweep(
         mesh, words, classes, bitset.n, threshold, block_tile,
         weights=weights,
@@ -419,4 +428,6 @@ def _sharded_similarity(
             else None
         ),
     )
-    return PairwiseResult.from_row_stats(row_stats, pairs)
+    return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )

@@ -278,6 +278,12 @@ class PairwiseResult:
       pairs: int64 [M, 3] — (i, j, shared_count) for surviving pairs,
         sorted by (i, j). With cross_amr_only=False both populations
         survive the gate.
+      cross_amr_only: the gate mode this result was produced under —
+        drives which lanes parity_counters() surfaces (a cross-only run
+        reports the reference's golden cross-AMR counters; an
+        --all-pairs run must count BOTH populations, matching the
+        reference's edge semantics when the filter stage is skipped,
+        src/graph/mod.rs:549-697).
     """
 
     cross_weight: int
@@ -289,9 +295,12 @@ class PairwiseResult:
     same_over: int
     same_max: int
     pairs: np.ndarray
+    cross_amr_only: bool = True
 
     @classmethod
-    def from_row_stats(cls, row_stats, pairs: np.ndarray) -> "PairwiseResult":
+    def from_row_stats(
+        cls, row_stats, pairs: np.ndarray, cross_amr_only: bool = True
+    ) -> "PairwiseResult":
         """Assemble from the engines' canonical [N, 8] row statistics
         (ops.popcount.ROW_STAT_NAMES lane order) — THE single place the
         lane→field mapping lives, so engines cannot drift."""
@@ -308,14 +317,27 @@ class PairwiseResult:
             same_over=int(totals[6]),
             same_max=int(maxes[7]),
             pairs=pairs,
+            cross_amr_only=cross_amr_only,
         )
 
     def parity_counters(self) -> Dict[str, int]:
+        """Counters matching stats.json / the reference's stderr output.
+
+        Mode-aware: with the AMR gate off (--all-pairs) the filter stage
+        is a no-op, so the counters cover cross+same populations — the
+        reported numbers always agree with the surfaced `pairs` list."""
+        if self.cross_amr_only:
+            return {
+                "edges_after_amr_filter": self.cross_weight,
+                "pairs_after_merge": self.cross_pairs,
+                "pairs_over_threshold": self.cross_over,
+                "max_shared_kmers": self.cross_max,
+            }
         return {
-            "edges_after_amr_filter": self.cross_weight,
-            "pairs_after_merge": self.cross_pairs,
-            "pairs_over_threshold": self.cross_over,
-            "max_shared_kmers": self.cross_max,
+            "edges_after_amr_filter": self.cross_weight + self.same_weight,
+            "pairs_after_merge": self.cross_pairs + self.same_pairs,
+            "pairs_over_threshold": self.cross_over + self.same_over,
+            "max_shared_kmers": max(self.cross_max, self.same_max),
         }
 
 
@@ -631,7 +653,9 @@ def _pairwise_native(
             "`make -C native` or pick engine='xla'"
         )
     row_stats, pairs = out
-    return PairwiseResult.from_row_stats(row_stats, pairs)
+    return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )
 
 
 def pairwise_similarity(
@@ -724,7 +748,9 @@ def pairwise_similarity(
                 n=n, threshold=threshold,
                 cross_amr_only=config.cross_amr_only, weights=weights,
             )
-            return PairwiseResult.from_row_stats(row_stats, pairs)
+            return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )
 
         row_stats, tile_hits, tiles = sweep_mxu_stream(
             bitset.words, classes, n=n, threshold=threshold,
@@ -735,7 +761,9 @@ def pairwise_similarity(
             n=n, threshold=threshold,
             cross_amr_only=config.cross_amr_only, weights=weights,
         )
-        return PairwiseResult.from_row_stats(row_stats, pairs)
+        return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )
 
     words = jnp.asarray(bitset.words)
     classes_j = jnp.asarray(classes)
@@ -798,4 +826,6 @@ def pairwise_similarity(
             weights=weights,
         )
 
-    return PairwiseResult.from_row_stats(row_stats, pairs)
+    return PairwiseResult.from_row_stats(
+        row_stats, pairs, cross_amr_only=config.cross_amr_only
+    )
