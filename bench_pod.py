@@ -268,6 +268,8 @@ def main():
     per_chip = n_pairs / dt_mesh / d
     rec = {
         "metric": "ring_sweep_scaling",
+        "value": round(per_chip, 1),
+        "unit": "pairs/s/chip",
         "devices": d,
         "hosts": int(jax.process_count()),
         "mesh": mesh_spec or f"{d}",
@@ -283,6 +285,11 @@ def main():
         rec["scaling_efficiency"] = round(n_pairs / dt_mesh / (d * one_chip), 4)
     if jax.process_index() == 0:
         print(json.dumps(rec))
+        from uniprot_kmer_based_clustering_tpu.utils.artifact import (
+            write_bench_artifact,
+        )
+
+        write_bench_artifact("pod", rec)
 
 
 if __name__ == "__main__":

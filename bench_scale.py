@@ -289,7 +289,7 @@ def main():
     n_pairs = n * (n - 1) / 2.0
     tot = rs.sum(axis=0)
     assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
-    print(json.dumps({
+    rec = {
         "metric": "pairwise_similarity_scale",
         "value": round(n_pairs / t_sweep, 1),
         "unit": "pairs/s/chip",
@@ -306,7 +306,13 @@ def main():
         "device": str(jax.devices()[0]),
         **fused_stats,
         **stream_stats,
-    }))
+    }
+    print(json.dumps(rec))
+    from uniprot_kmer_based_clustering_tpu.utils.artifact import (
+        write_bench_artifact,
+    )
+
+    write_bench_artifact("scale", rec)
 
 
 if __name__ == "__main__":
