@@ -185,8 +185,11 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/ukc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -89,16 +89,16 @@ def main():
 
     import jax
 
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     if on_cpu:
         # smoke-test mode: same gate, XLA:CPU backend (the committed
         # artifact must come from a hardware run — don't set
         # UKC_BENCH_ROUND here)
         jax.config.update("jax_platforms", "cpu")
-
-    jax.config.update(
-        "jax_compilation_cache_dir", "/root/.cache/ukc_jax_cache"
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
     from uniprot_kmer_based_clustering_tpu.io import native, read_fasta

@@ -86,6 +86,12 @@ def main():
 
     import jax
 
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     if os.environ.get("UKC_POD_DISTRIBUTED"):
         from uniprot_kmer_based_clustering_tpu.parallel import (
             init_distributed,

@@ -89,6 +89,12 @@ def main():
             return
 
     import jax
+
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from uniprot_kmer_based_clustering_tpu.kmers import (
@@ -147,11 +153,17 @@ def main():
 
     # two warm-ups (extract ends in real fetches) then best-of-2 — the
     # same discipline as the sweep timings (CLAUDE.md: one warm-up leaks
-    # first-execution residue; tunnel jitter ~±10%)
-    for _ in range(2):
-        pairs = extract_pairs(
-            words, np.asarray(cls), th, tl, n=n, threshold=10
-        )
+    # first-execution residue; tunnel jitter ~±10%). The first call's
+    # time is recorded: cold extraction is compile-dominated and the
+    # cold->warm gap is the number the persistent cache closes.
+    t0 = time.perf_counter()
+    pairs = extract_pairs(
+        words, np.asarray(cls), th, tl, n=n, threshold=10
+    )
+    t_extract_first = time.perf_counter() - t0
+    pairs = extract_pairs(
+        words, np.asarray(cls), th, tl, n=n, threshold=10
+    )
     t_extract = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -303,6 +315,7 @@ def main():
         "cross_amr_pairs": int(tot[1]),
         "pairs_over_threshold": int(tot[2]),
         "extract_seconds": round(t_extract, 1),
+        "extract_first_run_seconds": round(t_extract_first, 1),
         "device": str(jax.devices()[0]),
         **fused_stats,
         **stream_stats,

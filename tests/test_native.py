@@ -506,3 +506,46 @@ def test_pairwise_native_dense_branch_matches_sparse(toy_fasta):
     )
     assert dense.parity_counters() == sparse.parity_counters()
     assert np.array_equal(dense.pairs, sparse.pairs)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/uniprot_arg.fasta"),
+    reason="bundled dataset missing",
+)
+def test_all_pairs_golden_constants_full_dataset():
+    """Dataset-level golden counters for --all-pairs mode (AMR gate off:
+    the reference skipping remove_uninteresting_edges,
+    src/graph/mod.rs:549-697). Consistency anchor: cross+same weighted
+    edges must sum to the 258,621,291 multigraph edges of BASELINE.md —
+    every shared-k-mer occurrence lands in exactly one population."""
+    from uniprot_kmer_based_clustering_tpu.io import read_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        PairwiseResult,
+    )
+
+    table = read_fasta("/root/reference/uniprot_arg.fasta")
+    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    idx = build_index(codes, koff, 5)
+    classes = np.asarray(table.amr_class_ids, np.int32)
+    rs, pairs = native.sparse_sweep(
+        idx.incidence_protein, idx.incidence_rank, table.n,
+        idx.n_repeated, classes, 10, include_same=True,
+    )
+    res = PairwiseResult.from_row_stats(rs, pairs, cross_amr_only=False)
+    # cross lanes: the BASELINE.md goldens
+    assert (res.cross_weight, res.cross_pairs, res.cross_over,
+            res.cross_max) == (5_300_233, 4_350_628, 465, 567)
+    # same-class lanes (computed once, 2026-08-18, native+scipy agree)
+    assert (res.same_weight, res.same_pairs, res.same_over,
+            res.same_max) == (253_321_058, 10_755_128, 5_968_832, 1_039)
+    # conservation: the two populations partition the multigraph
+    assert res.cross_weight + res.same_weight == 258_621_291
+    # mode-aware counters track the surfaced pair list
+    rep = res.parity_counters()
+    assert rep["pairs_over_threshold"] == 465 + 5_968_832
+    assert rep["pairs_over_threshold"] == pairs.shape[0]
+    assert rep["max_shared_kmers"] == 1_039

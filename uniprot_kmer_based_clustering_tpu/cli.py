@@ -204,6 +204,19 @@ def cmd_run(args) -> int:
                     f"{table.lengths[i]}\t{degree[i]}\t{','.join(kmers)}\n"
                 )
 
+    if args.dump_debug:
+        # the reference's stdout Debug dump (src/main.rs:235), in the
+        # literal Rust {:#?} text format; the reference-equivalent full
+        # dump is a --threshold 0 run (io/debug_dump.py)
+        from uniprot_kmer_based_clustering_tpu.io.debug_dump import (
+            rust_debug_dump_to_path,
+        )
+
+        rust_debug_dump_to_path(
+            os.path.join(args.out, "graph_debug.txt"),
+            result.index, pairs, table.n, bitset=result.bitset,
+        )
+
     align_mode = args.align
     if config.run_diamond and align_mode == "none":
         align_mode = "diamond"  # --diamond back-compat
@@ -411,6 +424,11 @@ def main(argv=None) -> int:
     r.add_argument("--dump-proteins", action="store_true",
                    help="write per-protein decoded repeated k-mers + pair "
                         "degree (the reference's protein Debug dump)")
+    r.add_argument("--dump-debug", action="store_true",
+                   help="write graph_debug.txt: the reference's stdout "
+                        "graph dump in the literal Rust {:#?} format "
+                        "(use --threshold 0 for the reference-equivalent "
+                        "full dump)")
     r.add_argument("--cpu", action="store_true", help="force CPU backend")
     r.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "

@@ -36,6 +36,23 @@ def honor_cpu_request() -> bool:
     return True
 
 
+def enable_persistent_cache(path: str = "~/.cache/ukc_jax_cache") -> None:
+    """Point jax at the shared persistent compilation cache.
+
+    Measured through the axon tunnel (2026-08-18): a new-shape compile
+    costs 60-270 s; a cache HIT in a fresh process rehydrates the same
+    executable in ~5 s — the cache DOES short-circuit the remote
+    compile. Every entry point (cli, benches, scripts) must call this
+    before first compile so round-over-round runs stay warm.
+    """
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser(path)
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def probe_accelerator(timeout_s: Optional[int] = None) -> Optional[str]:
     """None when the default backend initializes to an accelerator, else
     a reason string (tunnel down / timeout / cpu-only host)."""
