@@ -325,7 +325,7 @@ def main():
         write_bench_artifact,
     )
 
-    write_bench_artifact("scale", rec)
+    write_bench_artifact(f"scale{n // 1000}k", rec)
 
 
 if __name__ == "__main__":
