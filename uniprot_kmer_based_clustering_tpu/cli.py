@@ -12,7 +12,8 @@ Here:
       [--devices N] [--mesh-shape HxC] [--shard-axis {rows,kmers}]
       [--distributed] [--align {none,diamond,sw,auto}] [--all-pairs]
       [--checkpoint-dir DIR] [--out DIR] [--dump-kmers]
-      [--dump-proteins] [--profile DIR] [--cpu] [--verbose]
+      [--dump-proteins] [--dump-debug] [--profile DIR] [--cpu]
+      [--verbose]
 
 writes structured artifacts to --out: pairs.tsv, clusters.tsv,
 dendrogram.tsv (agglomerative), stats.json (parity counters +
