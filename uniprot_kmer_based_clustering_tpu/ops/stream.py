@@ -60,7 +60,7 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
 class StreamCandidates:
     """Survivor candidates drained from a fused streaming sweep.
 
-    ``pairs`` (int64 [M, 3]) are complete for every tile whose exact hit
+    ``pairs`` (int32 [M, 3]) are complete for every tile whose exact hit
     count is ≤ ``k``; ``include_same`` records the candidate mask the
     sweep used (the extract side asserts consistency, mirroring the
     in-core ``FusedCandidates`` contract)."""
@@ -195,7 +195,7 @@ def sweep_mxu_stream(
     ``words_host.shape[0]`` (rows padded to a ``bs`` multiple; padding
     rows carry zero stats).
 
-    With ``fused_k`` > 0 a 4th element is returned: int64 ``[M, 3]``
+    With ``fused_k`` > 0 a 4th element is returned: int32 ``[M, 3]``
     candidate survivors, drained from each step's per-sub-tile top-k
     inside the in-flight window (so candidate buffers never accumulate
     on device). Candidates of a sub-tile whose exact hit count exceeds
@@ -288,7 +288,7 @@ def sweep_mxu_stream(
             m = bc >= 0
             if m.any():
                 cand_parts.append(
-                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64)
+                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int32)
                 )
 
     for s0 in range(0, nbk, g):
@@ -331,7 +331,7 @@ def sweep_mxu_stream(
         pairs=(
             np.concatenate(cand_parts, axis=0)
             if cand_parts
-            else np.zeros((0, 3), np.int64)
+            else np.zeros((0, 3), np.int32)
         ),
         k=fused_k,
         include_same=fused_same,
@@ -402,7 +402,7 @@ def extract_pairs_stream_fused(
         )
 
     if not parts:
-        return np.zeros((0, 3), dtype=np.int64)
+        return np.zeros((0, 3), dtype=np.int32)
     pairs = np.concatenate(parts, axis=0)
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     return pairs[order]
@@ -413,6 +413,7 @@ def extract_pairs_stream_fused(
     static_argnames=("tile", "weighted", "cross_amr_only", "k"),
 )
 def _extract_stream_topk(
+    gbi, gbj, gbc, cursor,  # global pair buffers (pairwise idiom)
     wa,        # uint32 [B, tile, W] stacked row windows (i side)
     wb,        # uint32 [B, tile, W] stacked row windows (j side)
     ca,        # int32 [B, tile]
@@ -429,10 +430,14 @@ def _extract_stream_topk(
     cross_amr_only: bool,
     k: int,
 ):
-    """Recompute a batch of hit tiles from STACKED operands and compact
+    """Recompute a batch of hit tiles from STACKED operands, compact
     survivors per tile with ``lax.top_k`` (the extract_pairs idiom, with
     the row windows shipped from host instead of sliced from a resident
-    matrix). Returns (gi, gj, cnt) int32 [B, k]; unused slots cnt −1."""
+    matrix), and append them to the global buffers. Returns updated
+    (gbi, gbj, gbc, cursor)."""
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _accumulate_topk,
+    )
 
     def step(carry, idx):
         counts = _counts_window_pair(
@@ -451,21 +456,23 @@ def _extract_stream_topk(
         return carry, (bi[0], bj[0], bc[0])  # one tile == one sub-tile
 
     _, (bi, bj, bc) = jax.lax.scan(step, 0, jnp.arange(wa.shape[0]))
-    return bi, bj, bc
+    return _accumulate_topk(gbi, gbj, gbc, cursor, bi, bj, bc)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "weighted", "cross_amr_only", "cap"),
+    static_argnames=("tile", "weighted", "cross_amr_only"),
 )
 def _extract_stream_scatter(
+    gbi, gbj, gbc, cursor,
     wa, wb, ca, cb, weights, gi0s, gj0s, valid_t, n, threshold,
-    *, tile: int, weighted: bool, cross_amr_only: bool, cap: int,
+    *, tile: int, weighted: bool, cross_amr_only: bool,
 ):
-    """Ultra-dense-tile variant: cumsum+scatter compaction into one
-    fixed-capacity buffer (the in-core ``_extract_batch`` idiom — top_k
-    at k near the tile area is the slow path, pairwise.py TOPK_CAP).
-    Returns (gi [cap], gj [cap], cnt [cap], count)."""
+    """Ultra-dense-tile variant: cumsum+scatter compaction into the
+    global buffers (the in-core ``_extract_batch`` idiom — top_k at k
+    near the tile area is the slow path, pairwise.py TOPK_CAP).
+    Returns updated (gbi, gbj, gbc, cursor)."""
+    vcap = gbi.shape[0]
 
     def step(carry, idx):
         cursor, bi, bj, bc = carry
@@ -479,18 +486,17 @@ def _extract_stream_scatter(
         mask = (counts > threshold) & (gi < gj) & (gj < n) & valid_t[idx]
         if cross_amr_only:
             mask &= ca[idx][:, None] != cb[idx][None, :]
-        pos, kept = compact_positions(mask.ravel(), cap, cursor)
+        pos, kept = compact_positions(mask.ravel(), vcap, cursor)
         opts = dict(mode="drop", unique_indices=True)
         bi = bi.at[pos].set(gi.ravel(), **opts)
         bj = bj.at[pos].set(gj.ravel(), **opts)
         bc = bc.at[pos].set(counts.ravel(), **opts)
         return (cursor + kept, bi, bj, bc), None
 
-    z = jnp.zeros(cap, jnp.int32)
-    (cursor, bi, bj, bc), _ = jax.lax.scan(
-        step, (jnp.int32(0), z, z, z), jnp.arange(wa.shape[0])
+    (cursor, gbi, gbj, gbc), _ = jax.lax.scan(
+        step, (cursor, gbi, gbj, gbc), jnp.arange(wa.shape[0])
     )
-    return bi, bj, bc, cursor
+    return gbi, gbj, gbc, cursor
 
 
 def extract_pairs_stream(
@@ -542,7 +548,7 @@ def extract_pairs_stream(
         hits_per_tile = hits_per_tile + tile_hits[:, 1]
     hit_tiles = np.nonzero(want)[0]
     if len(hit_tiles) == 0:
-        return np.zeros((0, 3), dtype=np.int64)
+        return np.zeros((0, 3), dtype=np.int32)
 
     weighted = weights is not None
     wts = jnp.asarray(
@@ -580,30 +586,27 @@ def extract_pairs_stream(
             jnp.int32(n), jnp.int32(threshold),
         )
 
-    out = []
-    pending = []  # (kind, device_result) — bounded in-flight window
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _finalize_pairs,
+        _new_pair_buffers,
+        _vcap_bucket,
+    )
+
+    total = int(hits_per_tile[hit_tiles].sum())
+    buffers = _new_pair_buffers(_vcap_bucket(total))
+    pending = []  # per-batch cursor probes — bounded in-flight window
 
     def _drain(limit):
         # each pending batch holds two [batch, tile, W] operand stacks on
         # device; without this bound the dispatch loop would enqueue
         # every batch's uploads at once (the sweep's probe-window
-        # rationale — nothing else backpressures the queue)
+        # rationale — nothing else backpressures the queue). Survivors
+        # accumulate in the on-device global buffers (the pairwise
+        # finalize fetches them ONCE, device-sorted — the former
+        # per-batch numpy drain cost 70-90 s at 18.6M pairs on this
+        # ~85 MB/s-write host), so the probe is just the batch cursor.
         while len(pending) > limit:
-            kind, res = pending.pop(0)
-            if kind == "topk":
-                bi, bj, bc = jax.device_get(res)
-                m = bc >= 0
-                out.append(
-                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int64)
-                )
-            else:
-                bi, bj, bc, cnt = jax.device_get(res)
-                m = int(cnt)
-                out.append(
-                    np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(
-                        np.int64
-                    )
-                )
+            jax.device_get(pending.pop(0))
 
     hcounts = hits_per_tile[hit_tiles]
     sparse = hit_tiles[hcounts <= TOPK_CAP]
@@ -614,46 +617,27 @@ def extract_pairs_stream(
     for lo in range(0, len(sparse), batch):
         gsel = sparse[lo : lo + batch]
         k = bucket_pow2(hits_per_tile[gsel].max(), 512, tile * tile)
-        pending.append(
-            (
-                "topk",
-                _extract_stream_topk(
-                    *_stack(gsel),
-                    tile=tile, weighted=weighted,
-                    cross_amr_only=cross_amr_only, k=k,
-                ),
-            )
+        buffers = _extract_stream_topk(
+            *buffers,
+            *_stack(gsel),
+            tile=tile, weighted=weighted,
+            cross_amr_only=cross_amr_only, k=k,
         )
+        pending.append(buffers[3])
         _drain(inflight)
 
     if len(dense):
-        # ultra-dense tiles (threshold-0 full dumps): the scatter buffer,
-        # grouped so each scan group's survivors fit one cap buffer
-        cap = max(1 << 18, tile * tile)
-        groups = []
-        cur, cur_hits = [], 0
-        for t in dense:
-            h = int(hits_per_tile[t])
-            if cur and (len(cur) == batch or cur_hits + h > cap):
-                groups.append(cur)
-                cur, cur_hits = [], 0
-            cur.append(t)
-            cur_hits += h
-        groups.append(cur)
-        for g in groups:
-            pending.append(
-                (
-                    "scatter",
-                    _extract_stream_scatter(
-                        *_stack(np.asarray(g)),
-                        tile=tile, weighted=weighted,
-                        cross_amr_only=cross_amr_only, cap=cap,
-                    ),
-                )
+        # ultra-dense tiles (threshold-0 full dumps): the scatter path
+        for lo in range(0, len(dense), batch):
+            g = dense[lo : lo + batch]
+            buffers = _extract_stream_scatter(
+                *buffers,
+                *_stack(np.asarray(g)),
+                tile=tile, weighted=weighted,
+                cross_amr_only=cross_amr_only,
             )
+            pending.append(buffers[3])
             _drain(inflight)
 
     _drain(0)
-    pairs = np.concatenate(out, axis=0)
-    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-    return pairs[order]
+    return _finalize_pairs(buffers, total)

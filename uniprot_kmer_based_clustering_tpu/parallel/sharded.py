@@ -233,9 +233,30 @@ def _stage_inputs_kaxis(mesh, words, classes, weights, axis, block_tile):
     return words_s, classes_s, weights_s, weighted
 
 
-def _pairs_from_buffers(bi, bj, bc, m, cap, expected_total=None):
-    """Shared compacted-buffer epilogue: overflow/shortfall checks +
-    canonical (i, j)-sorted pair list."""
+@jax.jit
+def _sort_pair_buffers(bi, bj, bc, total):
+    """Device-side pair finalize for the compacted [cap] buffers: mask
+    the unoccupied tail to sentinels, sort by (i, j), stack the [cap, 3]
+    int32 matrix. The host then slices a zero-copy view — the former
+    numpy stack/astype/lexsort epilogue cost tens of seconds at
+    dense-homology scale on this ~85 MB/s-write host, vs ~0.13 s for
+    the on-chip sort."""
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    m = jnp.arange(bi.shape[0], dtype=jnp.int32) >= total[0]
+    si, sj, sc = jax.lax.sort(
+        (
+            jnp.where(m, imax, bi),
+            jnp.where(m, imax, bj),
+            jnp.where(m, -1, bc),
+        ),
+        num_keys=2,
+    )
+    return jnp.stack([si, sj, sc], axis=1)
+
+
+def _pairs_from_buffers(arr, m, cap, expected_total=None):
+    """Shared compacted-buffer epilogue: overflow/shortfall checks + a
+    zero-copy view of the device-sorted pair prefix."""
     if m > cap:
         raise ValueError(
             f"sharded extraction overflow: {m} pairs > cap={cap}; "
@@ -246,9 +267,7 @@ def _pairs_from_buffers(bi, bj, bc, m, cap, expected_total=None):
             f"sharded extraction found {m} pairs, sweep stats promised "
             f"{expected_total} (tile_cap too small?)"
         )
-    pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
-    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-    return pairs[order]
+    return arr[:m]
 
 
 @functools.lru_cache(maxsize=None)
@@ -663,12 +682,11 @@ def sharded_extract_pairs(
             mesh, n, threshold, cap, block_tile, "k", weighted,
             cross_amr_only, k=k,
         )
-        bi, bj, bc, cursor = jax.device_get(
-            fn(words_s, classes_s, weights_s)
+        bi, bj, bc, cursor = fn(words_s, classes_s, weights_s)
+        arr, m = jax.device_get(
+            (_sort_pair_buffers(bi, bj, bc, cursor), cursor)
         )
-        return _pairs_from_buffers(
-            bi, bj, bc, int(cursor[0]), cap, expected_total
-        )
+        return _pairs_from_buffers(arr, int(m[0]), cap, expected_total)
     assert n_pad % (d_count * block_tile) == 0, (
         f"N_pad={n_pad} must be divisible by devices×block_tile="
         f"{d_count * block_tile}"
@@ -694,10 +712,11 @@ def sharded_extract_pairs(
     # outputs are replicated (the in-program cursor all-gather + disjoint
     # scatter + psum concatenates every device's occupied prefix), so the
     # fetch is ~12 bytes per surviving pair — multi-process included
-    bi, bj, bc, total = jax.device_get(fn(words_s, classes_s, weights_s))
-    return _pairs_from_buffers(
-        bi, bj, bc, int(total[0]), cap, expected_total
+    bi, bj, bc, total = fn(words_s, classes_s, weights_s)
+    arr, m = jax.device_get(
+        (_sort_pair_buffers(bi, bj, bc, total), total)
     )
+    return _pairs_from_buffers(arr, int(m[0]), cap, expected_total)
 
 
 # memoized: each maker returns a fresh jitted closure, and jax's jit
@@ -880,11 +899,14 @@ def sharded_pairwise_fused(
                 block_tile=block_tile, k=k,
             )
     row_stats, hits, bi, bj, bc, kept = fn(words_s, classes_s, weights_s)
-    # ONE batched fetch for every output of the already-dispatched pass
-    # (each synchronizing readback costs a ~30 ms tunnel round trip)
+    # sort/stack the candidate buffers on device (~0.13 s) so the happy
+    # path needs no host epilogue, then ONE batched fetch for every
+    # output of the already-dispatched pass (each synchronizing readback
+    # costs a ~30 ms tunnel round trip)
+    arr = _sort_pair_buffers(bi, bj, bc, kept)
     row_stats = _replicate_row_stats(mesh, row_stats)
-    row_stats, hits, bi, bj, bc, kept = jax.device_get(
-        (row_stats, hits, bi, bj, bc, kept)
+    row_stats, hits, arr, kept = jax.device_get(
+        (row_stats, hits, arr, kept)
     )
     row_stats, tile_hits, tiles = _convert_sweep_host(
         row_stats, hits, n_pad, block_tile
@@ -896,9 +918,7 @@ def sharded_pairwise_fused(
     total = int(per_tile.sum())
     m = int(kept[0])
     if m == total and m <= cap:
-        pairs = np.stack([bi[:m], bj[:m], bc[:m]], axis=1).astype(np.int64)
-        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-        return row_stats, tile_hits, tiles, pairs[order]
+        return row_stats, tile_hits, tiles, arr[:m]
     # capacity guess missed (dropped sub-tiles or cap overflow): redo
     # extraction exactly, sized from the now-known tile hits
     pairs = sharded_extract_pairs(
