@@ -36,6 +36,26 @@ GOLDEN = {
     "pairs_over_threshold": 465,
     "max_shared_kmers": 567,
 }
+# 7-mer config (BASELINE config #2; src/tree.rs:96-102 k∈{5,7}):
+# constants derived from the scipy oracle (tests/test_pipeline.py
+# test_golden_full_dataset_7mer) — Σ shared 7-mers over cross-AMR pairs,
+# distinct cross pairs, pairs over the >10 gate, max shared.
+GOLDEN_K7 = {
+    "edges_after_amr_filter": 99_250,
+    "pairs_after_merge": 22_732,
+    "pairs_over_threshold": 463,
+    "max_shared_kmers": 565,
+}
+# BLOSUM62-weighted config (BASELINE config #3; src/blosum.rs): weights
+# are strictly positive so the pair support equals the unweighted run;
+# the gate is threshold × mean rank weight
+# (tests/test_blosum.py test_golden_weighted_full_dataset).
+GOLDEN_WEIGHTED = {
+    "edges_after_amr_filter": 124_363_524,
+    "pairs_after_merge": 4_350_628,
+    "pairs_over_threshold": 465,
+    "max_shared_kmers": 14_781,
+}
 
 # (name, config overrides). Order matters: the first entry is the
 # reference result the others must match bit-for-bit.
@@ -213,7 +233,81 @@ def main():
                 "parity": f"ERROR: {type(e).__name__}: {e}"
             }
 
-    total = len([n for n, _ in ENGINES]) + 1  # + stats epilogue pair
+    # BASELINE configs #2 (7-mer path, src/tree.rs:96-102) and #3
+    # (BLOSUM62-weighted, src/blosum.rs) gated on the same hardware
+    # pass. Bundled dataset only (the gates are dataset constants);
+    # skipped in CPU smoke mode — the dense 7-mer sweep costs minutes on
+    # one XLA:CPU core and both configs are CPU-covered by
+    # tests/test_pipeline.py::test_golden_full_dataset_7mer and
+    # tests/test_blosum.py::test_golden_weighted_full_dataset.
+    extra_gates = ("mxu_7mer", "mxu_weighted")
+    if on_cpu or golden is None:
+        for name in extra_gates:
+            engines[name] = {"parity": "skipped (hardware+dataset gate)"}
+            golden_count += 1
+    else:
+        try:
+            t0 = time.perf_counter()
+            codes7, koff7 = encode_kmers(table.seq_buf, table.offsets, 7)
+            idx7 = build_index(codes7, koff7, 7)
+            bitset7 = pack_bitsets(
+                idx7.incidence_protein,
+                idx7.incidence_rank,
+                table.n,
+                idx7.n_repeated,
+                row_multiple=512,
+            )
+            res7 = pairwise_similarity(
+                bitset7, classes, PipelineConfig(k=7, engine="mxu"),
+                index=idx7,
+            )
+            rec = {"cold_s": round(time.perf_counter() - t0, 3)}
+            got7 = res7.parity_counters()
+            ok7 = (
+                got7 == GOLDEN_K7
+                and res7.pairs.shape[0] == GOLDEN_K7["pairs_over_threshold"]
+            )
+            rec["parity"] = (
+                "golden-exact" if ok7 else f"MISMATCH: {got7}"
+            )
+            golden_count += int(ok7)
+        except Exception as e:  # noqa: BLE001
+            rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
+        engines["mxu_7mer"] = rec
+
+        try:
+            from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+                rank_weights_int8,
+            )
+
+            t0 = time.perf_counter()
+            wts = rank_weights_int8(
+                idx.repeated_codes, 5, bitset.w_pad * 32
+            )
+            resw = pairwise_similarity(
+                bitset,
+                classes,
+                PipelineConfig(weighting="blosum62"),
+                weights=wts,
+                index=idx,
+            )
+            rec = {"cold_s": round(time.perf_counter() - t0, 3)}
+            gotw = resw.parity_counters()
+            okw = (
+                gotw == GOLDEN_WEIGHTED
+                and resw.pairs.shape[0]
+                == GOLDEN_WEIGHTED["pairs_over_threshold"]
+            )
+            rec["parity"] = (
+                "golden-exact" if okw else f"MISMATCH: {gotw}"
+            )
+            golden_count += int(okw)
+        except Exception as e:  # noqa: BLE001
+            rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
+        engines["mxu_weighted"] = rec
+
+    # + stats epilogue pair + the k=7 and weighted config gates
+    total = len([n for n, _ in ENGINES]) + 1 + len(extra_gates)
     line = {
         "metric": "engine_parity",
         "value": float(golden_count),

@@ -148,7 +148,18 @@ def main():
     weights = np.ones(bitset.w_pad * 32, np.int8)
     n_pairs = table.n * (table.n - 1) / 2.0
 
-    def run_mesh(mesh, axes):
+    # stage the packed matrix onto the mesh ONCE (same as the pipeline):
+    # every sweep/extract/fused call below then passes the committed
+    # arrays straight through its internal device_put — without this the
+    # warm loops each re-pay the ~4.4 s 307 MB host→device upload, which
+    # is harness overhead, not the measured engine
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        stage_mesh_inputs,
+    )
+
+    words_st, classes_st = stage_mesh_inputs(mesh, bitset.words, classes)
+
+    def run_mesh(mesh, axes, words_in, classes_in):
         # the library's own staging + replicate helpers (one multi-host
         # staging fix there reaches this harness automatically)
         from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
@@ -159,7 +170,7 @@ def main():
         row_spec = P(axes if len(axes) > 1 else axes[0], None)
         cls_spec = P(axes if len(axes) > 1 else axes[0])
         words_s, classes_s, weights_s, _ = _stage_inputs(
-            mesh, bitset.words, classes, weights, row_spec, cls_spec
+            mesh, words_in, classes_in, weights, row_spec, cls_spec
         )
         if len(axes) > 1:
             raw = make_ring_sweep_2d(
@@ -186,7 +197,7 @@ def main():
         )
         return dt, got, int(np.asarray(hits)[..., 0].max())
 
-    dt_mesh, got, tile_cap = run_mesh(mesh, axes)
+    dt_mesh, got, tile_cap = run_mesh(mesh, axes, words_st, classes_st)
     if got != GOLDEN:
         _fail(f"golden parity FAILED: {got}")
         return
@@ -204,13 +215,13 @@ def main():
     # is a real fetch), then best-of-2 timed
     for _ in range(2):
         pairs = sharded_extract_pairs(
-            mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+            mesh, words_st, classes_st, table.n, 10, **extract_kwargs
         )
     t_extract = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         pairs = sharded_extract_pairs(
-            mesh, bitset.words, classes, table.n, 10, **extract_kwargs
+            mesh, words_st, classes_st, table.n, 10, **extract_kwargs
         )
         t_extract = min(t_extract, time.perf_counter() - t0)
     if len(pairs) != GOLDEN[2] or int(pairs[:, 2].max()) != GOLDEN[3]:
@@ -235,13 +246,13 @@ def main():
         )
         for _ in range(2):  # compile + warm, each fetch-synced inside
             out = sharded_pairwise_fused(
-                mesh, bitset.words, classes, table.n, 10, **fused_kwargs
+                mesh, words_st, classes_st, table.n, 10, **fused_kwargs
             )
         t_fused = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             out = sharded_pairwise_fused(
-                mesh, bitset.words, classes, table.n, 10, **fused_kwargs
+                mesh, words_st, classes_st, table.n, 10, **fused_kwargs
             )
             t_fused = min(t_fused, time.perf_counter() - t0)
         rs_f, _, _, pairs_f = out
@@ -266,7 +277,9 @@ def main():
     elif d == 1:
         one_chip = n_pairs / dt_mesh
     elif jax.process_count() == 1:
-        dt_one, _, _ = run_mesh(make_mesh(1), ("p",))
+        # the 1-chip reference runs on its own mesh: stage fresh (numpy)
+        # inputs for it rather than cross-mesh transfers
+        dt_one, _, _ = run_mesh(make_mesh(1), ("p",), bitset.words, classes)
         one_chip = n_pairs / dt_one
     else:
         one_chip = None
