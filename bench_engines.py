@@ -154,9 +154,13 @@ def main():
     ref_counters = None
     engines = {}
     golden_count = 0
+    skipped = 0  # gates not executed this run: excluded from the score
+    # (a skip is neither a pass nor a failure — counting it either way
+    # misstates the evidence)
     for name, over in ENGINES:
         if name == "native_cpp" and not native.available():
             engines[name] = {"parity": "skipped (native lib not built)"}
+            skipped += 1
             continue
         config = PipelineConfig(**over)
         rec = {}
@@ -164,11 +168,19 @@ def main():
             t0 = time.perf_counter()
             res = pairwise_similarity(bitset, classes, config, index=idx)
             rec["cold_s"] = round(time.perf_counter() - t0, 3)
-            # warm repeat: compile amortized; streaming engines still pay
-            # the full host->device matrix transfer each pass (by design)
-            t0 = time.perf_counter()
-            res2 = pairwise_similarity(bitset, classes, config, index=idx)
-            rec["warm_s"] = round(time.perf_counter() - t0, 3)
+            # warm repeats, best-of-2: the tunnel occasionally stalls a
+            # single fetch for minutes (CLAUDE.md), and one stalled rep
+            # must not misrepresent a healthy engine in the committed
+            # artifact. Streaming engines still pay the full
+            # host->device matrix transfer each pass (by design).
+            warm = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res2 = pairwise_similarity(
+                    bitset, classes, config, index=idx
+                )
+                warm = min(warm, time.perf_counter() - t0)
+            rec["warm_s"] = round(warm, 3)
         except Exception as e:  # noqa: BLE001 — a broken engine must not
             # hide the other engines' evidence
             rec["parity"] = f"ERROR: {type(e).__name__}: {e}"
@@ -197,7 +209,7 @@ def main():
         engines["stats_pallas_vs_xla"] = {
             "parity": "skipped (hardware-only check)"
         }
-        golden_count += 1
+        skipped += 1
     else:
         try:
             from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
@@ -244,7 +256,7 @@ def main():
     if on_cpu or golden is None:
         for name in extra_gates:
             engines[name] = {"parity": "skipped (hardware+dataset gate)"}
-            golden_count += 1
+            skipped += 1
     else:
         try:
             t0 = time.perf_counter()
@@ -306,14 +318,16 @@ def main():
             rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
         engines["mxu_weighted"] = rec
 
-    # + stats epilogue pair + the k=7 and weighted config gates
-    total = len([n for n, _ in ENGINES]) + 1 + len(extra_gates)
+    # + stats epilogue pair + the k=7 and weighted config gates;
+    # skipped gates drop out of the denominator
+    total = len([n for n, _ in ENGINES]) + 1 + len(extra_gates) - skipped
     line = {
         "metric": "engine_parity",
         "value": float(golden_count),
         "unit": "engines",
         "vs_baseline": round(golden_count / total, 3),
         "engines_total": total,
+        "engines_skipped": skipped,
         "pairs_over_threshold": (
             int(ref_pairs.shape[0]) if ref_pairs is not None else 0
         ),
@@ -321,7 +335,10 @@ def main():
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(line))
-    _write_artifact(line)
+    if not on_cpu:
+        # the committed artifact is hardware evidence; a CPU smoke run
+        # must never overwrite it
+        _write_artifact(line)
 
 
 if __name__ == "__main__":

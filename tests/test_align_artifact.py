@@ -38,8 +38,8 @@ def test_artifact_rows_and_schema():
         cols = ln.split("\t")
         assert len(cols) == 12
         # qlen/slen/qstart/qend/sstart/send/length integers; pident float
-        for c in cols[1:9][: 3]:
-            int(cols[1]); int(cols[3])
+        for c in (cols[1], cols[3], *cols[4:9]):
+            int(c)
         assert 0.0 < float(cols[9]) <= 100.0
         float(cols[10]); float(cols[11])
 

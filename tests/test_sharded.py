@@ -596,3 +596,52 @@ def test_fused_2d_and_kaxis_fallback_stay_exact():
         block_tile=128, k=0, cap=64,
     )
     assert np.array_equal(px, ps_k)
+
+
+def test_stage_mesh_inputs_pass_through_all_layouts():
+    """stage_mesh_inputs stages once; the wrappers' internal device_put
+    must pass the committed arrays through unchanged (no re-upload) and
+    produce bit-identical results to raw numpy inputs on every layout.
+    The no-op property is what makes the pipeline's one-time staging
+    worth anything: jax.device_put with an identical NamedSharding must
+    return the same committed buffers."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh,
+        make_mesh_2d,
+        sharded_extract_pairs,
+        sharded_pairwise_similarity,
+        sharded_pairwise_similarity_2d,
+        sharded_pairwise_similarity_kaxis,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+        stage_mesh_inputs,
+    )
+
+    bs, classes, n = _problem(1024)
+    layouts = [
+        (make_mesh(4), sharded_pairwise_similarity),
+        (make_mesh_2d(2, 2), sharded_pairwise_similarity_2d),
+        (make_mesh(4, axis="k"), sharded_pairwise_similarity_kaxis),
+    ]
+    for mesh, sweep in layouts:
+        rs_np, th_np, tl_np = sweep(
+            mesh, bs.words, classes, n, THR, block_tile=128
+        )
+        words_s, classes_s = stage_mesh_inputs(mesh, bs.words, classes)
+        # the staged arrays already carry the wrapper's sharding — a
+        # second device_put must be the no-op fast path
+        assert (
+            jax.device_put(words_s, words_s.sharding) is words_s
+        ), "device_put with identical sharding should pass through"
+        rs_s, th_s, tl_s = sweep(
+            mesh, words_s, classes_s, n, THR, block_tile=128
+        )
+        assert np.array_equal(rs_np, rs_s)
+        assert np.array_equal(th_np, th_s)
+        p_np = sharded_extract_pairs(
+            mesh, bs.words, classes, n, THR, block_tile=128
+        )
+        p_s = sharded_extract_pairs(
+            mesh, words_s, classes_s, n, THR, block_tile=128
+        )
+        assert np.array_equal(p_np, p_s)

@@ -58,10 +58,13 @@ def _init_jax(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/ukc_jax_cache"),
+    # the one shared persistent-cache setup (path + min-compile-time
+    # pin) — utils.accel owns it so the CLI and every bench stay in sync
+    from uniprot_kmer_based_clustering_tpu.utils.accel import (
+        enable_persistent_cache,
     )
+
+    enable_persistent_cache()
 
 
 def cmd_run(args) -> int:

@@ -59,10 +59,12 @@ def write_rust_debug_dump(
         order = np.lexsort((pairs[:, 1], pairs[:, 0], owner))
     else:
         order = np.arange(0)
+    # vectorized degrees: a per-pair Python loop is 4.35M interpreter
+    # iterations on the bundled full dump
     degree = np.zeros(n, np.int64)
-    for i, j in pairs[:, :2]:
-        degree[int(i)] += 1
-        degree[int(j)] += 1
+    if len(pairs):
+        degree += np.bincount(pairs[:, 0], minlength=n)[:n]
+        degree += np.bincount(pairs[:, 1], minlength=n)[:n]
 
     if header:
         out.write("Graph right now:\n")

@@ -33,8 +33,12 @@ class BitsetMatrix:
     words: np.ndarray  # uint32 [N_pad, W_pad]
     n: int             # true protein count
     n_bits: int        # true k-mer (rank-space) count
+    # init=False: the cache must NOT survive dataclasses.replace(...,
+    # words=other) — a carried-over device array for the OLD words would
+    # silently sweep the wrong matrix. replace() re-runs __init__, which
+    # resets an init=False field to its default.
     _device_words: object = dataclasses.field(
-        default=None, repr=False, compare=False
+        default=None, init=False, repr=False, compare=False
     )
 
     def device_words(self):

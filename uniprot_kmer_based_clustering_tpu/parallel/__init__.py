@@ -20,4 +20,5 @@ from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     sharded_pairwise_similarity,
     sharded_pairwise_similarity_2d,
     sharded_pairwise_similarity_kaxis,
+    stage_mesh_inputs,
 )

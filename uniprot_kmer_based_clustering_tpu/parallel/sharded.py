@@ -279,22 +279,22 @@ def _stage_inputs_kaxis(mesh, words, classes, weights, axis, block_tile):
 @jax.jit
 def _sort_pair_buffers(bi, bj, bc, total):
     """Device-side pair finalize for the compacted [cap] buffers: mask
-    the unoccupied tail to sentinels, sort by (i, j), stack the [cap, 3]
-    int32 matrix. The host then slices a zero-copy view — the former
-    numpy stack/astype/lexsort epilogue cost tens of seconds at
-    dense-homology scale on this ~85 MB/s-write host, vs ~0.13 s for
-    the on-chip sort."""
-    imax = jnp.int32(np.iinfo(np.int32).max)
-    m = jnp.arange(bi.shape[0], dtype=jnp.int32) >= total[0]
-    si, sj, sc = jax.lax.sort(
-        (
-            jnp.where(m, imax, bi),
-            jnp.where(m, imax, bj),
-            jnp.where(m, -1, bc),
-        ),
-        num_keys=2,
+    the unoccupied tail to the shared sentinels, then delegate to the
+    single-chip finalize (similarity.pairwise._sort_pairs) — ONE
+    implementation of the sentinel convention and the
+    sort-by-(i,j)+stack epilogue keeps the sharded and single-chip
+    extractors' bit-identity invariant in one place."""
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _IMAX,
+        _sort_pairs,
     )
-    return jnp.stack([si, sj, sc], axis=1)
+
+    m = jnp.arange(bi.shape[0], dtype=jnp.int32) >= total[0]
+    return _sort_pairs(
+        jnp.where(m, _IMAX, bi),
+        jnp.where(m, _IMAX, bj),
+        jnp.where(m, -1, bc),
+    )
 
 
 def _pairs_from_buffers(arr, m, cap, expected_total=None):
