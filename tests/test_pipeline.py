@@ -326,6 +326,31 @@ def test_query_serving_matches_pipeline(toy_fasta):
         for mm, dm in zip(mq.query(batch, threshold=1), one_dev):
             assert np.array_equal(mm, dm), d
 
+    # hit-compacted serving epilogue: capacity 1 must detect overflow on
+    # any multi-hit query and fall back to the exact full-counts kernel;
+    # 0 disables the fast path outright — every capacity answers
+    # identically (the default-cap run above already exercised the
+    # in-capacity top-k lane ordering against the host lexsort)
+    for cap in (0, 1, 512):
+        s = QueryServer(
+            res.index, res.bitset, mode="device", topk_cap=cap
+        )
+        for sm, dm in zip(s.query(batch, threshold=1), one_dev):
+            assert np.array_equal(sm, dm), cap
+
+    # negative threshold admits count-0 corpus rows — but NEVER the
+    # n_pad padding rows; pins the top-k epilogue's col<n mask against
+    # the full-counts path's [:, :n] slice
+    h_all = QueryServer(res.index, res.bitset, mode="host").query(
+        batch, threshold=-1
+    )
+    d_all = QueryServer(
+        res.index, res.bitset, mode="device", topk_cap=res.bitset.n_pad
+    ).query(batch, threshold=-1)
+    for hm, dm in zip(h_all, d_all):
+        assert np.array_equal(hm, dm)
+        assert hm.shape[0] == res.table.n
+
     # self-query oracle: querying EVERY corpus sequence against the
     # index must reproduce the batch sweep's full pair list exactly
     # (both directions) plus each protein's self match
