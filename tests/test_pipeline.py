@@ -312,6 +312,36 @@ def test_query_serving_matches_pipeline(toy_fasta):
         for hm, dm in zip(hq, dq):
             assert np.array_equal(hm, dm), (w is None)
 
+    # arbitrary user weights may be NEGATIVE and thresholds below -1 —
+    # the top-k epilogue's non-hit sentinel must rank under EVERY real
+    # hit (regression: a -1 sentinel outranked hits with counts < -1 and
+    # returned sentinel lanes as answers)
+    from uniprot_kmer_based_clustering_tpu.kmers import pack_bitsets
+
+    # repack at the default 512-row padding: the toy pipeline's 64-row
+    # pad makes the full-counts fetch smaller than any useful top-k
+    # fetch, which (correctly) disables the epilogue under test
+    bs512 = pack_bitsets(
+        res.index.incidence_protein, res.index.incidence_rank,
+        res.table.n, res.index.n_repeated,
+    )
+    rng = np.random.default_rng(0)
+    wneg = rng.integers(-5, 6, size=bs512.w_pad * 32).astype(np.int8)
+    hn = QueryServer(res.index, bs512, weights=wneg, mode="host")
+    hcounts = hn._counts_host(batch)
+    t_all = int(hcounts.min()) - 1  # every corpus row is a hit
+    assert (hcounts < -1).any(), "weights produced no sub--1 hit counts"
+    cap_fit = bs512.n  # nhits == n ≤ cap, and 2·cap+1 < n_pad
+    assert 2 * cap_fit + 1 < bs512.n_pad
+    dn = QueryServer(
+        res.index, bs512, weights=wneg, mode="device",
+        topk_cap=cap_fit,
+    )
+    for hm, dm in zip(
+        hn.query(batch, threshold=t_all), dn.query(batch, threshold=t_all)
+    ):
+        assert np.array_equal(hm, dm)
+
     # mesh-parallel serving: corpus rows sharded over a mesh (GSPMD
     # partitions the same kernel) must answer exactly like one device
     from uniprot_kmer_based_clustering_tpu.parallel import make_mesh

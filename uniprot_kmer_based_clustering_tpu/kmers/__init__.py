@@ -14,3 +14,6 @@ from uniprot_kmer_based_clustering_tpu.kmers.bitset import (  # noqa: F401
     pack_bitsets,
     pack_bitsets_device,
 )
+from uniprot_kmer_based_clustering_tpu.kmers.append import (  # noqa: F401
+    append_to_index,
+)

@@ -54,6 +54,15 @@ class KmerIndex:
     # Set by the device index path (which never materializes host
     # incidence lists); equals Σ hash_doc_freq either way.
     nnz_count: Optional[int] = None
+    # int32 [n_unique], aligned with codes[doc_freq == 1]: the single
+    # protein containing each unique code. A unique code carries no
+    # pairwise signal today, but an APPENDED protein can promote it to
+    # repeated (docfreq 2) — and then its owner's bitset bit must be set
+    # without re-encoding the standing corpus (kmers.append). The
+    # reference's incremental analogue is Tree::add_protein
+    # (src/tree.rs:524-536). None on device-built indexes (no host
+    # incidences) — append requires a host/native-built index.
+    unique_owner: Optional[np.ndarray] = None
 
     @property
     def n_distinct(self) -> int:
@@ -160,6 +169,9 @@ def build_index(
                 incidence_protein=inc_p,
                 incidence_rank=inc_r,
                 hash_doc_freq=freq[repeated_mask],
+                unique_owner=_unique_owners(
+                    distinct[~repeated_mask], codes, kmer_offsets
+                ),
             )
         if engine == "native":
             raise RuntimeError("native index builder unavailable")
@@ -203,7 +215,38 @@ def build_index(
         incidence_protein=inc_protein[keep],
         incidence_rank=rank[keep].astype(np.int32),
         hash_doc_freq=hash_doc_freq,
+        unique_owner=_unique_owners(
+            distinct_codes[~repeated_mask], codes, kmer_offsets
+        ),
     )
+
+
+def _unique_owners(
+    unique_codes: np.ndarray,
+    codes: np.ndarray,
+    kmer_offsets: np.ndarray,
+) -> np.ndarray:
+    """int32 owner row of each unique (docfreq==1) code.
+
+    A docfreq-1 code appears in exactly one protein; one vectorized
+    searchsorted over the raw window codes finds it. Repeated windows of
+    the same code inside that protein overwrite with the same owner —
+    idempotent. Engine-independent (derived from the raw encoder output,
+    not the builder's internals), so native- and numpy-built indexes
+    carry identical owners.
+    """
+    n = kmer_offsets.shape[0] - 1
+    owner = np.full(unique_codes.shape[0], -1, np.int32)
+    if unique_codes.shape[0] == 0 or codes.shape[0] == 0:
+        return owner
+    protein_of = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(kmer_offsets)
+    )
+    pos = np.searchsorted(unique_codes, codes)
+    pos = np.clip(pos, 0, unique_codes.shape[0] - 1)
+    hit = unique_codes[pos] == codes
+    owner[pos[hit]] = protein_of[hit].astype(np.int32)
+    return owner
 
 
 def doc_freq_dense_device(codes, valid, k: int):

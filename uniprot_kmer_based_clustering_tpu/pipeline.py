@@ -134,6 +134,11 @@ def run_pipeline(
                 )
             with timers.stage("index"):
                 index = build_index(codes, koff, config.k)
+            extra = (
+                {"unique_owner": index.unique_owner}
+                if index.unique_owner is not None
+                else {}
+            )
             store.save(
                 key_index,
                 codes=index.codes,
@@ -142,6 +147,7 @@ def run_pipeline(
                 incidence_protein=index.incidence_protein,
                 incidence_rank=index.incidence_rank,
                 hash_doc_freq=index.hash_doc_freq,
+                **extra,
             )
 
         with timers.stage("pack"):

@@ -155,7 +155,12 @@ def _counts_topk_fn(weighted: bool, cap: int, n: int):
         # as the full-counts path's [:, :n] slice
         hit = (counts > threshold) & (cols < n)
         nhits = jnp.sum(hit, axis=1, dtype=jnp.int32)
-        masked = jnp.where(hit, counts, -1)  # any hit value ≥ 0 > -1
+        # non-hit sentinel = INT32_MIN: counts are int32 sums of int8
+        # products (|count| ≤ 127·K ≪ 2³¹), so every real hit — including
+        # negative-weighted ones under arbitrary user int8 weights with a
+        # threshold below -1 — still ranks above the sentinel lanes
+        sentinel = jnp.iinfo(jnp.int32).min
+        masked = jnp.where(hit, counts, sentinel)
         vals, idx = jax.lax.top_k(masked, cap)
         return jnp.concatenate(
             [vals, idx.astype(jnp.int32), nhits[:, None]], axis=1
@@ -202,7 +207,10 @@ class QueryServer:
         # single-device serving compacts hits on device and fetches only
         # the best `topk_cap` lanes per query (readback is the serving
         # bottleneck through this environment's tunnel); a query with
-        # more hits falls back to the exact full-counts fetch. ≤ 0
+        # more hits is re-answered exactly through the full-counts
+        # kernel — only the overflowed rows, but that pass still costs a
+        # second matmul + an [o_pad, N] fetch, so size topk_cap above
+        # the expected max hit count for latency-sensitive serving. ≤ 0
         # disables the fast path.
         self._topk_cap = int(topk_cap)
         if mesh is not None:
@@ -317,6 +325,59 @@ class QueryServer:
                 ).astype(np.int32)
         return counts
 
+    def add_proteins(
+        self, seqs: Sequence[str], threshold: int = 10
+    ) -> np.ndarray:
+        """Append new proteins to the standing corpus, in place.
+
+        The reference's incremental analogue is ``Tree::add_protein``
+        (src/tree.rs:524-536). Extends the rank space for genuinely-new
+        repeated k-mers (including docfreq promotions of standing unique
+        k-mers), appends bitset rows for the new sequences WITHOUT
+        re-encoding the standing corpus (kmers.append — append(A+B) ≡
+        rebuild(A∪B), pinned in tests), and rebuilds the serving state
+        (host CSR, or device blocks — the corpus re-uploads once; size
+        appends in batches, not one protein at a time, on accelerators).
+
+        Returns the new-vs-all pairs over the alignment gate as an int64
+        ``[P, 3]`` array of (i, j, shared count), i < j, global row ids
+        (new rows start at the pre-append ``bitset.n``), sorted by
+        (i, j) — the same shape as the batch sweep's pair rows.
+
+        Weighted servers can't self-update: rank-aligned weights are
+        derived from the OLD rank space and silently misweight after a
+        rank shift — rebuild the server with recomputed weights instead.
+        """
+        if self.weighted:
+            raise ValueError(
+                "add_proteins on a weighted server: rank-aligned weights "
+                "become stale when the rank space grows — recompute "
+                "weights for the appended index and build a new server"
+            )
+        from uniprot_kmer_based_clustering_tpu.kmers.append import (
+            append_to_index,
+        )
+
+        n_old = self.bitset.n
+        self.index, self.bitset = append_to_index(
+            self.index, self.bitset, seqs
+        )
+        if self._host_mode:
+            self._build_host_csr()
+        else:
+            self._build_device_blocks()
+        pairs = set()
+        for qi, m in enumerate(self.query(seqs, threshold=threshold)):
+            gi = n_old + qi
+            for j, c in m:
+                j = int(j)
+                if j == gi:
+                    continue  # self match
+                a, b = (j, gi) if j < gi else (gi, j)
+                pairs.add((a, b, int(c)))
+        out = np.array(sorted(pairs), np.int64).reshape(-1, 3)
+        return out
+
     def query(
         self,
         seqs: Sequence[str],
@@ -347,6 +408,12 @@ class QueryServer:
             qp[:nq] = qwords
             qp_j = jnp.asarray(qp)
             cap = min(self._topk_cap, self.bitset.n_pad)
+            # the fast path exists to shrink readback: it fetches
+            # [q_pad, 2·cap+1] vs the full path's [q_pad, n_pad] — once
+            # cap grows past that break-even it is strictly slower than
+            # just fetching the counts, so skip the epilogue entirely
+            if 2 * cap + 1 >= self.bitset.n_pad:
+                cap = 0
             if self._mesh is None and cap > 0:
                 # hit-compacted fast path: the gate keeps only a few
                 # corpus rows per query, so fetch [q_pad, cap] candidate
@@ -371,9 +438,34 @@ class QueryServer:
                     packed[:, cap : 2 * cap],
                     packed[:, 2 * cap],
                 )
-                if not (nhits[:nq] > cap).any():
-                    out = []
-                    for qi in range(nq):
+                over = np.nonzero(nhits[:nq] > cap)[0]
+                if over.shape[0]:
+                    # some queries overflowed the candidate capacity —
+                    # exactness first: re-answer ONLY those rows through
+                    # the full-counts kernel, padded to their own
+                    # power-of-two bucket, and keep the top-k answers
+                    # already in hand for everyone else (one promiscuous
+                    # query must not re-run and re-fetch the whole batch)
+                    o_pad = max(8, 1 << (int(over.shape[0]) - 1).bit_length())
+                    op = np.zeros((o_pad, self.bitset.w_pad), np.uint32)
+                    op[: over.shape[0]] = qwords[over]
+                    full = np.asarray(
+                        _counts_fn(self.weighted)(
+                            jnp.asarray(op),
+                            self._corpus_blocks,
+                            self._weight_blocks,
+                        )
+                    )[: over.shape[0], : self.bitset.n]
+                over_row = {int(q): k for k, q in enumerate(over)}
+                out = []
+                for qi in range(nq):
+                    if qi in over_row:
+                        row = full[over_row[qi]]
+                        hits = np.nonzero(row > threshold)[0]
+                        c = row[hits].astype(np.int64)
+                        order = np.lexsort((hits, -c))
+                        m = np.stack([hits[order], c[order]], axis=1)
+                    else:
                         nh = int(nhits[qi])
                         m = np.stack(
                             [
@@ -382,10 +474,8 @@ class QueryServer:
                             ],
                             axis=1,
                         )
-                        out.append(m[:top] if top is not None else m)
-                    return out
-                # some query overflowed the candidate capacity —
-                # exactness first: re-answer through the full kernel
+                    out.append(m[:top] if top is not None else m)
+                return out
             counts = np.asarray(
                 _counts_fn(self.weighted)(
                     qp_j,
