@@ -266,6 +266,18 @@ def main():
         fused_stats = {
             "fused_seconds": round(t_fused, 4),
             "fused_speedup": round((dt_mesh + t_extract) / t_fused, 2),
+            # a <1.0 speedup here is the EXPECTED sparse-hit regime, not
+            # a regression: at the bundled scale only ~0.02% of tiles
+            # hit, so two-pass extraction recomputes almost nothing
+            # while the fused pass pays candidate-compaction work in
+            # EVERY scan step. Fused wins in dense-homology corpora
+            # (2.02x at the 100k scale artifact); extract=auto picks
+            # two-pass in this regime by design (DESIGN.md known-limits).
+            "fused_speedup_note": (
+                "sparse-hit regime: fused pays per-step compaction for "
+                "tiles that almost never hit; <1.0 expected here, "
+                "extract=auto selects two-pass"
+            ),
         }
 
     # single-device reference with the same engine (process 0's device);

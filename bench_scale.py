@@ -10,6 +10,22 @@ the auto-strip fallback (counts matrix exceeds the HBM budget) and
 multi-million-bit rows. Usage:
 
     UKC_SCALE_N=30000 python bench_scale.py
+
+UKC_SCALE_K=7 switches to the 7-mer universe (the src/tree.rs:96-105
+capability at scale): 21^7 ≈ 1.8e9 codes (still < 2^31, int64 host
+encode), sort-based rank compaction, and — on an accelerator — the
+device sorted index build (kmers/index_device.build_bitset_device_sorted)
+timed and parity-gated against the host index. Pick the mutation knobs so
+the repeated-7-mer universe lands in the millions while the packed bitset
+stays single-chip, e.g.:
+
+    UKC_SCALE_K=7 UKC_SCALE_N=30000 UKC_SCALE_TEMPLATES=50 \
+        UKC_SCALE_MUTDIV=6 python bench_scale.py   # ~1.1M repeated 7-mers
+
+Every run is oracle-gated on a CPU-verifiable subset: sampled pairs are
+re-counted exactly from the host incidence lists (an independent
+structure from the packed bitset) and checked for membership + count
+against the extracted pair list.
 """
 
 from __future__ import annotations
@@ -67,6 +83,170 @@ def synth_proteins(n: int, seed: int = 0):
     return seq_buf, offsets, classes
 
 
+def oracle_gate(
+    idx, classes, pairs, n: int, threshold: int, samples: int = 512,
+    seed: int = 7,
+) -> int:
+    """CPU-verifiable subset oracle for the extracted pair list.
+
+    Re-counts sampled pairs exactly from the host incidence lists — an
+    independent structure from the packed bitset the device swept — via
+    per-protein sorted-rank intersection (the Gustavson walk the native
+    engine and the host QueryServer use). Gates BOTH directions:
+
+      * `samples` uniform random pairs: membership in the extracted list
+        must equal (count > threshold and cross-AMR), and the stored
+        count must match exactly;
+      * `samples` pairs drawn FROM the list: count, gate and class test
+        re-verified.
+
+    Returns the number of pairs checked; raises AssertionError on any
+    mismatch (the bench dies rather than commit a bad artifact).
+    """
+    rng = np.random.default_rng(seed)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(
+        np.bincount(idx.incidence_protein, minlength=n), out=off[1:]
+    )
+    ir = idx.incidence_rank
+
+    def count(i: int, j: int) -> int:
+        # per-protein rank lists are sorted unique (index build sorts by
+        # (protein, code); rank order == code order)
+        return int(
+            np.intersect1d(
+                ir[off[i]: off[i + 1]],
+                ir[off[j]: off[j + 1]],
+                assume_unique=True,
+            ).shape[0]
+        )
+
+    keys = pairs[:, 0].astype(np.int64) * n + pairs[:, 1].astype(np.int64)
+    checked = 0
+    for i, j in rng.integers(0, n, size=(samples, 2)):
+        if i == j:
+            continue
+        i, j = (int(i), int(j)) if i < j else (int(j), int(i))
+        c = count(i, j)
+        expect = c > threshold and classes[i] != classes[j]
+        key = i * n + j
+        p = int(np.searchsorted(keys, key))
+        member = p < len(keys) and keys[p] == key
+        assert member == expect, (
+            f"oracle gate: pair ({i},{j}) count={c} "
+            f"cross={classes[i] != classes[j]} expect_member={expect} "
+            f"but list_member={member}"
+        )
+        if member:
+            assert int(pairs[p, 2]) == c, (
+                f"oracle gate: pair ({i},{j}) list count "
+                f"{int(pairs[p, 2])} != exact {c}"
+            )
+        checked += 1
+    if len(pairs):
+        for s in np.unique(
+            rng.integers(0, len(pairs), min(samples, len(pairs)))
+        ):
+            i, j, c = (int(v) for v in pairs[s])
+            assert count(i, j) == c and c > threshold, (
+                f"oracle gate: listed pair ({i},{j},{c}) exact count "
+                f"{count(i, j)}"
+            )
+            assert classes[i] != classes[j], (
+                f"oracle gate: listed pair ({i},{j}) is same-class"
+            )
+            checked += 1
+    return checked
+
+
+def _device_index_gate(idx, seq_buf, offsets, n: int) -> dict:
+    """Time the on-device sorted index build and gate it against the host.
+
+    ``build_bitset_device_sorted`` (kmers/index_device.py) is the any-k
+    device path — global sort over incidence codes, group-id cumsum,
+    repeated-rank cumsum, single-bit scatter. Parity gate, all exact:
+    distinct codes + doc-freq arrays, repeated count, per-row popcounts
+    of the packed words, and a 64-row word-level sample rebuilt from the
+    host incidence lists. Raises on any mismatch.
+
+    Runs BEFORE the sweep bitset is packed so its ~4 GB words matrix can
+    be dropped before the sweep claims HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.kmers.encode import (
+        residues_to_indices,
+    )
+    from uniprot_kmer_based_clustering_tpu.kmers.index_device import (
+        build_bitset_device_sorted,
+    )
+
+    lengths = np.diff(offsets).astype(np.int32)
+    # padded [N, Lmax] residue matrix via one offsets-based scatter (the
+    # pipeline's staging, pipeline.py _device_index)
+    res = residues_to_indices(seq_buf)
+    lmax = int(lengths.max()) if n else 1
+    res_idx = np.zeros((n, lmax), np.int32)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    cols = np.arange(res.shape[0], dtype=np.int64) - np.repeat(
+        np.asarray(offsets[:-1], np.int64), lengths
+    )
+    res_idx[rows, cols] = res
+    rowsum = jax.jit(
+        lambda w: jnp.sum(
+            jax.lax.population_count(w), axis=1, dtype=jnp.int32
+        )
+    )
+
+    def build():
+        t0 = time.perf_counter()
+        out = build_bitset_device_sorted(res_idx, lengths, n, idx.k)
+        pc = np.asarray(rowsum(out[0]))  # sync + full-matrix parity vec
+        return time.perf_counter() - t0, out, pc
+
+    t_cold, (dwords, dcodes, dfreq, dnrep), pc = build()
+    t_warm = float("inf")
+    for _ in range(2):
+        dt, (dwords, dcodes, dfreq, dnrep), pc = build()
+        t_warm = min(t_warm, dt)
+
+    assert dnrep == idx.n_repeated, (dnrep, idx.n_repeated)
+    assert np.array_equal(dcodes, idx.codes)
+    assert np.array_equal(dfreq, idx.doc_freq)
+    row_counts = np.bincount(idx.incidence_protein, minlength=n)
+    assert np.array_equal(pc[:n], row_counts.astype(np.int32))
+    assert not pc[n:].any()
+
+    # 64-row word-level sample, expected words rebuilt host-side
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(row_counts, out=off[1:])
+    rng = np.random.default_rng(3)
+    rows = np.sort(rng.choice(n, min(64, n), replace=False))
+    w_pad = int(dwords.shape[1])
+    exp = np.zeros((rows.shape[0], w_pad), np.uint32)
+    for a, r in enumerate(rows):
+        rk = idx.incidence_rank[off[r]: off[r + 1]].astype(np.int64)
+        np.bitwise_or.at(
+            exp[a], rk >> 5, np.uint32(1) << (rk & 31).astype(np.uint32)
+        )
+    got = np.asarray(dwords[jnp.asarray(rows)])
+    assert np.array_equal(got, exp), "device index words != host bits"
+    del dwords  # release ~GBs of HBM before the sweep bitset packs
+
+    return {
+        "dev_index_cold_seconds": round(t_cold, 1),
+        "dev_index_warm_seconds": round(t_warm, 1),
+        "dev_index_parity": (
+            "host-exact (codes+doc_freq+row-popcounts+64-row words)"
+        ),
+        "dev_index_note": (
+            "warm time includes the distinct-code/doc-freq readback "
+            "(~16 B/code) at tunnel device->host rates"
+        ),
+    }
+
+
 def main():
     from uniprot_kmer_based_clustering_tpu.utils.accel import (
         cpu_requested,
@@ -105,6 +285,7 @@ def main():
     from uniprot_kmer_based_clustering_tpu.ops.bitmul import sweep_mxu
 
     n = int(os.environ.get("UKC_SCALE_N", "30000"))
+    kk = int(os.environ.get("UKC_SCALE_K", "5"))
     # UKC_SCALE_BLOCK: tile size override (default 512). Small values
     # let the scan schedule (and so the fused branch) engage at CPU
     # smoke-test scale.
@@ -117,15 +298,30 @@ def main():
     t_synth = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    codes, koff = encode_kmers(seq_buf, offsets, 5)
-    idx = build_index(codes, koff, 5)
+    codes, koff = encode_kmers(seq_buf, offsets, kk)
+    idx = build_index(codes, koff, kk)
+    t_index_host = time.perf_counter() - t0
+
+    # device sorted index build (the any-k path, the k=7 design point:
+    # 21^7 ≈ 1.8e9 codes rules out the dense bincount) — timed and
+    # parity-gated against the independent host build. Skipped off-TPU
+    # and by UKC_SCALE_DEVIDX=0.
+    dev_idx_stats = {}
+    if (
+        kk == 7
+        and os.environ.get("UKC_SCALE_DEVIDX", "1") != "0"
+        and jax.default_backend() == "tpu"
+    ):
+        dev_idx_stats = _device_index_gate(idx, seq_buf, offsets, n)
+
+    t0 = time.perf_counter()
     # pack on device: the throttled host writes RAM at ~85 MB/s, so the
     # ~9 GB matrix is scattered on-chip from the 256 MB incidence list
     bitset = pack_bitsets_device(
         idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
         row_multiple=7 * blk,
     )
-    t_index = time.perf_counter() - t0
+    t_index = t_index_host + time.perf_counter() - t0
 
     words = bitset.words
     cls = np.full(bitset.n_pad, -1, np.int32)
@@ -301,11 +497,19 @@ def main():
     n_pairs = n * (n - 1) / 2.0
     tot = rs.sum(axis=0)
     assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
+
+    # CPU-verifiable subset oracle: exact counts from the host incidence
+    # lists gate membership + counts of the extracted list (both ways)
+    t0 = time.perf_counter()
+    n_checked = oracle_gate(idx, classes, pairs, n, 10)
+    t_oracle = time.perf_counter() - t0
+
     rec = {
         "metric": "pairwise_similarity_scale",
         "value": round(n_pairs / t_sweep, 1),
         "unit": "pairs/s/chip",
         "n_proteins": n,
+        "k": kk,
         "repeated_kmers": idx.n_repeated,
         "bitset_gb": round(bitset.words.nbytes / 2**30, 2),
         "sweep_seconds": round(t_sweep, 3),
@@ -316,7 +520,14 @@ def main():
         "pairs_over_threshold": int(tot[2]),
         "extract_seconds": round(t_extract, 1),
         "extract_first_run_seconds": round(t_extract_first, 1),
+        "oracle_checked_pairs": n_checked,
+        "oracle_seconds": round(t_oracle, 1),
+        "oracle": (
+            "sampled-pair exact counts from host incidence lists: "
+            "membership+count gated both directions"
+        ),
         "device": str(jax.devices()[0]),
+        **dev_idx_stats,
         **fused_stats,
         **stream_stats,
     }
@@ -325,7 +536,9 @@ def main():
         write_bench_artifact,
     )
 
-    write_bench_artifact(f"scale{n // 1000}k", rec)
+    write_bench_artifact(
+        "scale7mer" if kk == 7 else f"scale{n // 1000}k", rec
+    )
 
 
 if __name__ == "__main__":

@@ -401,3 +401,47 @@ def test_query_serving_matches_pipeline(toy_fasta):
                 got_pairs.add((a, b, int(c)))
     want_pairs = {(int(i), int(j), int(c)) for i, j, c in res.pairwise.pairs}
     assert got_pairs == want_pairs
+
+
+def test_query_pipelined_async_matches_sync(toy_fasta):
+    """query_async/query_wait with several batches in flight answers
+    exactly like sequential query() on every serving path: the
+    hit-compacted fast path, overflow fallback (cap=1), the full-counts
+    kernel (cap=0), host mode, and mesh-sharded serving."""
+    from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+    from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
+
+    cfg = PipelineConfig(**{**CFG, "cross_amr_only": False})
+    res = run_pipeline(toy_fasta, cfg)
+    batches = [
+        [res.table.seq(i) for i in (0, 3)],
+        [res.table.seq(7), "MKT", res.table.seq(1)],
+        ["WWWWWWYYYYYYWWWWWW"],
+    ]
+
+    servers = [
+        QueryServer(res.index, res.bitset, mode="device", topk_cap=cap)
+        for cap in (512, 1, 0)
+    ] + [QueryServer(res.index, res.bitset, mode="host")]
+    if res.bitset.n_pad % 2 == 0:
+        servers.append(
+            QueryServer(res.index, res.bitset, mesh=make_mesh(2))
+        )
+    for srv in servers:
+        seq_ans = [srv.query(b, threshold=1) for b in batches]
+        handles = [srv.query_async(b, threshold=1) for b in batches]
+        pipe_ans = [srv.query_wait(h) for h in handles]
+        for sa, pa in zip(seq_ans, pipe_ans):
+            assert len(sa) == len(pa)
+            for sm, pm in zip(sa, pa):
+                assert np.array_equal(sm, pm)
+        # the `top` truncation applies at wait time
+        h = srv.query_async(batches[1], threshold=1)
+        for sm, pm in zip(
+            srv.query(batches[1], threshold=1, top=2),
+            srv.query_wait(h, top=2),
+        ):
+            assert np.array_equal(sm, pm)
+    # empty batch round-trips
+    srv = servers[0]
+    assert srv.query_wait(srv.query_async([])) == []

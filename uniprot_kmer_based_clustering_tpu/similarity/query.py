@@ -378,6 +378,153 @@ class QueryServer:
         out = np.array(sorted(pairs), np.int64).reshape(-1, 3)
         return out
 
+    def query_async(self, seqs: Sequence[str], threshold: int = 10):
+        """Dispatch a batch WITHOUT any synchronizing fetch.
+
+        Returns an opaque handle for :meth:`query_wait`. Several handles
+        may be in flight at once — the device executes them back to back
+        while earlier answers are being fetched/post-processed, hiding
+        the per-batch host↔device round trip (~30 ms through this
+        environment's tunnel) behind compute: the pipelined serving
+        loop is
+
+            handles = [srv.query_async(b) for b in batches]   # enqueue
+            answers = [srv.query_wait(h) for h in handles]    # drain
+
+        Host mode has no device to overlap with; the handle carries the
+        eagerly computed counts.
+        """
+        nq = len(seqs)
+        if nq == 0:
+            return {"nq": 0, "threshold": threshold}
+        if self._host_mode:
+            return {
+                "nq": nq,
+                "threshold": threshold,
+                "counts_host": self._counts_host(seqs),
+            }
+        import jax  # noqa: F401  (device path; jit fns imported lazily)
+        import jax.numpy as jnp
+
+        qwords = pack_query_bitsets(self.index, seqs, self.bitset.w_pad)
+        q_pad = max(8, 1 << (nq - 1).bit_length())
+        qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
+        qp[:nq] = qwords
+        qp_j = jnp.asarray(qp)
+        cap = min(self._topk_cap, self.bitset.n_pad)
+        # the fast path exists to shrink readback: it fetches
+        # [q_pad, 2·cap+1] vs the full path's [q_pad, n_pad] — once
+        # cap grows past that break-even it is strictly slower than
+        # just fetching the counts, so skip the epilogue entirely
+        if 2 * cap + 1 >= self.bitset.n_pad:
+            cap = 0
+        if self._mesh is None and cap > 0:
+            # hit-compacted fast path: the gate keeps only a few
+            # corpus rows per query, so fetch [q_pad, cap] candidate
+            # lanes + exact hit counts in ONE device_get instead of
+            # the full [q_pad, N] counts matrix (~10× less readback
+            # at the bundled scale). Fetch keeps the q_pad padding
+            # rows: slicing to nq on host-side device arrays would
+            # compile one program per distinct nq through the remote
+            # tunnel. Mesh serving stays on the full-counts kernel —
+            # top_k over the row-sharded counts axis would make
+            # GSPMD all-gather the full matrix anyway.
+            return {
+                "nq": nq,
+                "threshold": threshold,
+                "cap": cap,
+                "qwords": qwords,
+                "packed_dev": _counts_topk_fn(
+                    self.weighted, cap, self.bitset.n
+                )(
+                    qp_j,
+                    self._corpus_blocks,
+                    self._weight_blocks,
+                    jnp.int32(threshold),
+                ),
+            }
+        return {
+            "nq": nq,
+            "threshold": threshold,
+            "counts_dev": _counts_fn(self.weighted)(
+                qp_j, self._corpus_blocks, self._weight_blocks
+            ),
+        }
+
+    def query_wait(
+        self, handle, top: Optional[int] = None
+    ) -> List[np.ndarray]:
+        """Fetch + finalize a :meth:`query_async` handle (one readback)."""
+        nq = handle["nq"]
+        if nq == 0:
+            return []
+        threshold = handle["threshold"]
+        if "packed_dev" in handle:
+            import jax
+            import jax.numpy as jnp
+
+            cap = handle["cap"]
+            qwords = handle["qwords"]
+            packed = jax.device_get(handle["packed_dev"])
+            vals, idx, nhits = (
+                packed[:, :cap],
+                packed[:, cap : 2 * cap],
+                packed[:, 2 * cap],
+            )
+            over = np.nonzero(nhits[:nq] > cap)[0]
+            if over.shape[0]:
+                # some queries overflowed the candidate capacity —
+                # exactness first: re-answer ONLY those rows through
+                # the full-counts kernel, padded to their own
+                # power-of-two bucket, and keep the top-k answers
+                # already in hand for everyone else (one promiscuous
+                # query must not re-run and re-fetch the whole batch)
+                o_pad = max(8, 1 << (int(over.shape[0]) - 1).bit_length())
+                op = np.zeros((o_pad, self.bitset.w_pad), np.uint32)
+                op[: over.shape[0]] = qwords[over]
+                full = np.asarray(
+                    _counts_fn(self.weighted)(
+                        jnp.asarray(op),
+                        self._corpus_blocks,
+                        self._weight_blocks,
+                    )
+                )[: over.shape[0], : self.bitset.n]
+            over_row = {int(q): k for k, q in enumerate(over)}
+            out = []
+            for qi in range(nq):
+                if qi in over_row:
+                    row = full[over_row[qi]]
+                    hits = np.nonzero(row > threshold)[0]
+                    c = row[hits].astype(np.int64)
+                    order = np.lexsort((hits, -c))
+                    m = np.stack([hits[order], c[order]], axis=1)
+                else:
+                    nh = int(nhits[qi])
+                    m = np.stack(
+                        [
+                            idx[qi, :nh].astype(np.int64),
+                            vals[qi, :nh].astype(np.int64),
+                        ],
+                        axis=1,
+                    )
+                out.append(m[:top] if top is not None else m)
+            return out
+        if "counts_dev" in handle:
+            counts = np.asarray(handle["counts_dev"])[
+                :nq, : self.bitset.n
+            ]
+        else:
+            counts = handle["counts_host"]
+
+        out: List[np.ndarray] = []
+        for qi in range(nq):
+            hits = np.nonzero(counts[qi] > threshold)[0]
+            c = counts[qi, hits].astype(np.int64)
+            order = np.lexsort((hits, -c))
+            m = np.stack([hits[order], c[order]], axis=1)
+            out.append(m[:top] if top is not None else m)
+        return out
+
     def query(
         self,
         seqs: Sequence[str],
@@ -390,108 +537,14 @@ class QueryServer:
         index, shared count), sorted by count descending then index —
         reporting corpus proteins with count **>** threshold (the
         pipeline's alignment gate), optionally only the best `top`.
+
+        Synchronous: dispatch + fetch in one call. Pipelined serving
+        loops use :meth:`query_async` / :meth:`query_wait` to keep
+        several batches in flight.
         """
-        nq = len(seqs)
-        if nq == 0:
-            return []
-        if self._host_mode:
-            counts = self._counts_host(seqs)
-        else:
-            import jax
-            import jax.numpy as jnp
-
-            qwords = pack_query_bitsets(
-                self.index, seqs, self.bitset.w_pad
-            )
-            q_pad = max(8, 1 << (nq - 1).bit_length())
-            qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
-            qp[:nq] = qwords
-            qp_j = jnp.asarray(qp)
-            cap = min(self._topk_cap, self.bitset.n_pad)
-            # the fast path exists to shrink readback: it fetches
-            # [q_pad, 2·cap+1] vs the full path's [q_pad, n_pad] — once
-            # cap grows past that break-even it is strictly slower than
-            # just fetching the counts, so skip the epilogue entirely
-            if 2 * cap + 1 >= self.bitset.n_pad:
-                cap = 0
-            if self._mesh is None and cap > 0:
-                # hit-compacted fast path: the gate keeps only a few
-                # corpus rows per query, so fetch [q_pad, cap] candidate
-                # lanes + exact hit counts in ONE device_get instead of
-                # the full [q_pad, N] counts matrix (~10× less readback
-                # at the bundled scale). Fetch keeps the q_pad padding
-                # rows: slicing to nq on host-side device arrays would
-                # compile one program per distinct nq through the remote
-                # tunnel. Mesh serving stays on the full-counts kernel —
-                # top_k over the row-sharded counts axis would make
-                # GSPMD all-gather the full matrix anyway.
-                packed = jax.device_get(
-                    _counts_topk_fn(self.weighted, cap, self.bitset.n)(
-                        qp_j,
-                        self._corpus_blocks,
-                        self._weight_blocks,
-                        jnp.int32(threshold),
-                    )
-                )
-                vals, idx, nhits = (
-                    packed[:, :cap],
-                    packed[:, cap : 2 * cap],
-                    packed[:, 2 * cap],
-                )
-                over = np.nonzero(nhits[:nq] > cap)[0]
-                if over.shape[0]:
-                    # some queries overflowed the candidate capacity —
-                    # exactness first: re-answer ONLY those rows through
-                    # the full-counts kernel, padded to their own
-                    # power-of-two bucket, and keep the top-k answers
-                    # already in hand for everyone else (one promiscuous
-                    # query must not re-run and re-fetch the whole batch)
-                    o_pad = max(8, 1 << (int(over.shape[0]) - 1).bit_length())
-                    op = np.zeros((o_pad, self.bitset.w_pad), np.uint32)
-                    op[: over.shape[0]] = qwords[over]
-                    full = np.asarray(
-                        _counts_fn(self.weighted)(
-                            jnp.asarray(op),
-                            self._corpus_blocks,
-                            self._weight_blocks,
-                        )
-                    )[: over.shape[0], : self.bitset.n]
-                over_row = {int(q): k for k, q in enumerate(over)}
-                out = []
-                for qi in range(nq):
-                    if qi in over_row:
-                        row = full[over_row[qi]]
-                        hits = np.nonzero(row > threshold)[0]
-                        c = row[hits].astype(np.int64)
-                        order = np.lexsort((hits, -c))
-                        m = np.stack([hits[order], c[order]], axis=1)
-                    else:
-                        nh = int(nhits[qi])
-                        m = np.stack(
-                            [
-                                idx[qi, :nh].astype(np.int64),
-                                vals[qi, :nh].astype(np.int64),
-                            ],
-                            axis=1,
-                        )
-                    out.append(m[:top] if top is not None else m)
-                return out
-            counts = np.asarray(
-                _counts_fn(self.weighted)(
-                    qp_j,
-                    self._corpus_blocks,
-                    self._weight_blocks,
-                )
-            )[:nq, : self.bitset.n]
-
-        out: List[np.ndarray] = []
-        for qi in range(nq):
-            hits = np.nonzero(counts[qi] > threshold)[0]
-            c = counts[qi, hits].astype(np.int64)
-            order = np.lexsort((hits, -c))
-            m = np.stack([hits[order], c[order]], axis=1)
-            out.append(m[:top] if top is not None else m)
-        return out
+        return self.query_wait(
+            self.query_async(seqs, threshold=threshold), top=top
+        )
 
 
 def query_shared_kmers(

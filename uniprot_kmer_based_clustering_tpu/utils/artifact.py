@@ -27,8 +27,10 @@ from typing import Optional
 def _provenance() -> dict:
     env_bits = []
     for var in ("UKC_BENCH_ROUND", "UKC_BENCH_FASTA", "UKC_SCALE_N",
-                "UKC_SCALE_K", "UKC_SCALE_STREAM", "UKC_BENCH_ENGINES",
-                "UKC_POD_DEVICES"):
+                "UKC_SCALE_K", "UKC_SCALE_TEMPLATES", "UKC_SCALE_MUTDIV",
+                "UKC_SCALE_BLOCK", "UKC_SCALE_STRIP", "UKC_SCALE_DEVIDX",
+                "UKC_SCALE_FUSED", "UKC_SCALE_STREAM",
+                "UKC_BENCH_ENGINES", "UKC_POD_DEVICES"):
         if os.environ.get(var):
             env_bits.append(f"{var}={shlex.quote(os.environ[var])}")
     cmd = " ".join(env_bits + [shlex.quote(sys.executable)]
