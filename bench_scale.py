@@ -256,6 +256,139 @@ def _device_index_gate(idx, seq_buf, offsets, n: int) -> dict:
     }
 
 
+def _stream_only_run(n: int, kk: int, blk: int) -> None:
+    """Beyond-HBM design point: the packed bitset does NOT fit on the
+    chip, so the in-core engines cannot run at all — the out-of-core
+    stream engine (ops/stream.py: stationary row-block groups resident
+    under the HBM budget, moving blocks streamed through) is the ONLY
+    viable path, and parity is gated purely by the CPU subset oracle
+    (exact re-counts from the host incidence lists, both directions)
+    instead of in-core pair-list equality.
+
+    Enabled by UKC_SCALE_STREAM_ONLY=1. The intended configuration is
+    the 7-mer universe past single-chip HBM — the declared scaling axis
+    of the reference's dead tree path (src/tree.rs:96-105, SURVEY §7.4):
+
+        UKC_SCALE_K=7 UKC_SCALE_N=100000 UKC_SCALE_TEMPLATES=35 \\
+            UKC_SCALE_MUTDIV=8 UKC_SCALE_STREAM_ONLY=1 python bench_scale.py
+
+    → ~1.64M repeated 7-mers, ~19 GiB packed matrix vs 15.75 GB HBM.
+    """
+    import jax
+
+    from uniprot_kmer_based_clustering_tpu.kmers import (
+        build_index,
+        encode_kmers,
+    )
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream,
+        sweep_mxu_stream,
+    )
+
+    t0 = time.perf_counter()
+    seq_buf, offsets, classes = synth_proteins(n)
+    t_synth = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    codes, koff = encode_kmers(seq_buf, offsets, kk)
+    idx = build_index(codes, koff, kk)
+    t_index = time.perf_counter() - t0
+
+    # pack on HOST — the stream engine's natural source (the matrix
+    # cannot live on device); the cgroup-throttled RAM writes make this
+    # a real cost worth recording
+    t0 = time.perf_counter()
+    bs_host = pack_bitsets(
+        idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
+        row_multiple=7 * blk,
+    )
+    t_pack = time.perf_counter() - t0
+    matrix_gib = bs_host.words.nbytes / 2**30
+
+    budget_gib = float(os.environ.get("UKC_SCALE_STREAM_BUDGET", "0"))
+    sweep_kw = dict(block=blk)
+    if budget_gib:
+        sweep_kw["hbm_budget_bytes"] = int(budget_gib * (1 << 30))
+    reps = max(1, int(os.environ.get("UKC_SCALE_STREAM_REPS", "1")))
+
+    cls_np = np.full(bs_host.n_pad, -1, np.int32)
+    cls_np[:n] = classes
+
+    # the engine is transfer-bound (every sweep re-streams the matrix
+    # through the tunnel): one fetch-synced warm-up covers compile, then
+    # best-of-reps
+    t0 = time.perf_counter()
+    sweep_mxu_stream(bs_host.words, cls_np, n, 10, **sweep_kw)
+    t_first = time.perf_counter() - t0
+    t_sweep = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rs, th, tl = sweep_mxu_stream(
+            bs_host.words, cls_np, n, 10, **sweep_kw
+        )
+        t_sweep = min(t_sweep, time.perf_counter() - t0)
+
+    # extraction re-streams the hit tiles; cold (single run — at this
+    # scale each extra rep costs a full pass over the matrix)
+    t0 = time.perf_counter()
+    pairs = extract_pairs_stream(
+        bs_host.words, cls_np, th, tl, n=n, threshold=10
+    )
+    t_extract = time.perf_counter() - t0
+
+    tot = rs.sum(axis=0)
+    assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
+    t0 = time.perf_counter()
+    n_checked = oracle_gate(idx, classes, pairs, n, 10)
+    t_oracle = time.perf_counter() - t0
+
+    rec = {
+        "metric": "pairwise_similarity_scale",
+        "value": round(n * (n - 1) / 2.0 / t_sweep, 1),
+        "unit": "pairs/s/chip",
+        "engine": "stream (out-of-core; in-core impossible at this size)",
+        "n_proteins": n,
+        "k": kk,
+        "repeated_kmers": idx.n_repeated,
+        "bitset_gb": round(matrix_gib, 2),
+        "hbm_budget_gib": budget_gib or 13.0,
+        "sweep_seconds": round(t_sweep, 3),
+        "first_run_seconds": round(t_first, 1),
+        "extract_seconds": round(t_extract, 1),
+        "pack_host_seconds": round(t_pack, 1),
+        "index_seconds": round(t_index, 1),
+        "synth_seconds": round(t_synth, 1),
+        "cross_amr_pairs": int(tot[1]),
+        "pairs_over_threshold": int(tot[2]),
+        "oracle_checked_pairs": n_checked,
+        "oracle_seconds": round(t_oracle, 1),
+        "oracle": (
+            "sampled-pair exact counts from host incidence lists: "
+            "membership+count gated both directions (the ONLY gate — "
+            "no in-core engine fits this matrix)"
+        ),
+        "note": (
+            f"{matrix_gib:.1f} GiB packed matrix > 15.75 GB HBM: "
+            "the out-of-core stream engine is the only single-chip path"
+            if matrix_gib > 15.75
+            else f"stream-only mode at {matrix_gib:.2f} GiB "
+                 "(below HBM — smoke/diagnostic scale)"
+        ),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec))
+    from uniprot_kmer_based_clustering_tpu.utils.artifact import (
+        write_bench_artifact,
+    )
+
+    name = (
+        f"scale7mer{n // 1000}k" if kk == 7
+        else f"scale{n // 1000}k_stream"
+    )
+    write_bench_artifact(name, rec)
+
+
 def main():
     from uniprot_kmer_based_clustering_tpu.utils.accel import (
         cpu_requested,
@@ -302,6 +435,10 @@ def main():
     # UKC_SCALE_STRIP: strip override (default auto from the HBM budget);
     # forcing many strips engages the scan schedule at small N.
     strip = int(os.environ.get("UKC_SCALE_STRIP", "0")) or None
+    if os.environ.get("UKC_SCALE_STREAM_ONLY", "0") != "0":
+        # beyond-HBM design point: skip every in-core path (the matrix
+        # does not fit on the chip) — see _stream_only_run
+        return _stream_only_run(n, kk, blk)
     t0 = time.perf_counter()
     seq_buf, offsets, classes = synth_proteins(n)
     t_synth = time.perf_counter() - t0

@@ -30,6 +30,8 @@ def _provenance() -> dict:
                 "UKC_SCALE_K", "UKC_SCALE_TEMPLATES", "UKC_SCALE_MUTDIV",
                 "UKC_SCALE_BLOCK", "UKC_SCALE_STRIP", "UKC_SCALE_DEVIDX",
                 "UKC_SCALE_FUSED", "UKC_SCALE_STREAM",
+                "UKC_SCALE_STREAM_ONLY", "UKC_SCALE_STREAM_BUDGET",
+                "UKC_SCALE_STREAM_REPS",
                 "UKC_BENCH_ENGINES", "UKC_POD_DEVICES"):
         if os.environ.get(var):
             env_bits.append(f"{var}={shlex.quote(os.environ[var])}")
