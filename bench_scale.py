@@ -310,10 +310,13 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     # fused_k sizing without an in-core reference sweep: the synthetic
     # corpus is template-homology — within-template pairs dominate and
     # spread uniformly over tiles (template assignment is i % templates,
-    # a stride-interleave) — so expected hits/tile ≈ total within-
-    # template pairs / tiles; 16× headroom then pow2-bucketed. Tiles the
-    # estimate still misses are redone exactly (guarded below).
-    # UKC_SCALE_FUSED_K overrides.
+    # a stride-interleave, so per-tile counts are near-uniform) — so
+    # expected hits/tile ≈ total within-template pairs / tiles; 4×
+    # headroom then pow2-bucketed (headroom is NOT free: every step
+    # fetches nsub·fused_k·12 candidate bytes through the ~8-10 MB/s
+    # device→host tunnel, so oversizing fused_k multiplies the drain
+    # cost). Tiles the estimate still misses are redone exactly
+    # (guarded below). UKC_SCALE_FUSED_K overrides.
     n_templates = int(
         os.environ.get("UKC_SCALE_TEMPLATES", max(50, min(250, n // 100)))
     )
@@ -321,7 +324,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     n_tiles = nb_est * (nb_est + 1) // 2
     exp_pairs = n_templates * (n / n_templates) ** 2 / 2.0
     fused_k = int(os.environ.get("UKC_SCALE_FUSED_K", "0")) or (
-        1 << int(np.ceil(np.log2(max(16 * exp_pairs / n_tiles, 256))))
+        1 << int(np.ceil(np.log2(max(4 * exp_pairs / n_tiles, 256))))
     )
     fused_k = min(fused_k, blk * blk)
 
