@@ -633,20 +633,35 @@ def main():
                     (t_sweep + t_extract) / (t_sweep_f + t_extract_f), 2
                 ),
             }
+            del rs_f, th_f, tl_f, cands  # device refs — freed pre-stream
+        del out
 
     # out-of-core streaming engine (opt-in: UKC_SCALE_STREAM=1): pack on
     # HOST (the stream engine's natural source) and stream row blocks
     # through the device — quantifies the out-of-core overhead vs the
     # in-core scan at the same scale. Pair-list equality is gated.
+    bitset_gb = round(bitset.words.nbytes / 2**30, 2)
     stream_stats = {}
     if os.environ.get("UKC_SCALE_STREAM", "0") != "0":
+        import gc
+
         from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
             pack_bitsets,
         )
         from uniprot_kmer_based_clustering_tpu.ops.stream import (
-            extract_pairs_stream,
             sweep_mxu_stream,
         )
+
+        # the stream engine budgets HBM as if it owns the device: fetch
+        # the in-core results the rest of the bench still needs, then
+        # FREE the in-core device arrays — at 100k the resident packed
+        # matrix alone is 9.2 GB, and budget + matrix exceeded the chip
+        # (observed RESOURCE_EXHAUSTED with budget=8 before this)
+        rs = np.asarray(rs)
+        th = np.asarray(th)
+        del words, cls
+        bitset = None
+        gc.collect()
 
         # UKC_SCALE_STREAM_BUDGET: cap the engine's HBM budget in GiB
         # (0 = engine default 13 GiB). The out-of-core design point is a
@@ -757,7 +772,7 @@ def main():
         "n_proteins": n,
         "k": kk,
         "repeated_kmers": idx.n_repeated,
-        "bitset_gb": round(bitset.words.nbytes / 2**30, 2),
+        "bitset_gb": bitset_gb,
         "sweep_seconds": round(t_sweep, 3),
         "first_run_seconds": round(t_first, 1),
         "index_seconds": round(t_index, 1),
