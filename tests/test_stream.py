@@ -284,6 +284,168 @@ def test_stream_fuzz_parity():
             _check_same(got, ref)
 
 
+def _sweep_and_ref(problem, threshold=THR):
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_mxu_stream,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles = sweep_mxu_stream(
+        bs.words, cls, n=bs.n, threshold=threshold, bs=32, block=16
+    )
+    return bs, cls, th, tiles, ref
+
+
+@pytest.mark.parametrize("gbs", [16, 48, 160, None])
+def test_stream_grouped_matches_two_pass(problem, gbs):
+    """The grouped (sweep-schedule) extractor is bit-identical to the
+    per-tile window extractor for every blocking choice, including a
+    block that doesn't divide the padded rows (48), one block total
+    (160), and the budget-auto choice (None)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+    )
+
+    bs, cls, th, tiles, ref = _sweep_and_ref(problem)
+    got = extract_pairs_stream_grouped(
+        bs.words, cls, th, tiles, n=bs.n, threshold=THR, bs=gbs
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
+def test_stream_grouped_tiny_budget(problem):
+    """Budget so small the stationary group is one block — maximum
+    re-streaming, plus the word-chunked operand path."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+    )
+
+    bs, cls, th, tiles, ref = _sweep_and_ref(problem)
+    got = extract_pairs_stream_grouped(
+        bs.words, cls, th, tiles, n=bs.n, threshold=THR, bs=16,
+        hbm_budget_bytes=1 << 20, inflight=1,
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
+def test_stream_grouped_masked_subset(problem):
+    """A tile_hits mask restricted to a subset of hit tiles (the fused
+    redo contract) must return exactly that subset's pairs."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+    )
+
+    bs, cls, th, tiles, ref = _sweep_and_ref(problem)
+    ti, tj, tile = tiles
+    th = np.asarray(th)
+    hit = np.nonzero(th[:, 0] > 0)[0]
+    rng = np.random.default_rng(2)
+    sel = rng.choice(hit, size=max(1, len(hit) // 3), replace=False)
+    masked = np.zeros_like(th)
+    masked[sel] = th[sel]
+    got = extract_pairs_stream_grouped(
+        bs.words, cls, masked, tiles, n=bs.n, threshold=THR, bs=32
+    )
+    # expected: the reference pairs whose tile is in the subset
+    sel_set = {(int(ti[s]), int(tj[s])) for s in sel}
+    want = np.array(
+        [
+            p for p in ref.pairs
+            if (int(p[0]) // tile, int(p[1]) // tile) in sel_set
+        ],
+        dtype=np.int32,
+    ).reshape(-1, 3)
+    assert np.array_equal(got, want)
+
+
+def test_stream_grouped_all_pairs_and_weighted(problem):
+    """cross_amr_only=False and int8 column weights both ride the
+    grouped pass (same mask/operand semantics as the window path)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream,
+        extract_pairs_stream_grouped,
+        sweep_mxu_stream,
+    )
+
+    bs, classes, _ = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rng = np.random.default_rng(9)
+    weights = rng.integers(1, 12, bs.w_pad * 32).astype(np.int8)
+    for cross_only, wts in (
+        (False, None), (True, weights), (False, weights),
+    ):
+        rs, th, tiles = sweep_mxu_stream(
+            bs.words, cls, n=bs.n, threshold=THR * 4, bs=32, block=16,
+            weights=wts,
+        )
+        kw = dict(
+            n=bs.n, threshold=THR * 4, cross_amr_only=cross_only,
+            weights=wts,
+        )
+        want = extract_pairs_stream(bs.words, cls, th, tiles, **kw)
+        got = extract_pairs_stream_grouped(
+            bs.words, cls, th, tiles, bs=32, **kw
+        )
+        assert np.array_equal(got, want)
+
+
+def test_stream_extract_auto(problem):
+    """The volume dispatcher gives the same answer as both extractors
+    (whichever side of the crossover this problem lands on)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_auto,
+    )
+
+    bs, cls, th, tiles, ref = _sweep_and_ref(problem)
+    got = extract_pairs_stream_auto(
+        bs.words, cls, th, tiles, n=bs.n, threshold=THR
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
+def test_stream_fused_redo_grouped(problem):
+    """The fused overflow redo can take the grouped pass explicitly and
+    must stay bit-identical (threshold 0 + tiny capacity = every tile
+    truncated, the regime the grouped redo exists for)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_fused,
+        sweep_mxu_stream,
+    )
+
+    bs, classes, _ = problem
+    ref = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(threshold=0, tile=16, word_block=128, engine="xla"),
+    )
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles, cands = sweep_mxu_stream(
+        bs.words, cls, n=bs.n, threshold=0, bs=32, block=16, fused_k=8
+    )
+    got = extract_pairs_stream_fused(
+        bs.words, cls, th, tiles, cands, n=bs.n, threshold=0,
+        redo="grouped",
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
+def test_stream_grouped_empty(problem):
+    """All-zero tile hits: the early return, no device work."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+    )
+
+    bs, cls, th, tiles, _ = _sweep_and_ref(problem)
+    got = extract_pairs_stream_grouped(
+        bs.words, cls, np.zeros_like(np.asarray(th)), tiles,
+        n=bs.n, threshold=THR,
+    )
+    assert got.shape == (0, 3)
+
+
 def test_stream_empty_result():
     """No pair clears an impossible threshold — the empty-extraction
     early return."""

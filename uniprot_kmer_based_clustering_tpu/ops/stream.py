@@ -387,6 +387,7 @@ def extract_pairs_stream_fused(
     threshold: int,
     cross_amr_only: bool = True,
     weights: Optional[np.ndarray] = None,
+    redo: str = "auto",
 ) -> np.ndarray:
     """Fused-mode pair recovery for the streaming engine.
 
@@ -431,8 +432,23 @@ def extract_pairs_stream_fused(
     if not keep.all():
         masked = np.zeros_like(tile_hits)
         masked[~keep] = tile_hits[~keep]
+        # redo path by upload volume: the per-tile window path re-uploads
+        # ≤ 2·tile·W·4 bytes per truncated tile (shared windows make it
+        # less); the grouped path pays roughly one budgeted pass over the
+        # needed blocks. When the window estimate exceeds the whole
+        # matrix, widespread truncation has made windows the quadratic
+        # path — switch to the sweep-schedule redo.
+        n_redo = int((~keep).sum())
+        window_est = 2 * n_redo * tile * words_host.shape[1] * 4
+        use_grouped = redo == "grouped" or (
+            redo == "auto" and window_est > words_host.nbytes
+        )
+        redo_fn = (
+            extract_pairs_stream_grouped if use_grouped
+            else extract_pairs_stream
+        )
         parts.append(
-            extract_pairs_stream(
+            redo_fn(
                 words_host, classes, masked, tiles, n=n,
                 threshold=threshold, cross_amr_only=cross_amr_only,
                 weights=weights,
@@ -551,6 +567,285 @@ def _extract_stream_scatter(
         step, (cursor, gbi, gbj, gbc), jnp.arange(ia.shape[0])
     )
     return gbi, gbj, gbc, cursor
+
+
+#: Phase breakdown of the most recent :func:`extract_pairs_stream_grouped`
+#: call — upload seconds/count, dispatch, drains, finalize, the resolved
+#: blocking (bs, g) and the skip ratio (block pairs visited / total).
+last_grouped_trace: dict = {}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "threshold", "block", "word_chunk", "weighted",
+        "cross_amr_only",
+    ),
+    donate_argnames=("gbi", "gbj", "gbc"),
+)
+def _extract_block_pair(
+    gbi, gbj, gbc, cursor,   # global pair buffers (pairwise idiom)
+    wa,        # uint32 [bs, W] stationary block
+    wb,        # uint32 [bs, W] moving block
+    ca,        # int32 [bs]
+    cb,        # int32 [bs]
+    weights,   # int8 [W*32]
+    i0,        # int32 scalar — global row offset of wa
+    j0,        # int32 scalar — global row offset of wb
+    sub_mask,  # bool [bs//block, bs//block] — sub-tiles wanted
+    *,
+    n: int,
+    threshold: int,
+    block: int,
+    word_chunk: int,
+    weighted: bool,
+    cross_amr_only: bool,
+):
+    """One block-pair extraction step for the grouped streaming pass.
+
+    Recomputes the full [bs, bs] counts window (the sweep's own operand
+    shape — NOT per-tile windows), masks survivors, and compacts them
+    into the donated global buffers with the cumsum+scatter idiom.
+    ``sub_mask`` restricts output to wanted sub-tiles (all-hit tiles for
+    a full extraction; only truncated tiles when redoing a fused sweep's
+    overflow). Returns updated (gbi, gbj, gbc, cursor)."""
+    counts = _counts_window_pair(
+        wa, wb, weights if weighted else None, word_chunk=word_chunk
+    )
+    bs = wa.shape[0]
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    mask = (counts > threshold) & (gi < gj) & (gj < n)
+    if cross_amr_only:
+        mask &= ca[:, None] != cb[None, :]
+    mask &= jnp.repeat(
+        jnp.repeat(sub_mask, block, axis=0), block, axis=1
+    )
+    vcap = gbi.shape[0]
+    pos, kept = compact_positions(mask.ravel(), vcap, cursor)
+    opts = dict(mode="drop", unique_indices=True)
+    gbi = gbi.at[pos].set(gi.ravel(), **opts)
+    gbj = gbj.at[pos].set(gj.ravel(), **opts)
+    gbc = gbc.at[pos].set(counts.ravel(), **opts)
+    return gbi, gbj, gbc, cursor + kept
+
+
+def extract_pairs_stream_grouped(
+    words_host: np.ndarray,
+    classes: np.ndarray,
+    tile_hits: np.ndarray,
+    tiles,
+    n: int,
+    threshold: int,
+    cross_amr_only: bool = True,
+    weights: Optional[np.ndarray] = None,
+    bs: Optional[int] = None,
+    hbm_budget_bytes: int = 13 << 30,
+    inflight: int = 4,
+    word_chunk: Optional[int] = None,
+) -> np.ndarray:
+    """Pass-2 exact pair recovery with the SWEEP's residency schedule.
+
+    :func:`extract_pairs_stream` re-uploads two ``[tile, W]`` row
+    windows per hit-tile batch — transfer-optimal when hits are sparse,
+    but transfer-QUADRATIC when essentially every tile hits (the
+    dense-homology regime: a 100k synthetic extraction would stream
+    ~1 TB of windows). This variant reuses the stationary-group /
+    moving-block schedule of :func:`sweep_mxu_stream`: one more pass
+    over the matrix, bounded by the same HBM budget, each block pair
+    recomputed at the sweep's own operand shape and compacted on device
+    into the global pair buffers (one final device-sorted fetch).
+    Block pairs containing no hit tile are skipped host-side — moving
+    blocks nobody needs are never uploaded — so the sparse regime
+    degrades gracefully too (though the per-tile window path remains
+    cheaper there; :func:`extract_pairs_stream_fused` picks per redo
+    volume).
+
+    Bit-identical to every other extraction path (tests/test_stream.py
+    pins equality against the in-core extractor and the window path).
+    """
+    ti, tj, tile = tiles
+    words_host = np.ascontiguousarray(words_host)
+    classes = np.asarray(classes, np.int32)
+    if classes.shape[0] < words_host.shape[0]:
+        classes = np.concatenate(
+            [
+                classes,
+                np.full(words_host.shape[0] - classes.shape[0], -1, np.int32),
+            ]
+        )
+    hits_per_tile = tile_hits[:, 0].astype(np.int64)
+    want = tile_hits[:, 0] > 0
+    if not cross_amr_only:
+        want |= tile_hits[:, 1] > 0
+        hits_per_tile = hits_per_tile + tile_hits[:, 1]
+    if not want.any():
+        return np.zeros((0, 3), dtype=np.int32)
+    total = int(hits_per_tile[want].sum())
+
+    w_words = words_host.shape[1]
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _finalize_pairs,
+        _new_pair_buffers,
+        _vcap_bucket,
+    )
+
+    vcap = _vcap_bucket(total)
+    # the global pair buffers are resident for the whole pass — charge
+    # them (and the [bs, bs] counts/index transients, in the in-flight
+    # accounting below) against the caller's budget before blocking
+    budget = max(1 << 28, hbm_budget_bytes - 3 * vcap * 4)
+    if bs is None:
+        bs = auto_stream_block(words_host.shape[0], w_words, tile, budget)
+    assert bs % tile == 0, "grouped block must be a multiple of the tile"
+    # the sweep's tile enumeration may cover rows beyond the caller's
+    # matrix (sweep-side padding to its own block multiple): pad to the
+    # tile coverage first, then to this pass's block multiple
+    cover = (int(max(ti.max(), tj.max())) + 1) * tile
+    if cover > words_host.shape[0]:
+        words_host, classes = _pad_rows(words_host, classes, cover)
+    words_host, classes = _pad_rows(words_host, classes, bs)
+    n_pad = words_host.shape[0]
+    nbk = n_pad // bs
+    nsb = bs // tile
+
+    # which bs-block pairs contain a wanted tile (host-side skip map) +
+    # the per-pair sub-tile mask
+    nb = n_pad // tile
+    want_m = np.zeros((nb, nb), bool)
+    want_m[ti[want], tj[want]] = True
+    need = want_m.reshape(nbk, nsb, nbk, nsb).any(axis=(1, 3))
+
+    block_bytes = bs * w_words * 4
+    fixed = (
+        (inflight + 1) * (block_bytes + 4 * bs * bs * 4) + n_pad * 4
+    )
+    avail = max(block_bytes, budget - fixed)
+    resident_budget = max(block_bytes, avail // 2)
+    g = int(min(nbk, max(1, resident_budget // block_bytes)))
+
+    if word_chunk is None:
+        word_chunk = 0
+        if 2 * bs * w_words * 32 > avail // 2:
+            target = max(128, avail // 2 // (2 * bs * 32))
+            base = w_words // 128
+            best = 1
+            for d in range(1, base + 1):
+                if base % d == 0 and d * 128 <= target:
+                    best = d
+            word_chunk = best * 128
+
+    weighted = weights is not None
+    wts = jnp.asarray(
+        weights if weighted else np.ones(w_words * 32, np.int8),
+        jnp.int8,
+    )
+    cls_dev = [
+        jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
+    ]
+    buffers = _new_pair_buffers(vcap)
+    pending = []  # cursor probes — the in-flight window bound
+    trace = {
+        "upload_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
+        "finalize_s": 0.0, "steps": 0, "uploads": 0,
+        "bs": int(bs), "g": int(g), "nbk": int(nbk),
+        "word_chunk": int(word_chunk),
+        "block_pairs_total": int(nbk * (nbk + 1) // 2),
+    }
+
+    def _drain(limit):
+        t0 = time.perf_counter()
+        while len(pending) > limit:
+            jax.device_get(pending.pop(0))
+        trace["drain_s"] += time.perf_counter() - t0
+
+    def _put(lo_block):
+        t0 = time.perf_counter()
+        out = jax.device_put(
+            words_host[lo_block * bs : (lo_block + 1) * bs]
+        )
+        trace["upload_s"] += time.perf_counter() - t0
+        trace["uploads"] += 1
+        return out
+
+    for s0 in range(0, nbk, g):
+        g_here = min(g, nbk - s0)
+        rows = range(s0, s0 + g_here)
+        stationary = {}
+        for jb in range(s0, nbk):
+            steps = [
+                ib for ib in rows
+                if ib <= jb and need[ib, jb]
+            ]
+            if not steps:
+                continue
+            if jb < s0 + g_here:
+                if jb not in stationary:
+                    stationary[jb] = _put(jb)
+                wb = stationary[jb]
+            else:
+                wb = _put(jb)
+            for ib in steps:
+                if ib not in stationary:
+                    stationary[ib] = _put(ib)
+                sub = jnp.asarray(
+                    want_m[
+                        ib * nsb : (ib + 1) * nsb,
+                        jb * nsb : (jb + 1) * nsb,
+                    ]
+                )
+                t0 = time.perf_counter()
+                buffers = _extract_block_pair(
+                    *buffers,
+                    stationary[ib], wb, cls_dev[ib], cls_dev[jb], wts,
+                    jnp.int32(ib * bs), jnp.int32(jb * bs), sub,
+                    n=n, threshold=threshold, block=tile,
+                    word_chunk=word_chunk, weighted=weighted,
+                    cross_amr_only=cross_amr_only,
+                )
+                trace["dispatch_s"] += time.perf_counter() - t0
+                trace["steps"] += 1
+                pending.append(buffers[3])
+                _drain(inflight)
+    _drain(0)
+    t0 = time.perf_counter()
+    out = _finalize_pairs(buffers, total)
+    trace["finalize_s"] += time.perf_counter() - t0
+    global last_grouped_trace
+    last_grouped_trace = trace
+    return out
+
+
+def extract_pairs_stream_auto(
+    words_host: np.ndarray,
+    classes: np.ndarray,
+    tile_hits: np.ndarray,
+    tiles,
+    n: int,
+    threshold: int,
+    cross_amr_only: bool = True,
+    weights: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Volume-based dispatch between the two out-of-core extractors:
+    per-tile windows (:func:`extract_pairs_stream`) when hits are sparse
+    — upload bound ≈ 2·tile·W·4 per hit tile — and the grouped
+    sweep-schedule pass (:func:`extract_pairs_stream_grouped`) when that
+    estimate exceeds one full pass over the matrix (the dense-homology
+    regime where per-tile windows go transfer-quadratic)."""
+    ti, tj, tile = tiles
+    want = tile_hits[:, 0] > 0
+    if not cross_amr_only:
+        want = want | (tile_hits[:, 1] > 0)
+    window_est = 2 * int(want.sum()) * tile * words_host.shape[1] * 4
+    fn = (
+        extract_pairs_stream_grouped
+        if window_est > words_host.nbytes
+        else extract_pairs_stream
+    )
+    return fn(
+        words_host, classes, tile_hits, tiles, n=n, threshold=threshold,
+        cross_amr_only=cross_amr_only, weights=weights,
+    )
 
 
 def extract_pairs_stream(

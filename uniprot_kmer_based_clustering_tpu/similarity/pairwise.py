@@ -777,7 +777,7 @@ def pairwise_similarity(
         # blocks stream through the device (ops/stream.py) — for corpora
         # beyond one chip's HBM. Same int8-matmul math as the MXU engine.
         from uniprot_kmer_based_clustering_tpu.ops.stream import (
-            extract_pairs_stream,
+            extract_pairs_stream_auto,
             extract_pairs_stream_fused,
             sweep_mxu_stream,
         )
@@ -807,7 +807,7 @@ def pairwise_similarity(
             bitset.words, classes, n=n, threshold=threshold,
             bs=config.strip, block=config.tile, weights=weights,
         )
-        pairs = extract_pairs_stream(
+        pairs = extract_pairs_stream_auto(
             bitset.words, classes, tile_hits, tiles,
             n=n, threshold=threshold,
             cross_amr_only=config.cross_amr_only, weights=weights,
