@@ -328,7 +328,12 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     )
     fused_k = min(fused_k, blk * blk)
 
-    sweep_kw = dict(block=blk, bs=7 * blk, fused_k=fused_k)
+    # UKC_SCALE_STREAM_BS: stream row-block override. Smaller blocks
+    # shrink the per-step program (the fused top_k unrolls once per
+    # 512² sub-tile — (bs/block)² of them — and the remote compile cost
+    # grows with the unroll) at the price of more steps/drains.
+    sbs = int(os.environ.get("UKC_SCALE_STREAM_BS", "0")) or 7 * blk
+    sweep_kw = dict(block=blk, bs=sbs, fused_k=fused_k)
     if budget_gib:
         sweep_kw["hbm_budget_bytes"] = int(budget_gib * (1 << 30))
 
@@ -395,7 +400,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         "overflow_tiles_redone": overflow_tiles,
         "streamed_gib": round(
             trace.get("uploads", 0)
-            * (7 * blk) * bs_host.words.shape[1] * 4 / 2**30, 1
+            * sbs * bs_host.words.shape[1] * 4 / 2**30, 1
         ),
         "stream_trace": {
             k: (round(v, 1) if isinstance(v, float) else v)
