@@ -138,9 +138,15 @@ def _stream_step(
     ys = None
     if fused_k:
         em = (over_c | over_s) if fused_same else over_c
-        ys = topk_subtile_candidates(
+        bi, bj, bc = topk_subtile_candidates(
             em.astype(jnp.int32), counts, i0, j0, tile=block, k=fused_k
         )
+        # ONE stacked array per step: the host drain fetches a single
+        # array instead of three — each fetched output pays its own
+        # ~30-50 ms tunnel round trip (CLAUDE.md), and the per-step
+        # drain was measured as the dominant term of the beyond-HBM
+        # sweep (972 s of 1228 s at 4851 steps, 3 fetches each)
+        ys = jnp.stack([bi, bj, bc])
     row_stats, block_hits = accumulate_pair_block(
         row_stats, block_hits, rs, bh, i0, j0, block=block
     )
@@ -308,7 +314,8 @@ def sweep_mxu_stream(
             if ys is None:
                 jax.device_get(probe)
                 continue
-            bi, bj, bc = jax.device_get(ys)
+            arr = jax.device_get(ys)  # one fetch: [3, nsub, k] stacked
+            bi, bj, bc = arr[0], arr[1], arr[2]
             m = bc >= 0
             if m.any():
                 cand_parts.append(
