@@ -284,7 +284,7 @@ def main():
     # one XLA:CPU core and both configs are CPU-covered by
     # tests/test_pipeline.py::test_golden_full_dataset_7mer and
     # tests/test_blosum.py::test_golden_weighted_full_dataset.
-    extra_gates = ("mxu_7mer", "mxu_weighted")
+    extra_gates = ("mxu_7mer", "mxu_weighted", "stream_grouped_extract")
     if on_cpu or golden is None:
         for name in extra_gates:
             engines[name] = {"parity": "skipped (hardware+dataset gate)"}
@@ -349,6 +349,45 @@ def main():
         except Exception as e:  # noqa: BLE001
             rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
         engines["mxu_weighted"] = rec
+
+        # grouped out-of-core extraction (the dense-homology pass-2 of
+        # extract=auto): the bundled corpus is sparse-hit, so the auto
+        # dispatch never routes here on its own — gate it directly,
+        # forced multi-group (small bs + 1 GiB budget = real
+        # re-streaming schedule) against the reference pair list.
+        try:
+            from uniprot_kmer_based_clustering_tpu.ops import (
+                stream as _stream,
+            )
+            from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                extract_pairs_stream_grouped,
+                sweep_mxu_stream,
+            )
+
+            cls_pad = np.full(bitset.n_pad, -1, np.int32)
+            cls_pad[: table.n] = classes
+            _, th_g, tl_g = sweep_mxu_stream(
+                bitset.words, cls_pad, n=table.n, threshold=10,
+                bs=1024, block=512,
+            )
+            t0 = time.perf_counter()
+            pairs_g = extract_pairs_stream_grouped(
+                bitset.words, cls_pad, th_g, tl_g, n=table.n,
+                threshold=10, bs=1024, hbm_budget_bytes=1 << 30,
+            )
+            rec = {"cold_s": round(time.perf_counter() - t0, 3)}
+            rec["trace"] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in _stream.last_grouped_trace.items()
+            }
+            okg = np.array_equal(pairs_g, ref_pairs)
+            rec["parity"] = (
+                "golden-exact" if okg else "MISMATCH vs reference pairs"
+            )
+            golden_count += int(okg)
+        except Exception as e:  # noqa: BLE001
+            rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
+        engines["stream_grouped_extract"] = rec
 
     # + stats epilogue pair + the k=7 and weighted config gates;
     # skipped gates drop out of the denominator
