@@ -50,8 +50,28 @@ def _fail(msg: str) -> None:
     }))
 
 
+class _SynthTable:
+    """Minimal ProteinTable shim over a synthetic corpus buffer (only
+    the two members the bench touches)."""
+
+    def __init__(self, seq_buf, offsets):
+        self.seq_buf, self.offsets = seq_buf, offsets
+        self.n = len(offsets) - 1
+
+    def seq(self, i: int) -> str:
+        return (
+            self.seq_buf[self.offsets[i] : self.offsets[i + 1]]
+            .tobytes().decode("ascii")
+        )
+
+
 def _build_servers(mesh_devices: int = 0):
-    """Corpus index + (device, host) servers; mesh-sharded when asked."""
+    """Corpus index + (device, host) servers; mesh-sharded when asked.
+
+    UKC_QUERY_N switches the corpus to bench_scale's template-mutation
+    synthetic set — the serving-AT-SCALE configuration (e.g. 30k
+    proteins, ~0.5M-rank index): same build, same host-exactness gate,
+    artifact lands as BENCH_queryscale_r{NN}.json."""
     from uniprot_kmer_based_clustering_tpu.io import read_fasta
     from uniprot_kmer_based_clustering_tpu.kmers import (
         build_index,
@@ -60,8 +80,16 @@ def _build_servers(mesh_devices: int = 0):
     )
     from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
 
-    table = read_fasta(FASTA)
-    codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
+    qn = int(os.environ.get("UKC_QUERY_N", "0"))
+    if qn:
+        from bench_scale import synth_proteins
+
+        seq_buf, offsets, _classes = synth_proteins(qn)
+        table = _SynthTable(seq_buf, offsets)
+        codes, koff = encode_kmers(seq_buf, offsets, 5)
+    else:
+        table = read_fasta(FASTA)
+        codes, koff = encode_kmers(table.seq_buf, table.offsets, 5)
     idx = build_index(codes, koff, 5)
     bitset = pack_bitsets(
         idx.incidence_protein,
@@ -216,9 +244,14 @@ def main():
         }
         best_qps = max(best_qps, qps)
 
-    # mesh-sharded serving point (virtual CPU mesh, subprocess)
+    # mesh-sharded serving point (virtual CPU mesh, subprocess) —
+    # bundled-corpus mode only (the scale corpus would re-synthesize in
+    # the subprocess for a number the hardware curve already covers)
     mesh_stats = {}
-    if os.environ.get("UKC_QUERY_MESH", "1") != "0":
+    if (
+        os.environ.get("UKC_QUERY_MESH", "1") != "0"
+        and not int(os.environ.get("UKC_QUERY_N", "0"))
+    ):
         env = dict(
             os.environ,
             JAX_PLATFORMS="cpu",
@@ -238,10 +271,14 @@ def main():
         except Exception as e:  # probe is evidence, not a gate
             mesh_stats = {"mesh_virtual_cpu": {"error": str(e)[:200]}}
 
+    qn = int(os.environ.get("UKC_QUERY_N", "0"))
     rec = {
         "metric": "query_serving",
         "value": round(best_qps, 1),
         "unit": "queries/s",
+        "corpus": (
+            f"synthetic-{qn}" if qn else "uniprot_arg.fasta (bundled)"
+        ),
         "corpus_proteins": int(table.n),
         "curve": curve,
         "pipelined": pipeline,
@@ -258,7 +295,8 @@ def main():
     )
 
     write_bench_artifact(
-        "query", rec, os.path.dirname(os.path.abspath(__file__))
+        "queryscale" if qn else "query", rec,
+        os.path.dirname(os.path.abspath(__file__)),
     )
 
 

@@ -32,7 +32,7 @@ def _provenance() -> dict:
                 "UKC_SCALE_FUSED", "UKC_SCALE_STREAM",
                 "UKC_SCALE_STREAM_ONLY", "UKC_SCALE_STREAM_BUDGET",
                 "UKC_SCALE_STREAM_REPS",
-                "UKC_BENCH_ENGINES", "UKC_POD_DEVICES"):
+                "UKC_BENCH_ENGINES", "UKC_POD_DEVICES", "UKC_QUERY_N"):
         if os.environ.get(var):
             env_bits.append(f"{var}={shlex.quote(os.environ[var])}")
     cmd = " ".join(env_bits + [shlex.quote(sys.executable)]
