@@ -432,6 +432,23 @@ def test_stream_fused_redo_grouped(problem):
     assert np.array_equal(got, ref.pairs)
 
 
+def test_stream_grouped_word_chunked_unweighted(problem):
+    """The chunked operand path slices the weights array
+    unconditionally — the unweighted grouped call must still feed it an
+    array (regression: the first hardware engines-gate run crashed on
+    NoneType.ndim in dynamic_slice_in_dim)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+    )
+
+    bs, cls, th, tiles, ref = _sweep_and_ref(problem)
+    got = extract_pairs_stream_grouped(
+        bs.words, cls, th, tiles, n=bs.n, threshold=THR, bs=32,
+        word_chunk=64,  # < w_words=128: the chunked branch
+    )
+    assert np.array_equal(got, ref.pairs)
+
+
 def test_stream_grouped_empty(problem):
     """All-zero tile hits: the early return, no device work."""
     from uniprot_kmer_based_clustering_tpu.ops.stream import (

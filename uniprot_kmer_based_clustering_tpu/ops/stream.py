@@ -615,9 +615,19 @@ def _extract_block_pair(
     into the donated global buffers with the cumsum+scatter idiom.
     ``sub_mask`` restricts output to wanted sub-tiles (all-hit tiles for
     a full extraction; only truncated tiles when redoing a fused sweep's
-    overflow). Returns updated (gbi, gbj, gbc, cursor)."""
+    overflow). Returns updated (gbi, gbj, gbc, cursor).
+
+    ``weights`` is always an array (ones when unweighted) — the chunked
+    operand path slices it unconditionally, so the topk/scatter
+    extractors' ``None``-when-unweighted idiom would crash here (it
+    did: the first hardware run of the engines-gate row hit
+    ``NoneType.ndim`` in ``dynamic_slice_in_dim``). Identical counts:
+    the ones-scale is an int8 identity. ``weighted`` stays a static
+    arg so weighted/unweighted compile distinct programs like every
+    other extractor."""
+    del weighted  # (kept static for cache-key parity with the callers)
     counts = _counts_window_pair(
-        wa, wb, weights if weighted else None, word_chunk=word_chunk
+        wa, wb, weights, word_chunk=word_chunk
     )
     bs = wa.shape[0]
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
