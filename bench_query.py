@@ -201,13 +201,16 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # batch-size saturation curve (synchronous dispatch)
+    # batch-size saturation curve (synchronous dispatch). Throughput
+    # uses the ACTUAL batch length — seqs[:b] can be shorter than b on
+    # small corpora (fewer probe rows than the largest batch size).
     curve = {}
     for b in (1, 16, 64, 256):
-        t = steady(seqs[:b], reps=4)
+        batch = seqs[:b]
+        t = steady(batch, reps=4)
         curve[str(b)] = {
             "batch_seconds": round(t, 4),
-            "queries_per_s": round(b / t, 1),
+            "queries_per_s": round(len(batch) / t, 1),
         }
     t1 = curve["1"]["batch_seconds"]
     t64 = curve["64"]["batch_seconds"]
@@ -235,9 +238,9 @@ def main():
                 if not np.array_equal(am, sm):
                     _fail(f"pipelined/sync mismatch at batch {b}")
                     return
-        qps = depth * b / best
+        qps = depth * len(batch) / best
         pipeline[f"{b}x{depth}"] = {
-            "batch": b,
+            "batch": len(batch),
             "depth": depth,
             "total_seconds": round(best, 4),
             "queries_per_s": round(qps, 1),

@@ -98,6 +98,48 @@ def test_append_empty_and_errors(toy_seqs):
     with pytest.raises(ValueError, match="incidence"):
         append_to_index(dev_like, bs, toy_seqs[10:12])
 
+    # a sampled corpus stream cannot take full-stream appends
+    sampled = dataclasses.replace(idx, sampling="random10")
+    with pytest.raises(ValueError, match="sampling"):
+        append_to_index(sampled, bs, toy_seqs[10:12])
+
+
+def test_add_proteins_rollback_on_rebuild_failure(toy_seqs):
+    """A failing serving rebuild must not leave the server half-updated
+    (index advanced, corpus blocks stale): the pre-append state is
+    restored and the server keeps answering exactly."""
+    from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
+
+    idx, bs = _build(toy_seqs[:40])
+    srv = QueryServer(idx, bs, mode="host")
+    probe = [toy_seqs[0], toy_seqs[5]]
+    before = srv.query(probe, threshold=3)
+
+    original = QueryServer._build_host_csr
+    calls = {"n": 0}
+
+    def boom(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected rebuild failure")
+        return original(self)
+
+    try:
+        QueryServer._build_host_csr = boom
+        with pytest.raises(RuntimeError, match="injected"):
+            srv.add_proteins(toy_seqs[40:], threshold=3)
+    finally:
+        QueryServer._build_host_csr = original
+
+    assert srv.index is idx and srv.bitset is bs  # state restored
+    after = srv.query(probe, threshold=3)
+    for a, b in zip(before, after):
+        assert np.array_equal(a, b)
+
+    # and the server still accepts a successful append afterwards
+    srv.add_proteins(toy_seqs[40:42], threshold=3)
+    assert srv.bitset.n == 42
+
 
 def test_append_promotion_explicit():
     """Hand-built promotion: k-mer X unique to protein 0 of the standing

@@ -79,6 +79,13 @@ def append_to_index(
             "append needs unique-code owners (index.unique_owner); "
             "rebuild the index with kmers.index.build_index"
         )
+    if getattr(index, "sampling", "all") != "all":
+        raise ValueError(
+            "append requires a sampling='all' index: new sequences are "
+            "encoded with the full k-mer stream, so appending onto a "
+            f"'{index.sampling}'-sampled corpus silently breaks "
+            "append(A+B) == rebuild(A|B) — rebuild instead"
+        )
     if len(seqs) == 0:
         return index, bitset
 

@@ -63,6 +63,12 @@ class KmerIndex:
     # (src/tree.rs:524-536). None on device-built indexes (no host
     # incidences) — append requires a host/native-built index.
     unique_owner: Optional[np.ndarray] = None
+    # Sampling mode the corpus k-mer stream was encoded with ("all" or
+    # "random10", src/protein.rs:77-104). build_index cannot see it (it
+    # receives pre-encoded codes), so the PIPELINE stamps it; kmers.append
+    # refuses non-"all" indexes — appended sequences are encoded with the
+    # full stream, and mixing streams silently breaks append ≡ rebuild.
+    sampling: str = "all"
 
     @property
     def n_distinct(self) -> int:
@@ -215,10 +221,25 @@ def build_index(
         incidence_protein=inc_protein[keep],
         incidence_rank=rank[keep].astype(np.int32),
         hash_doc_freq=hash_doc_freq,
-        unique_owner=_unique_owners(
-            distinct_codes[~repeated_mask], codes, kmer_offsets
+        # owners fall straight out of the deduped incidences here — a
+        # docfreq-1 code has exactly one (protein, code) row; re-scanning
+        # the raw window stream (_unique_owners, needed only for the
+        # native path which never materializes inc arrays) would add an
+        # np.repeat + searchsorted over every raw k-mer to every build
+        # on this ~85 MB/s-write host
+        unique_owner=_owners_from_incidences(
+            inc_protein[~keep], inc_code[~keep]
         ),
     )
+
+
+def _owners_from_incidences(
+    prot: np.ndarray, code: np.ndarray
+) -> np.ndarray:
+    """int32 owner row per ascending unique code, from the already-
+    deduped unique-code incidences (each appears exactly once)."""
+    order = np.argsort(code, kind="stable")
+    return np.ascontiguousarray(prot[order]).astype(np.int32)
 
 
 def _unique_owners(

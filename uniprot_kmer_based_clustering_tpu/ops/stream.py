@@ -439,16 +439,12 @@ def extract_pairs_stream_fused(
     if not keep.all():
         masked = np.zeros_like(tile_hits)
         masked[~keep] = tile_hits[~keep]
-        # redo path by upload volume: the per-tile window path re-uploads
-        # ≤ 2·tile·W·4 bytes per truncated tile (shared windows make it
-        # less); the grouped path pays roughly one budgeted pass over the
-        # needed blocks. When the window estimate exceeds the whole
-        # matrix, widespread truncation has made windows the quadratic
-        # path — switch to the sweep-schedule redo.
-        n_redo = int((~keep).sum())
-        window_est = 2 * n_redo * tile * words_host.shape[1] * 4
+        # redo path by upload volume (the shared _prefer_grouped
+        # crossover): widespread truncation makes per-tile windows the
+        # transfer-quadratic path — switch to the sweep-schedule redo.
         use_grouped = redo == "grouped" or (
-            redo == "auto" and window_est > words_host.nbytes
+            redo == "auto"
+            and _prefer_grouped(int((~keep).sum()), tile, words_host)
         )
         redo_fn = (
             extract_pairs_stream_grouped if use_grouped
@@ -580,6 +576,18 @@ def _extract_stream_scatter(
 #: call — upload seconds/count, dispatch, drains, finalize, the resolved
 #: blocking (bs, g) and the skip ratio (block pairs visited / total).
 last_grouped_trace: dict = {}
+
+
+def _prefer_grouped(n_hit_tiles: int, tile: int,
+                    words_host: np.ndarray) -> bool:
+    """The ONE pass-2 crossover predicate (shared by
+    :func:`extract_pairs_stream_auto` and the fused overflow redo so
+    the two entry points cannot diverge): the per-tile window path
+    re-uploads ≤ ``2·tile·W·4`` bytes per hit tile (shared windows make
+    it less); prefer the grouped sweep-schedule pass — roughly one more
+    budgeted matrix pass — once that upper bound exceeds a full pass."""
+    window_est = 2 * n_hit_tiles * tile * words_host.shape[1] * 4
+    return window_est > words_host.nbytes
 
 
 @functools.partial(
@@ -853,10 +861,9 @@ def extract_pairs_stream_auto(
     want = tile_hits[:, 0] > 0
     if not cross_amr_only:
         want = want | (tile_hits[:, 1] > 0)
-    window_est = 2 * int(want.sum()) * tile * words_host.shape[1] * 4
     fn = (
         extract_pairs_stream_grouped
-        if window_est > words_host.nbytes
+        if _prefer_grouped(int(want.sum()), tile, words_host)
         else extract_pairs_stream
     )
     return fn(

@@ -122,7 +122,9 @@ def run_pipeline(
         key_index = config.cache_key("index", _fasta_fingerprint(fasta_path))
         cached = store.load(key_index)
         if cached is not None:
-            index = KmerIndex(k=config.k, **cached)
+            index = KmerIndex(
+                k=config.k, sampling=config.sampling, **cached
+            )
         if index is None:
             with timers.stage("encode"):
                 codes, koff = encode_kmers(
@@ -134,6 +136,9 @@ def run_pipeline(
                 )
             with timers.stage("index"):
                 index = build_index(codes, koff, config.k)
+                # stamp the encode stream's sampling mode (the cache key
+                # carries it too — a cached load re-stamps identically)
+                index.sampling = config.sampling
             extra = (
                 {"unique_owner": index.unique_owner}
                 if index.unique_owner is not None

@@ -359,24 +359,60 @@ class QueryServer:
         )
 
         n_old = self.bitset.n
-        self.index, self.bitset = append_to_index(
+        new_index, new_bitset = append_to_index(
             self.index, self.bitset, seqs
         )
-        if self._host_mode:
-            self._build_host_csr()
-        else:
-            self._build_device_blocks()
-        pairs = set()
+
+        def _rebuild():
+            if self._host_mode:
+                self._build_host_csr()
+            else:
+                self._build_device_blocks()
+
+        # commit the append ONLY if the serving rebuild succeeds: a
+        # failure there (device OOM uploading the enlarged corpus, mesh
+        # row-shape mismatch) must not leave the server half-updated —
+        # queries would encode against the NEW rank space while the
+        # device still serves the OLD corpus blocks. On failure, restore
+        # the pre-append state (strictly smaller — the rebuild that was
+        # working before) and re-raise the original error.
+        old_index, old_bitset = self.index, self.bitset
+        self.index, self.bitset = new_index, new_bitset
+        try:
+            _rebuild()
+        except BaseException:
+            self.index, self.bitset = old_index, old_bitset
+            try:
+                _rebuild()
+            except Exception:
+                pass  # original failure is the actionable one
+            raise
+
+        # new-vs-all report, vectorized (a per-match Python loop costs
+        # minutes at dense-homology scale on this throttled host): each
+        # query row's matches -> (min, max, count) rows; np.unique
+        # dedups the doubly-reported new-new pairs (equal counts) and
+        # returns (i, j, c)-lexicographic order — the batch sweep's.
+        parts = []
         for qi, m in enumerate(self.query(seqs, threshold=threshold)):
+            m = np.asarray(m, np.int64).reshape(-1, 2)
             gi = n_old + qi
-            for j, c in m:
-                j = int(j)
-                if j == gi:
-                    continue  # self match
-                a, b = (j, gi) if j < gi else (gi, j)
-                pairs.add((a, b, int(c)))
-        out = np.array(sorted(pairs), np.int64).reshape(-1, 3)
-        return out
+            m = m[m[:, 0] != gi]  # drop the self match
+            if not len(m):
+                continue
+            parts.append(
+                np.stack(
+                    [
+                        np.minimum(m[:, 0], gi),
+                        np.maximum(m[:, 0], gi),
+                        m[:, 1],
+                    ],
+                    axis=1,
+                )
+            )
+        if not parts:
+            return np.zeros((0, 3), np.int64)
+        return np.unique(np.concatenate(parts), axis=0)
 
     def query_async(self, seqs: Sequence[str], threshold: int = 10):
         """Dispatch a batch WITHOUT any synchronizing fetch.
