@@ -66,6 +66,7 @@ ENGINES = [
     ("xla", dict(engine="xla")),
     ("stream_two_pass", dict(engine="stream", extract="two_pass")),
     ("stream_fused", dict(engine="stream", extract="fused")),
+    ("stream_onepass", dict(engine="stream", extract="onepass")),
     ("native_cpp", dict(engine="native")),
 ]
 
@@ -197,7 +198,11 @@ def main():
 
             tr = {
                 k: (round(v, 2) if isinstance(v, float) else v)
-                for k, v in _stream.last_trace.items()
+                for k, v in (
+                    _stream.last_onepass_trace
+                    if name == "stream_onepass"
+                    else _stream.last_trace
+                ).items()
             }
             rec["sweep_trace"] = tr
             moved_mb = tr["uploads"] * tr["bs"] * bitset.w_pad * 4 / 2**20

@@ -281,9 +281,6 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         encode_kmers,
     )
     from uniprot_kmer_based_clustering_tpu.kmers.bitset import pack_bitsets
-    from uniprot_kmer_based_clustering_tpu.ops.stream import (
-        sweep_mxu_stream,
-    )
 
     t0 = time.perf_counter()
     seq_buf, offsets, classes = synth_proteins(n)
@@ -307,74 +304,37 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
 
     budget_gib = float(os.environ.get("UKC_SCALE_STREAM_BUDGET", "0"))
 
-    # fused_k sizing without an in-core reference sweep: the synthetic
-    # corpus is template-homology — within-template pairs dominate and
-    # spread uniformly over tiles (template assignment is i % templates,
-    # a stride-interleave, so per-tile counts are near-uniform) — so
-    # expected hits/tile ≈ total within-template pairs / tiles; 4×
-    # headroom then pow2-bucketed (headroom is NOT free: every step
-    # fetches nsub·fused_k·12 candidate bytes through the ~8-10 MB/s
-    # device→host tunnel, so oversizing fused_k multiplies the drain
-    # cost). Tiles the estimate still misses are redone exactly
-    # (guarded below). UKC_SCALE_FUSED_K overrides.
-    n_templates = int(
-        os.environ.get("UKC_SCALE_TEMPLATES", max(50, min(250, n // 100)))
-    )
-    nb_est = -(-bs_host.n_pad // blk)
-    n_tiles = nb_est * (nb_est + 1) // 2
-    exp_pairs = n_templates * (n / n_templates) ** 2 / 2.0
-    fused_k = int(os.environ.get("UKC_SCALE_FUSED_K", "0")) or (
-        1 << int(np.ceil(np.log2(max(4 * exp_pairs / n_tiles, 256))))
-    )
-    fused_k = min(fused_k, blk * blk)
-
-    # UKC_SCALE_STREAM_BS: stream row-block override. Smaller blocks
-    # shrink the per-step program (the fused top_k unrolls once per
-    # 512² sub-tile — (bs/block)² of them — and the remote compile cost
-    # grows with the unroll) at the price of more steps/drains.
+    # UKC_SCALE_STREAM_BS: stream row-block override (smaller blocks
+    # shrink the per-step program at the price of more steps/drains).
     sbs = int(os.environ.get("UKC_SCALE_STREAM_BS", "0")) or 7 * blk
-    sweep_kw = dict(block=blk, bs=sbs, fused_k=fused_k)
+    sweep_kw = dict(block=blk, bs=sbs)
     if budget_gib:
         sweep_kw["hbm_budget_bytes"] = int(budget_gib * (1 << 30))
 
     cls_np = np.full(bs_host.n_pad, -1, np.int32)
     cls_np[:n] = classes
 
-    # ONE cold pass: the engine is transfer-bound (cold ≈ warm, see the
-    # BENCH_engines phase traces) and the tunnel client leaks every
-    # uploaded byte into host RSS (DESIGN.md known-limits), so repeated
-    # full-matrix passes are neither representative nor affordable —
-    # total host→device traffic per process is bounded by host RAM.
+    # ONE cold pass of the ONE-PASS engine (stats + survivor compaction
+    # into device pair buffers, one final device-sorted fetch — no
+    # fused-candidate capacity guessing, no per-step drain volume, no
+    # large-k top_k remote-compile hazard). Cold because the engine is
+    # transfer-bound (cold ≈ warm, BENCH_engines traces) and the tunnel
+    # client leaks every uploaded byte into host RSS (DESIGN.md
+    # known-limits) — repeated full-matrix passes are neither
+    # representative nor affordable.
     from uniprot_kmer_based_clustering_tpu.ops import stream as stream_mod
     from uniprot_kmer_based_clustering_tpu.ops.stream import (
-        extract_pairs_stream_fused,
+        sweep_extract_stream,
     )
 
     t0 = time.perf_counter()
-    rs, th, tl, cands = sweep_mxu_stream(
+    rs, th, tl, pairs = sweep_extract_stream(
         bs_host.words, cls_np, n, 10, **sweep_kw
     )
-    t_sweep = time.perf_counter() - t0
+    t_sweep = time.perf_counter() - t0  # sweep AND extraction: one pass
     t_first = t_sweep
-    trace = dict(stream_mod.last_trace or {})
-
-    # overflow guard: tiles denser than fused_k re-stream their row
-    # windows through the per-tile extraction path — transfer-quadratic
-    # at dense scale, so bail out loudly instead of grinding/OOMing
-    overflow_tiles = int((th[:, 0] > fused_k).sum())
-    redo_cap = int(os.environ.get("UKC_SCALE_REDO_CAP", "256"))
-    if overflow_tiles > redo_cap:
-        raise RuntimeError(
-            f"{overflow_tiles} tiles exceed fused_k={fused_k} "
-            f"(cap {redo_cap}): re-raise UKC_SCALE_FUSED_K — max tile "
-            f"hits {int(th[:, 0].max())}"
-        )
-
-    t0 = time.perf_counter()
-    pairs = extract_pairs_stream_fused(
-        bs_host.words, cls_np, th, tl, cands, n=n, threshold=10
-    )
-    t_extract = time.perf_counter() - t0
+    trace = dict(stream_mod.last_onepass_trace or {})
+    t_extract = float(trace.get("fetch_s", 0.0))
 
     tot = rs.sum(axis=0)
     assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
@@ -386,7 +346,10 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         "metric": "pairwise_similarity_scale",
         "value": round(n * (n - 1) / 2.0 / t_sweep, 1),
         "unit": "pairs/s/chip",
-        "engine": "stream (out-of-core; in-core impossible at this size)",
+        "engine": (
+            "stream one-pass (out-of-core; in-core impossible at this "
+            "size)"
+        ),
         "n_proteins": n,
         "k": kk,
         "repeated_kmers": idx.n_repeated,
@@ -396,8 +359,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         "first_run_seconds": round(t_first, 1),
         "extract_seconds": round(t_extract, 1),
         "pack_host_seconds": round(t_pack, 1),
-        "fused_k": fused_k,
-        "overflow_tiles_redone": overflow_tiles,
+        "capacity_overflow_redone": bool(trace.get("overflow", False)),
         "streamed_gib": round(
             trace.get("uploads", 0)
             * sbs * bs_host.words.shape[1] * 4 / 2**30, 1
@@ -407,8 +369,11 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
             for k, v in trace.items()
         },
         "timing_note": (
-            "single cold pass: transfer-bound engine; the tunnel client "
-            "leaks uploaded bytes into host RSS (DESIGN.md known-limits)"
+            "one-pass engine: sweep_seconds INCLUDES exact pair "
+            "compaction (extract_seconds is just the final device-sort "
+            "fetch). Single cold pass: transfer-bound engine; the "
+            "tunnel client leaks uploaded bytes into host RSS "
+            "(DESIGN.md known-limits)"
         ),
         "index_seconds": round(t_index, 1),
         "synth_seconds": round(t_synth, 1),

@@ -463,6 +463,105 @@ def test_stream_grouped_empty(problem):
     assert got.shape == (0, 3)
 
 
+@pytest.mark.parametrize("obs", [16, 48, None])
+def test_stream_onepass_matches_reference(problem, obs):
+    """The one-pass sweep+extract engine: stats AND pairs from a single
+    streamed pass, bit-identical to the xla reference for every blocking
+    choice."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles, pairs = sweep_extract_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=obs, block=16
+    )
+    tot = rs.sum(axis=0)
+    assert (int(tot[0]), int(tot[1]), int(tot[2])) == (
+        ref.cross_weight, ref.cross_pairs, ref.cross_over,
+    )
+    assert int(rs[:, 3].max()) == ref.cross_max
+    assert np.array_equal(pairs, ref.pairs)
+
+
+def test_stream_onepass_capacity_miss_redo(problem):
+    """A capacity smaller than the survivor count must be detected from
+    the cursor/stats mismatch and redone exactly (never truncated)."""
+    from uniprot_kmer_based_clustering_tpu.ops import stream as stream_mod
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+
+    bs, classes, ref = problem
+    assert len(ref.pairs) > 8
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles, pairs = sweep_extract_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=32, block=16, cap=8
+    )
+    assert stream_mod.last_onepass_trace["overflow"] is True
+    assert np.array_equal(pairs, ref.pairs)
+
+
+def test_stream_onepass_all_pairs_weighted_and_budget(problem):
+    """all-pairs mode, int8 weights, and a starvation budget all ride
+    the one-pass engine exactly."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream,
+        sweep_extract_stream,
+        sweep_mxu_stream,
+    )
+
+    bs, classes, _ = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rng = np.random.default_rng(13)
+    weights = rng.integers(1, 12, bs.w_pad * 32).astype(np.int8)
+    for cross_only, wts, kw in (
+        (False, None, {}),
+        (True, weights, {}),
+        (True, None, dict(hbm_budget_bytes=1 << 20, inflight=1)),
+    ):
+        rs_w, th_w, tl_w = sweep_mxu_stream(
+            bs.words, cls, n=bs.n, threshold=THR * 4, bs=32, block=16,
+            weights=wts,
+        )
+        want = extract_pairs_stream(
+            bs.words, cls, th_w, tl_w, n=bs.n, threshold=THR * 4,
+            cross_amr_only=cross_only, weights=wts,
+        )
+        rs, th, tiles, pairs = sweep_extract_stream(
+            bs.words, cls, n=bs.n, threshold=THR * 4, bs=32, block=16,
+            weights=wts, cross_amr_only=cross_only, **kw,
+        )
+        assert np.array_equal(np.asarray(rs), np.asarray(rs_w))
+        assert np.array_equal(pairs, want)
+
+
+def test_stream_onepass_via_config(problem):
+    """extract='onepass' through the production dispatch."""
+    bs, classes, ref = problem
+    cfg = PipelineConfig(
+        threshold=THR, tile=16, word_block=128, engine="stream",
+        extract="onepass", strip=32,
+    )
+    _check_same(pairwise_similarity(bs, classes, cfg), ref)
+
+
+def test_onepass_requires_stream_engine(problem):
+    bs, classes, _ = problem
+    with pytest.raises(ValueError, match="stream"):
+        pairwise_similarity(
+            bs, classes,
+            PipelineConfig(
+                threshold=THR, tile=16, word_block=128, engine="xla",
+                extract="onepass",
+            ),
+        )
+
+
 def test_stream_empty_result():
     """No pair clears an impossible threshold — the empty-extraction
     early return."""

@@ -388,12 +388,15 @@ def main(argv=None) -> int:
                         "through the device (corpora beyond one chip's "
                         "HBM)")
     r.add_argument("--extract", default="auto",
-                   choices=("auto", "two_pass", "fused"),
+                   choices=("auto", "two_pass", "fused", "onepass"),
                    help="pair recovery strategy (MXU engine): two_pass "
                         "recomputes hit tiles; fused compacts survivors "
                         "inside the sweep itself (dense-homology corpora; "
                         "on a mesh it also halves the sweep+extract "
-                        "passes on every layout). Bit-identical outputs")
+                        "passes on every layout); onepass (stream engine) compacts "
+                        "survivors into device pair buffers during "
+                        "the streamed sweep itself. Bit-identical "
+                        "outputs")
     r.add_argument("--extract-k", type=int, default=0,
                    help="fused per-sub-tile candidate capacity "
                         "(0 = auto from HBM budget)")

@@ -56,7 +56,8 @@ class PipelineConfig:
                                     # (None = auto: one full-square call when
                                     # the counts matrix fits HBM, else strips)
     word_block: int = 512           # k-mer-word-axis block inside the kernel
-    extract: str = "auto"           # "auto" | "two_pass" | "fused": pair
+    extract: str = "auto"           # "auto" | "two_pass" | "fused" |
+                                    #   "onepass": pair
                                     #   recovery strategy for the MXU engine.
                                     #   two_pass recomputes only the tiles
                                     #   that reported hits (optimal in the
@@ -67,7 +68,12 @@ class PipelineConfig:
                                     #   where most tiles hit) and, on a
                                     #   mesh, fuses stats+extract into ONE
                                     #   pass on every layout (halves the
-                                    #   matmuls and collectives); auto
+                                    #   matmuls and collectives); onepass
+                                    #   (stream engine only) compacts
+                                    #   survivors into device pair buffers
+                                    #   during the streamed sweep itself —
+                                    #   no candidate-capacity guessing, no
+                                    #   per-step drain volume; auto
                                     #   currently = two_pass. Bit-identical
                                     #   outputs.
     extract_k: int = 0              # fused per-sub-tile candidate capacity
@@ -109,7 +115,7 @@ class PipelineConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")
-        if self.extract not in ("auto", "two_pass", "fused"):
+        if self.extract not in ("auto", "two_pass", "fused", "onepass"):
             raise ValueError(f"unknown extract mode {self.extract!r}")
         if self.extract_k < 0:
             raise ValueError("extract_k must be >= 0")

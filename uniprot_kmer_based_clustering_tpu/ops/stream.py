@@ -308,19 +308,31 @@ def sweep_mxu_stream(
         # (uploads dispatch asynchronously; nothing else backpressures
         # the queue). In fused mode the candidate fetch doubles as the
         # probe and the buffers leave the device inside the window.
+        # Probe-only chunks retire on ONE fetch of their NEWEST probe:
+        # a single device executes steps in launch order, so step t's
+        # output being readable implies every earlier step completed —
+        # each skipped probe saves a ~30-50 ms tunnel round trip.
         t0 = time.perf_counter()
-        while len(pending) > limit:
-            probe, ys = pending.pop(0)
-            if ys is None:
-                jax.device_get(probe)
-                continue
-            arr = jax.device_get(ys)  # one fetch: [3, nsub, k] stacked
-            bi, bj, bc = arr[0], arr[1], arr[2]
-            m = bc >= 0
-            if m.any():
-                cand_parts.append(
-                    np.stack([bi[m], bj[m], bc[m]], axis=1).astype(np.int32)
-                )
+        if len(pending) > limit:
+            chunk = pending[: len(pending) - limit]
+            del pending[: len(pending) - limit]
+            newest_probe = chunk[-1][0]
+            any_ys = False
+            for _probe, ys in chunk:
+                if ys is None:
+                    continue
+                any_ys = True
+                arr = jax.device_get(ys)  # one fetch: [3,nsub,k] stack
+                bi, bj, bc = arr[0], arr[1], arr[2]
+                m = bc >= 0
+                if m.any():
+                    cand_parts.append(
+                        np.stack(
+                            [bi[m], bj[m], bc[m]], axis=1
+                        ).astype(np.int32)
+                    )
+            if not any_ys:
+                jax.device_get(newest_probe)
         trace["drain_s"] += time.perf_counter() - t0
 
     def _put(lo_block):
@@ -382,6 +394,268 @@ def sweep_mxu_stream(
         include_same=fused_same,
     )
     return base + (cands,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "threshold", "block", "w_thresh", "word_chunk",
+        "cross_amr_only",
+    ),
+    donate_argnames=("row_stats", "block_hits", "gbi", "gbj", "gbc"),
+)
+def _stream_step_compact(
+    row_stats, block_hits,           # donated stat accumulators
+    gbi, gbj, gbc, cursor,           # donated global pair buffers
+    wa, wb, ca, cb, weights, i0, j0,
+    *,
+    n: int,
+    threshold: int,
+    block: int,
+    w_thresh: int,
+    word_chunk: int,
+    cross_amr_only: bool,
+):
+    """One block-pair of the ONE-PASS engine: counts matmul + stats +
+    survivor compaction into the global pair buffers, all in place.
+
+    The survivor mask is ``pair_block_stats``'s own over-threshold mask
+    (the quantity the stats count), so the compacted cursor equals the
+    sweep's exact pair total whenever capacity suffices — the
+    capacity-miss detector. No per-step top_k (the fused path's
+    large-k remote-compile hazard, CLAUDE.md) and no per-step data
+    fetch: the cursor scalar is the only probe."""
+    counts = _counts_window_pair(wa, wb, weights, word_chunk=word_chunk)
+    rs, bh, over_c, over_s = pair_block_stats(
+        counts, ca, cb, i0, j0,
+        n=n, threshold=threshold, block=block, w_thresh=w_thresh,
+    )
+    em = over_c if cross_amr_only else (over_c | over_s)
+    bs = wa.shape[0]
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    vcap = gbi.shape[0]
+    pos, kept = compact_positions(em.ravel(), vcap, cursor)
+    opts = dict(mode="drop", unique_indices=True)
+    gbi = gbi.at[pos].set(gi.ravel(), **opts)
+    gbj = gbj.at[pos].set(gj.ravel(), **opts)
+    gbc = gbc.at[pos].set(counts.ravel(), **opts)
+    row_stats, block_hits = accumulate_pair_block(
+        row_stats, block_hits, rs, bh, i0, j0, block=block
+    )
+    return row_stats, block_hits, gbi, gbj, gbc, cursor + kept
+
+
+def sweep_extract_stream(
+    words_host: np.ndarray,
+    classes: np.ndarray,
+    n: int,
+    threshold: int,
+    *,
+    bs: Optional[int] = None,
+    block: int = 512,
+    weights: Optional[np.ndarray] = None,
+    w_thresh: int = 1,
+    word_chunk: Optional[int] = None,
+    hbm_budget_bytes: int = 13 << 30,
+    inflight: int = 4,
+    cross_amr_only: bool = True,
+    cap: Optional[int] = None,
+):
+    """ONE-PASS out-of-core sweep **and** exact pair extraction.
+
+    The fused streaming mode (``sweep_mxu_stream(fused_k=...)``) drains
+    per-sub-tile top-k candidates to the host every step — correct, but
+    its capacity must be guessed per corpus, large ``k`` top_k wedges
+    the remote compile (CLAUDE.md), and the drain volume is
+    ``nsub·k·12`` bytes per step through a ~10 MB/s readback tunnel.
+    This engine instead compacts each step's survivors into DEVICE
+    global pair buffers with the grouped-extraction scatter idiom:
+    statistics and the pair list come out of one streamed pass, the
+    host fetches one device-sorted array at the end, and the per-step
+    probe is a 4-byte cursor (drained in chunks — single-device launch
+    order lets one fetch retire many steps).
+
+    ``cap`` bounds the pair buffers (default: an eighth of the HBM
+    budget). Capacity is verified exactly — the compacted cursor must
+    equal the sweep's own over-threshold total; on a miss the pair list
+    is redone by :func:`extract_pairs_stream_grouped` with the exact
+    tile hits (one more pass), so the result is identical in every
+    regime.
+
+    Returns ``(row_stats int64 [N_pad', 8], tile_hits int32 [nT, 2],
+    (ti, tj, block), pairs int32 [M, 3])``.
+    """
+    words_host = np.ascontiguousarray(words_host)
+    classes = np.asarray(classes, np.int32)
+    if classes.shape[0] < words_host.shape[0]:
+        classes = np.concatenate(
+            [
+                classes,
+                np.full(words_host.shape[0] - classes.shape[0], -1, np.int32),
+            ]
+        )
+    w_words = words_host.shape[1]
+
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _new_pair_buffers,
+        _sort_pairs,
+        _vcap_bucket,
+    )
+
+    if cap is None:
+        # an eighth of the budget, never more than the pair space itself
+        cap = max(1, min(
+            int(hbm_budget_bytes // 8 // 12), n * (n - 1) // 2
+        ))
+        vcap = _vcap_bucket(int(cap))
+    else:
+        # explicit caps are honored near-exactly (128-row granularity) —
+        # the capacity-miss path is part of the contract and must be
+        # reachable below the default bucket floor
+        vcap = max(128, -(-int(cap) // 128) * 128)
+    budget = max(1 << 28, hbm_budget_bytes - 3 * vcap * 4)
+    if bs is None:
+        bs = auto_stream_block(words_host.shape[0], w_words, block, budget)
+    assert bs % block == 0, "stream block must be a multiple of the tile"
+    words_host, classes = _pad_rows(words_host, classes, bs)
+    n_pad = words_host.shape[0]
+    nb = n_pad // block
+    nbk = n_pad // bs
+
+    block_bytes = bs * w_words * 4
+    # the drain window is 2·inflight steps (chunked probe retirement) —
+    # charge the worst case of one distinct moving block per step
+    fixed = (
+        n_pad * 8 * 4
+        + nb * nb * 2 * 4
+        + (2 * inflight + 1) * (block_bytes + 4 * bs * bs * 4)
+        + n_pad * 4
+    )
+    avail = max(block_bytes, budget - fixed)
+    resident_budget = max(block_bytes, avail // 2)
+    g = int(min(nbk, max(1, resident_budget // block_bytes)))
+
+    if word_chunk is None:
+        word_chunk = 0
+        if 2 * bs * w_words * 32 > avail // 2:
+            target = max(128, avail // 2 // (2 * bs * 32))
+            base = w_words // 128
+            best = 1
+            for d in range(1, base + 1):
+                if base % d == 0 and d * 128 <= target:
+                    best = d
+            word_chunk = best * 128
+
+    wts = jnp.asarray(
+        weights if weights is not None else np.ones(w_words * 32, np.int8),
+        jnp.int8,
+    )
+    row_stats = jnp.zeros((n_pad, 8), jnp.int32)
+    block_hits = jnp.zeros((nb, nb, 2), jnp.int32)
+    buffers = _new_pair_buffers(vcap)
+    state = (row_stats, block_hits) + buffers
+    cls_dev = [
+        jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
+    ]
+
+    pending = []  # cursor probes
+    trace = {
+        "upload_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
+        "fetch_s": 0.0, "steps": 0, "uploads": 0,
+        "bs": int(bs), "g": int(g), "nbk": int(nbk),
+        "word_chunk": int(word_chunk), "vcap": int(vcap),
+        "overflow": False,
+    }
+
+    def _drain(limit):
+        # one fetch of the newest popped cursor retires the chunk
+        t0 = time.perf_counter()
+        if len(pending) > limit:
+            newest = pending[len(pending) - limit - 1]
+            del pending[: len(pending) - limit]
+            jax.device_get(newest)
+        trace["drain_s"] += time.perf_counter() - t0
+
+    def _put(lo_block):
+        t0 = time.perf_counter()
+        out = jax.device_put(
+            words_host[lo_block * bs : (lo_block + 1) * bs]
+        )
+        trace["upload_s"] += time.perf_counter() - t0
+        trace["uploads"] += 1
+        return out
+
+    for s0 in range(0, nbk, g):
+        g_here = min(g, nbk - s0)
+        stationary = [_put(s0 + t) for t in range(g_here)]
+        for jb in range(s0, nbk):
+            if jb < s0 + g_here:
+                wb = stationary[jb - s0]
+            else:
+                wb = _put(jb)
+            for t in range(g_here):
+                ib = s0 + t
+                if ib > jb:
+                    continue
+                t0 = time.perf_counter()
+                state = _stream_step_compact(
+                    *state,
+                    stationary[t], wb, cls_dev[ib], cls_dev[jb], wts,
+                    jnp.int32(ib * bs), jnp.int32(jb * bs),
+                    n=n, threshold=threshold, block=block,
+                    w_thresh=w_thresh, word_chunk=word_chunk,
+                    cross_amr_only=cross_amr_only,
+                )
+                trace["dispatch_s"] += time.perf_counter() - t0
+                trace["steps"] += 1
+                pending.append(state[5])
+                if len(pending) > 2 * inflight:
+                    _drain(inflight)
+    _drain(0)
+
+    row_stats, block_hits, gbi, gbj, gbc, cursor = state
+    t0 = time.perf_counter()
+    rs, bh, count = jax.device_get((row_stats, block_hits, cursor))
+    trace["fetch_s"] += time.perf_counter() - t0
+    from uniprot_kmer_based_clustering_tpu.ops.popcount import (
+        upper_triangle_tiles,
+    )
+
+    ti, tj = upper_triangle_tiles(n_pad, block)
+    tile_hits = bh[ti, tj]
+    tiles = (ti, tj, block)
+    total = int(tile_hits[:, 0].astype(np.int64).sum())
+    if not cross_amr_only:
+        total += int(tile_hits[:, 1].astype(np.int64).sum())
+
+    if int(count) > vcap:
+        # capacity miss: the cursor counts EVERY survivor whether its
+        # mode="drop" scatter landed or not, so cursor > vcap means
+        # rows were lost — redo the pair list with the exact tile hits
+        # (one more pass); detection is exact, truncation impossible
+        trace["overflow"] = True
+        pairs = extract_pairs_stream_grouped(
+            words_host, classes, tile_hits, tiles, n=n,
+            threshold=threshold, cross_amr_only=cross_amr_only,
+            weights=weights, hbm_budget_bytes=hbm_budget_bytes,
+            inflight=inflight,
+        )
+    else:
+        if int(count) != total:
+            raise AssertionError(
+                f"one-pass compacted {int(count)} pairs, sweep stats "
+                f"promised {total}"
+            )
+        # device-sort, slice the occupied prefix ON DEVICE (sentinels
+        # sort to the tail), fetch only `total` rows — vcap may be far
+        # larger than the survivor count
+        t0 = time.perf_counter()
+        pairs = jax.device_get(_sort_pairs(gbi, gbj, gbc)[:total])
+        trace["fetch_s"] += time.perf_counter() - t0
+    global last_onepass_trace
+    last_onepass_trace = trace
+    return rs.astype(np.int64), tile_hits, tiles, pairs
 
 
 def extract_pairs_stream_fused(
@@ -576,6 +850,10 @@ def _extract_stream_scatter(
 #: call — upload seconds/count, dispatch, drains, finalize, the resolved
 #: blocking (bs, g) and the skip ratio (block pairs visited / total).
 last_grouped_trace: dict = {}
+
+#: Same, for :func:`sweep_extract_stream` (the one-pass engine): adds
+#: ``overflow`` (the capacity-miss redo flag) and ``vcap``.
+last_onepass_trace: dict = {}
 
 
 def _prefer_grouped(n_hit_tiles: int, tile: int,
@@ -779,9 +1057,13 @@ def extract_pairs_stream_grouped(
     }
 
     def _drain(limit):
+        # one fetch of the NEWEST popped cursor retires the chunk
+        # (single-device launch order — the sweep drain's idiom)
         t0 = time.perf_counter()
-        while len(pending) > limit:
-            jax.device_get(pending.pop(0))
+        if len(pending) > limit:
+            newest = pending[len(pending) - limit - 1]
+            del pending[: len(pending) - limit]
+            jax.device_get(newest)
         trace["drain_s"] += time.perf_counter() - t0
 
     def _put(lo_block):

@@ -766,6 +766,12 @@ def pairwise_similarity(
         else config.threshold
     )
 
+    if config.extract == "onepass" and engine != "stream":
+        raise ValueError(
+            "extract='onepass' is a stream-engine mode (the one-pass "
+            f"out-of-core sweep); resolved engine is {engine!r}"
+        )
+
     if engine == "native":
         return _pairwise_native(
             bitset, classes, config, threshold, index=index,
@@ -779,8 +785,24 @@ def pairwise_similarity(
         from uniprot_kmer_based_clustering_tpu.ops.stream import (
             extract_pairs_stream_auto,
             extract_pairs_stream_fused,
+            sweep_extract_stream,
             sweep_mxu_stream,
         )
+
+        if config.extract == "onepass":
+            # stats + survivor compaction in ONE streamed pass: device
+            # global pair buffers instead of the fused per-step top-k
+            # candidate drain (no capacity guessing, no large-k top_k
+            # remote-compile hazard; exact capacity-miss redo)
+            row_stats, tile_hits, tiles, pairs = sweep_extract_stream(
+                bitset.words, classes, n=n, threshold=threshold,
+                bs=config.strip, block=config.tile, weights=weights,
+                cross_amr_only=config.cross_amr_only,
+                cap=config.extract_k or None,
+            )
+            return PairwiseResult.from_row_stats(
+                row_stats, pairs, cross_amr_only=config.cross_amr_only
+            )
 
         if config.extract == "fused":
             # drain survivor candidates inside the sweep's in-flight
