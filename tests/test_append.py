@@ -141,6 +141,45 @@ def test_add_proteins_rollback_on_rebuild_failure(toy_seqs):
     assert srv.bitset.n == 42
 
 
+def test_add_proteins_double_failure_flags_server(toy_seqs):
+    """If restoring the pre-append serving state ALSO fails, the server
+    must not silently keep serving from a half-dead state: queries raise
+    until rebuild_serving() succeeds (advisor r03 finding)."""
+    from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
+
+    idx, bs = _build(toy_seqs[:40])
+    srv = QueryServer(idx, bs, mode="host")
+    probe = [toy_seqs[0], toy_seqs[5]]
+    before = srv.query(probe, threshold=3)
+
+    original = QueryServer._build_host_csr
+    calls = {"n": 0}
+
+    def boom(self):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # append rebuild AND restore both fail
+            raise RuntimeError(f"injected failure {calls['n']}")
+        return original(self)
+
+    try:
+        QueryServer._build_host_csr = boom
+        with pytest.warns(RuntimeWarning, match="rollback failed"):
+            with pytest.raises(RuntimeError, match="injected failure 1"):
+                srv.add_proteins(toy_seqs[40:], threshold=3)
+    finally:
+        QueryServer._build_host_csr = original
+
+    assert srv._needs_rebuild
+    with pytest.raises(RuntimeError, match="rebuild_serving"):
+        srv.query(probe, threshold=3)
+
+    srv.rebuild_serving()
+    assert not srv._needs_rebuild
+    after = srv.query(probe, threshold=3)
+    for a, b in zip(before, after):
+        assert np.array_equal(a, b)
+
+
 def test_append_promotion_explicit():
     """Hand-built promotion: k-mer X unique to protein 0 of the standing
     corpus becomes repeated when the appended protein also carries it —

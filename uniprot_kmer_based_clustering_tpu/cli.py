@@ -398,8 +398,12 @@ def main(argv=None) -> int:
                         "the streamed sweep itself. Bit-identical "
                         "outputs")
     r.add_argument("--extract-k", type=int, default=0,
-                   help="fused per-sub-tile candidate capacity "
-                        "(0 = auto from HBM budget)")
+                   help="extraction capacity: with --extract fused, the "
+                        "per-sub-tile candidate capacity (typ. 512-4096); "
+                        "with --extract onepass, the TOTAL device "
+                        "pair-buffer rows (128-row granularity, typ. "
+                        "millions) — not interchangeable "
+                        "(0 = auto from HBM budget in both modes)")
     r.add_argument("--index-engine", default="host",
                    choices=("host", "device"),
                    help="build the doc-freq index + bitset on host or TPU")

@@ -76,10 +76,19 @@ class PipelineConfig:
                                     #   per-step drain volume; auto
                                     #   currently = two_pass. Bit-identical
                                     #   outputs.
-    extract_k: int = 0              # fused per-sub-tile candidate capacity
-                                    #   (0 = auto-size from the HBM budget;
-                                    #   overflowing sub-tiles are detected
-                                    #   exactly and redone two-pass)
+    extract_k: int = 0              # extraction capacity knob; the meaning
+                                    #   depends on `extract` (the two differ
+                                    #   by orders of magnitude — don't carry
+                                    #   a fused-tuned value into onepass):
+                                    #   fused: PER-SUB-TILE candidate
+                                    #     capacity (top-k per sweep step;
+                                    #     typical 512-4096);
+                                    #   onepass: TOTAL device pair-buffer
+                                    #     rows for the whole sweep, rounded
+                                    #     to 128 (typical millions).
+                                    #   0 = auto-size from the HBM budget
+                                    #   in both modes; capacity misses are
+                                    #   detected exactly and redone.
     index_engine: str = "host"      # "host" | "device": where the doc-freq
                                     # index + bitset are built. "device"
                                     # runs on TPU — k=5: dense-universe

@@ -316,12 +316,9 @@ def sweep_mxu_stream(
         if len(pending) > limit:
             chunk = pending[: len(pending) - limit]
             del pending[: len(pending) - limit]
-            newest_probe = chunk[-1][0]
-            any_ys = False
             for _probe, ys in chunk:
                 if ys is None:
                     continue
-                any_ys = True
                 arr = jax.device_get(ys)  # one fetch: [3,nsub,k] stack
                 bi, bj, bc = arr[0], arr[1], arr[2]
                 m = bc >= 0
@@ -331,8 +328,12 @@ def sweep_mxu_stream(
                             [bi[m], bj[m], bc[m]], axis=1
                         ).astype(np.int32)
                     )
-            if not any_ys:
-                jax.device_get(newest_probe)
+            if chunk[-1][1] is None:
+                # the newest entry is probe-only, so no ys fetch above
+                # covers it — sync its probe so the whole chunk is truly
+                # retired (fused_k is constant per sweep today, making
+                # the mixed case unreachable, but don't rely on that)
+                jax.device_get(chunk[-1][0])
         trace["drain_s"] += time.perf_counter() - t0
 
     def _put(lo_block):
@@ -629,11 +630,12 @@ def sweep_extract_stream(
     if not cross_amr_only:
         total += int(tile_hits[:, 1].astype(np.int64).sum())
 
-    if int(count) > vcap:
-        # capacity miss: the cursor counts EVERY survivor whether its
-        # mode="drop" scatter landed or not, so cursor > vcap means
-        # rows were lost — redo the pair list with the exact tile hits
-        # (one more pass); detection is exact, truncation impossible
+    if total > vcap:
+        # capacity miss: `total` is the sweep's own exact int64 survivor
+        # count (tile_hits summed on host), so deciding overflow from it
+        # — not from the int32 cursor, which wraps past 2^31 survivors —
+        # is exact at any scale. Redo the pair list with the exact tile
+        # hits (one more pass); truncation impossible.
         trace["overflow"] = True
         pairs = extract_pairs_stream_grouped(
             words_host, classes, tile_hits, tiles, n=n,
@@ -642,6 +644,8 @@ def sweep_extract_stream(
             inflight=inflight,
         )
     else:
+        # total ≤ vcap < 2^31 here, so the int32 cursor cannot have
+        # wrapped — a mismatch is a genuine compaction bug, not overflow
         if int(count) != total:
             raise AssertionError(
                 f"one-pass compacted {int(count)} pairs, sweep stats "

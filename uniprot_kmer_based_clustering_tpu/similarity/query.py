@@ -213,6 +213,10 @@ class QueryServer:
         # the expected max hit count for latency-sensitive serving. ≤ 0
         # disables the fast path.
         self._topk_cap = int(topk_cap)
+        # set when an add_proteins rollback fails and the serving state
+        # (CSR / device blocks) no longer matches index/bitset; queries
+        # raise until rebuild_serving() succeeds
+        self._needs_rebuild = False
         if mesh is not None:
             # corpus rows sharded over the mesh (GSPMD partitions the
             # same scan kernel; counts come back sharded on the corpus
@@ -363,11 +367,7 @@ class QueryServer:
             self.index, self.bitset, seqs
         )
 
-        def _rebuild():
-            if self._host_mode:
-                self._build_host_csr()
-            else:
-                self._build_device_blocks()
+        _rebuild = self.rebuild_serving  # clears _needs_rebuild on success
 
         # commit the append ONLY if the serving rebuild succeeds: a
         # failure there (device OOM uploading the enlarged corpus, mesh
@@ -380,12 +380,27 @@ class QueryServer:
         self.index, self.bitset = new_index, new_bitset
         try:
             _rebuild()
-        except BaseException:
+        except BaseException as append_err:
             self.index, self.bitset = old_index, old_bitset
             try:
                 _rebuild()
-            except Exception:
-                pass  # original failure is the actionable one
+            except Exception as restore_err:
+                # the restore itself failed: index/bitset now point at
+                # the old corpus while the serving blocks/CSR may be
+                # partially torn down — queries would crash or answer
+                # from stale state with no indication. Mark the server
+                # dead (every query raises until a rebuild succeeds)
+                # and surface both errors chained.
+                self._needs_rebuild = True
+                import warnings
+
+                warnings.warn(
+                    "add_proteins rollback failed: serving state is "
+                    f"inconsistent and queries are disabled ({restore_err!r});"
+                    " call rebuild_serving() once the cause is fixed",
+                    RuntimeWarning,
+                )
+                restore_err.__cause__ = append_err
             raise
 
         # new-vs-all report, vectorized (a per-match Python loop costs
@@ -414,6 +429,16 @@ class QueryServer:
             return np.zeros((0, 3), np.int64)
         return np.unique(np.concatenate(parts), axis=0)
 
+    def rebuild_serving(self):
+        """Rebuild the serving state (host CSR or device blocks) from
+        the current index/bitset; clears the inconsistency flag set by
+        a failed :meth:`add_proteins` rollback."""
+        if self._host_mode:
+            self._build_host_csr()
+        else:
+            self._build_device_blocks()
+        self._needs_rebuild = False
+
     def query_async(self, seqs: Sequence[str], threshold: int = 10):
         """Dispatch a batch WITHOUT any synchronizing fetch.
 
@@ -430,6 +455,11 @@ class QueryServer:
         Host mode has no device to overlap with; the handle carries the
         eagerly computed counts.
         """
+        if self._needs_rebuild:
+            raise RuntimeError(
+                "serving state is inconsistent after a failed "
+                "add_proteins rollback; call rebuild_serving()"
+            )
         nq = len(seqs)
         if nq == 0:
             return {"nq": 0, "threshold": threshold}
