@@ -9,8 +9,21 @@ the CLI's default paths use — every later process rehydrates warm.
 
 Shapes are keyed on (N_pad, W_pad), so pre-warm with a corpus of the
 same padded geometry as production traffic.
+
+Besides the per-config wall times, prints machine-parseable evidence
+lines consumed by bench_prewarm.py:
+
+    prewarm <label>: <secs> s, <pairs> pairs
+    prewarm_stage <label>|<stage>|<secs>
+    prewarm_shape <label>|<jit name>|<secs>|<hit|compile>
+
+The shape lines come from jax_log_compiles ("Finished XLA compilation
+of jit(X) in T sec" — on a persistent-cache hit T is the rehydration
+cost, on a miss the raw remote compile) classified by the
+jax._src.compiler DEBUG hit events.
 """
 
+import logging
 import os
 import sys
 import time
@@ -24,12 +37,68 @@ FASTA = (
 )
 
 
+class _CompileLog(logging.Handler):
+    """Collect per-shape compile/rehydrate events from jax's loggers."""
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.events = []  # (name, secs) in order
+        # names can repeat across shapes (e.g. 7 _strip_stats programs),
+        # so count hit events per name and consume them in order
+        from collections import Counter
+
+        self.hits = Counter()
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if msg.startswith("Finished XLA compilation of "):
+            # "Finished XLA compilation of jit(name) in 1.23 sec"
+            try:
+                name = msg.split(" of ", 1)[1].rsplit(" in ", 1)[0]
+                secs = float(msg.rsplit(" in ", 1)[1].split(" ")[0])
+            except (IndexError, ValueError):
+                return
+            self.events.append((name, secs))
+        elif msg.startswith("Persistent compilation cache hit for "):
+            self.hits[self._norm(msg.split("'")[1])] += 1
+
+    @staticmethod
+    def _norm(name):
+        # dispatch logs "jit(sweep)", compiler logs module name "jit_sweep"
+        return (
+            name.replace("jit(", "").replace(")", "")
+            .replace("jit_", "", 1).strip()
+        )
+
+    def drain(self):
+        out = []
+        for name, secs in self.events:
+            key = self._norm(name)
+            if self.hits.get(key, 0) > 0:
+                self.hits[key] -= 1
+                out.append((name, secs, "hit"))
+            else:
+                out.append((name, secs, "compile"))
+        self.events = []
+        self.hits.clear()
+        return out
+
+
 def main():
     from uniprot_kmer_based_clustering_tpu.utils.accel import (
         enable_persistent_cache,
     )
 
     enable_persistent_cache()
+
+    import jax
+
+    jax.config.update("jax_log_compiles", True)
+    collector = _CompileLog()
+    for lname in ("jax._src.dispatch", "jax._src.compiler"):
+        lg = logging.getLogger(lname)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(collector)
 
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
     from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
@@ -46,6 +115,14 @@ def main():
             f"{res.pairwise.pairs.shape[0]} pairs",
             flush=True,
         )
+        for stage, secs in res.timings.items():
+            print(f"prewarm_stage {label}|{stage}|{secs:.2f}", flush=True)
+        for name, secs, kind in collector.drain():
+            if secs >= 0.15:  # skip trivial host-op noise
+                print(
+                    f"prewarm_shape {label}|{name}|{secs:.2f}|{kind}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

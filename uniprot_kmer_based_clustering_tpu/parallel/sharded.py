@@ -3,11 +3,17 @@
 Schedule (the balanced triangle ring, SURVEY.md §5):
   * the bitset matrix is row-sharded; each device keeps its block
     stationary and a moving copy rotates around the ring via ``ppermute``;
-  * step 0 computes the within-block upper triangle;
+  * step 0 computes the within-block upper triangle — as tile-aligned
+    row STRIPS against their column suffix ((ns+1)/(2·ns) of the block
+    square's MACs, the single-chip strip schedule's trick), not a full
+    square with half masked;
   * steps 1..⌈(D−1)/2⌉ compute the (stationary × moving) block pair — each
     unordered block pair appears on exactly one device per step;
-  * for even D, the final step would visit each pair twice, so only the
-    first half of the ring contributes.
+  * for even D, the final step sees each unordered block pair on TWO
+    devices — the pair region is SPLIT between them (each computes two
+    half-block matmuls over its half of the region; only slice offsets
+    differ per device, which SPMD allows), so every device does equal
+    useful work instead of half the ring idling (see _ring_substeps).
 
 Every pair (i<j) is therefore counted exactly once, independent of D —
 the sharded sweep's aggregate statistics, hit tiles, and extracted pair
@@ -391,13 +397,7 @@ def make_ring_sweep(
         block = words_local.shape[0]
         nb_local = block // block_tile
         nb = nb_local * d_count
-
-        # stationary row indices are fixed per device; only the moving
-        # column offset is traced per ring step
         row_base = dev * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         row_stats = jnp.zeros((block, 8), jnp.int32)
         hits = jnp.zeros((nb, nb, 2), jnp.int32)
@@ -412,31 +412,51 @@ def make_ring_sweep(
                 moving_w = jax.lax.ppermute(moving_w, axis, perm)
                 moving_c = jax.lax.ppermute(moving_c, axis, perm)
             moving_base = ((dev + s) % d_count) * block
-            gj = moving_base + jax.lax.broadcasted_iota(
-                jnp.int32, (block, block), 1
-            )
-            active, triangle = _ring_gate(s, d_count, dev)
 
-            counts = _block_counts(
-                words_local, moving_w, weights if weighted else None
-            )
-            stats, bh = _step_stats(
-                counts, gi, gj, classes_local, moving_c,
-                n, threshold, active, triangle, block_tile, stats_engine,
-                vma=(axis,),
-            )
-            row_stats = _merge_row_stats(row_stats, stats)
-
-            hits = jax.lax.dynamic_update_slice(
-                hits,
-                jax.lax.dynamic_slice(
-                    hits,
-                    (dev * nb_local, (dev + s) % d_count * nb_local, 0),
-                    (nb_local, nb_local, 2),
+            if stats_engine.startswith("pallas"):
+                # the Pallas epilogue consumes full square counts blocks
+                # — keep the masked _ring_gate schedule for it
+                gi = row_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block), 0
                 )
-                + bh,
-                (dev * nb_local, (dev + s) % d_count * nb_local, 0),
-            )
+                gj = moving_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block), 1
+                )
+                active, triangle = _ring_gate(s, d_count, dev)
+                counts = _block_counts(
+                    words_local, moving_w, weights if weighted else None
+                )
+                stats, bh = _step_stats(
+                    counts, gi, gj, classes_local, moving_c,
+                    n, threshold, active, triangle, block_tile,
+                    stats_engine, vma=(axis,),
+                )
+                row_stats = _merge_row_stats(row_stats, stats)
+                hits = _accumulate_hits_at(
+                    hits, bh, dev * nb_local,
+                    (dev + s) % d_count * nb_local,
+                )
+                continue
+
+            # XLA path: the no-wasted-MACs sub-block schedule (triangular
+            # diagonal strips; even-D final-step split across the pair)
+            for (wa, wb, ca, cb, gi, gj, i_off, ti0, tj0, triangle,
+                 active) in _ring_substeps(
+                s, d_count, dev, words_local, moving_w,
+                classes_local, moving_c, row_base, moving_base,
+                block_tile,
+            ):
+                counts = _block_counts(
+                    wa, wb, weights if weighted else None
+                )
+                stats, over_c, over_s = _pair_stats(
+                    counts, gi, gj, ca, cb, n, threshold, active,
+                    triangle,
+                )
+                row_stats = _merge_row_stats_at(row_stats, stats, i_off)
+                bh, _ = _fused_subtiles(over_c, over_s, block_tile, 0,
+                                        True)
+                hits = _accumulate_hits_at(hits, bh, ti0, tj0)
 
         hits = jax.lax.psum(hits, axis)
         return row_stats, hits
@@ -486,17 +506,171 @@ def sharded_pairwise_similarity(
 def _ring_gate(s: int, d_count: int, dev):
     """Flat-ring dedup gate for rotation step ``s``: (active, triangle).
 
-    THE single implementation of exact pair coverage — step 0 is the
-    diagonal (upper-triangle masked), the even-D final step sees each
+    The masked schedule: step 0 is the diagonal (upper-triangle masked
+    out of a FULL block square), the even-D final step sees each
     unordered block pair on two devices (keep the first half of the
-    ring), every other step is fully active. Shared by the plain,
-    extract, and fused ring makers so a schedule fix cannot drift.
+    ring), every other step is fully active. Kept as the fallback for
+    the Pallas stats engine and non-tile-aligned halves; the default
+    XLA path uses :func:`_ring_substeps`, which computes the same
+    coverage without the wasted MACs.
     """
     if s == 0:
         return jnp.bool_(True), True
     if 2 * s == d_count:
         return dev < (d_count // 2), False
     return jnp.bool_(True), False
+
+
+def _diag_strip_bounds(nbl: int, max_strips: int = 8):
+    """Static tile-aligned strip row bounds for the triangular diagonal
+    step: ~``max_strips`` equal strips over ``nbl`` tiles (the last may
+    be short). Returns [(tile_lo, tile_hi), ...]."""
+    per = -(-nbl // max_strips)
+    return [(r, min(nbl, r + per)) for r in range(0, nbl, per)]
+
+
+def _merge_row_stats_at(row_stats, stats, i_off):
+    """Merge a sub-block's [rows, 8] stats into the device-local
+    accumulator at (possibly traced) row offset ``i_off`` — max lanes
+    (%4==3) take maximum, the rest add (the ROW_STAT_NAMES contract)."""
+    rows = stats.shape[0]
+    prev = jax.lax.dynamic_slice(row_stats, (i_off, 0), (rows, 8))
+    lane = jnp.arange(8)[None, :]
+    merged = jnp.where(
+        lane % 4 == 3, jnp.maximum(prev, stats), prev + stats
+    )
+    return jax.lax.dynamic_update_slice(row_stats, merged, (i_off, 0))
+
+
+def _accumulate_hits_at(hits, bh, ti0, tj0):
+    """Add a sub-block's [nbi, nbj, 2] tile hits into the global hits
+    matrix at (possibly traced) tile offsets."""
+    nbi, nbj = bh.shape[0], bh.shape[1]
+    prev = jax.lax.dynamic_slice(hits, (ti0, tj0, 0), (nbi, nbj, 2))
+    return jax.lax.dynamic_update_slice(hits, prev + bh, (ti0, tj0, 0))
+
+
+def _ring_substeps(
+    s: int,
+    d_count: int,
+    dev,
+    words_local,
+    moving_w,
+    classes_local,
+    moving_c,
+    row_base,
+    moving_base,
+    block_tile: int,
+    max_strips: int = 8,
+):
+    """Sub-block computations for flat-ring rotation step ``s`` — THE
+    single implementation of exact pair coverage for the XLA path,
+    shared by the plain, extract, and fused ring makers so a schedule
+    fix cannot drift. Yields tuples
+
+        (wa, wb, ca, cb, gi, gj, i_off, ti0, tj0, triangle, active)
+
+    where ``wa @ wbᵀ`` is the sub-block's counts matmul, ``gi``/``gj``
+    its global pair indices, ``i_off`` the device-local row offset of
+    its row stats, and ``(ti0, tj0)`` its global ``block_tile`` offsets
+    in the hits matrix (offsets may be traced — they depend on the
+    device index at the even-D final step).
+
+    Unlike the :func:`_ring_gate` masked schedule, no MACs are wasted:
+
+      * step 0 (the diagonal) runs tile-aligned row strips against
+        their column suffix — (ns+1)/(2·ns) of the block square's MACs
+        instead of computing the full square and masking half (the
+        single-chip strip schedule's trick, ``ops.bitmul.auto_strip``);
+      * the even-D final step — where each unordered block pair {d, e}
+        appears on BOTH devices — splits the pair region between them
+        instead of idling half the ring: device d (first half) covers
+        rows d[0:h) of the region via two [h, h] matmuls, device e
+        covers rows d[h:2h) in the transposed orientation (its own
+        stationary rows credit the stats, the hits fold in
+        ``_convert_sweep_host`` handles either orientation). All
+        devices run the same program shapes — only the slice OFFSETS
+        are device-dependent (traced), which SPMD allows.
+
+    Coverage is exact and disjoint for every D (pinned against the
+    single-chip oracle for D ∈ {1..8} in tests/test_sharded.py).
+    """
+    block = words_local.shape[0]
+    w_words = words_local.shape[1]
+    nbl = block // block_tile
+
+    def _iota(rows, cols, gi0, gj0):
+        gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return gi, gj
+
+    if s == 0:
+        # triangular diagonal: strip r vs its own column suffix
+        for t0, t1 in _diag_strip_bounds(nbl, max_strips):
+            r0, r1 = t0 * block_tile, t1 * block_tile
+            wa = words_local[r0:r1]
+            wb = words_local[r0:]
+            ca = classes_local[r0:r1]
+            cb = classes_local[r0:]
+            gi, gj = _iota(r1 - r0, block - r0, row_base + r0,
+                           row_base + r0)
+            yield (
+                wa, wb, ca, cb, gi, gj, r0,
+                row_base // block_tile + t0,
+                row_base // block_tile + t0,
+                True, True,
+            )
+        return
+
+    if 2 * s == d_count:
+        h = block // 2
+        if h % block_tile != 0:
+            # can't split on a tile boundary: fall back to the masked
+            # half-ring gate (full block square, half the devices idle)
+            gi, gj = _iota(block, block, row_base, moving_base)
+            yield (
+                words_local, moving_w, classes_local, moving_c, gi, gj,
+                0, row_base // block_tile, moving_base // block_tile,
+                False, dev < (d_count // 2),
+            )
+            return
+        hb = h // block_tile
+        first = dev < (d_count // 2)
+        # region {d × e}: first-half devices cover rows d[0:h) (their
+        # own stationary rows), second-half devices cover rows d[h:2h)
+        # transposed (stationary e rows × moving d[h:2h) columns):
+        #   m1: stat[0:h) × mov[b1:b1+h), b1 = first ? 0 : h
+        #   m2: stat[a2:a2+h) × mov[h:2h), a2 = first ? 0 : h
+        b1 = jnp.where(first, 0, h)
+        b1t = jnp.where(first, 0, hb)
+        a2 = jnp.where(first, 0, h)
+        a2t = jnp.where(first, 0, hb)
+        wa1 = words_local[:h]
+        wb1 = jax.lax.dynamic_slice(moving_w, (b1, 0), (h, w_words))
+        cb1 = jax.lax.dynamic_slice(moving_c, (b1,), (h,))
+        gi1, gj1 = _iota(h, h, row_base, moving_base + b1)
+        yield (
+            wa1, wb1, classes_local[:h], cb1, gi1, gj1, 0,
+            row_base // block_tile, moving_base // block_tile + b1t,
+            False, True,
+        )
+        wa2 = jax.lax.dynamic_slice(words_local, (a2, 0), (h, w_words))
+        ca2 = jax.lax.dynamic_slice(classes_local, (a2,), (h,))
+        gi2, gj2 = _iota(h, h, row_base + a2, moving_base + h)
+        yield (
+            wa2, moving_w[h:], ca2, moving_c[h:], gi2, gj2, a2,
+            row_base // block_tile + a2t,
+            moving_base // block_tile + hb,
+            False, True,
+        )
+        return
+
+    # middle steps: one full block pair, fully active
+    gi, gj = _iota(block, block, row_base, moving_base)
+    yield (
+        words_local, moving_w, classes_local, moving_c, gi, gj, 0,
+        row_base // block_tile, moving_base // block_tile, False, True,
+    )
 
 
 def _ring_gate_2d(sh: int, sc: int, hc: int, cc: int, h, c):
@@ -592,9 +766,6 @@ def make_ring_extract(
         dev = jax.lax.axis_index(axis)
         block = words_local.shape[0]
         row_base = dev * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         bi = jnp.zeros(cap, jnp.int32)
         bj = jnp.zeros(cap, jnp.int32)
@@ -610,26 +781,28 @@ def make_ring_extract(
                 moving_w = jax.lax.ppermute(moving_w, axis, perm)
                 moving_c = jax.lax.ppermute(moving_c, axis, perm)
             moving_base = ((dev + s) % d_count) * block
-            gj = moving_base + jax.lax.broadcasted_iota(
-                jnp.int32, (block, block), 1
-            )
-            active, _ = _ring_gate(s, d_count, dev)
-
-            counts = _block_counts(
-                words_local, moving_w, weights if weighted else None
-            )
-            valid = (gi < n) & (gj < n) & active
-            if s == 0:
-                valid &= gi < gj
-            mask = valid & (counts > threshold)
-            if cross_amr_only:
-                mask &= classes_local[:, None] != moving_c[None, :]
-            # off-diagonal steps see each unordered pair in ONE arbitrary
-            # orientation — _compact_step canonicalizes to (min, max)
-            cursor, bi, bj, bc = _compact_step(
-                mask, counts, gi, gj, block_tile, k,
-                (cursor, bi, bj, bc), cap,
-            )
+            for (wa, wb, ca, cb, gi, gj, _i_off, _ti0, _tj0, triangle,
+                 active) in _ring_substeps(
+                s, d_count, dev, words_local, moving_w,
+                classes_local, moving_c, row_base, moving_base,
+                block_tile,
+            ):
+                counts = _block_counts(
+                    wa, wb, weights if weighted else None
+                )
+                valid = (gi < n) & (gj < n) & active
+                if triangle:
+                    valid &= gi < gj
+                mask = valid & (counts > threshold)
+                if cross_amr_only:
+                    mask &= ca[:, None] != cb[None, :]
+                # off-diagonal sub-blocks see each unordered pair in ONE
+                # arbitrary orientation — _compact_step canonicalizes to
+                # (min, max)
+                cursor, bi, bj, bc = _compact_step(
+                    mask, counts, gi, gj, block_tile, k,
+                    (cursor, bi, bj, bc), cap,
+                )
         return _gather_compacted(bi, bj, bc, cursor, dev, d_count, cap, axis)
 
     sharded = shard_map(
@@ -808,9 +981,6 @@ def make_ring_fused(
         nb_local = block // block_tile
         nb = nb_local * d_count
         row_base = dev * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         row_stats = jnp.zeros((block, 8), jnp.int32)
         hits = jnp.zeros((nb, nb, 2), jnp.int32)
@@ -828,36 +998,28 @@ def make_ring_fused(
                 moving_w = jax.lax.ppermute(moving_w, axis, perm)
                 moving_c = jax.lax.ppermute(moving_c, axis, perm)
             moving_base = ((dev + s) % d_count) * block
-            gj = moving_base + jax.lax.broadcasted_iota(
-                jnp.int32, (block, block), 1
-            )
-            active, triangle = _ring_gate(s, d_count, dev)
-
-            counts = _block_counts(
-                words_local, moving_w, weights if weighted else None
-            )
-            stats, over_c, over_s = _pair_stats(
-                counts, gi, gj, classes_local, moving_c,
-                n, threshold, active, triangle,
-            )
-            row_stats = _merge_row_stats(row_stats, stats)
-            bh, mask = _fused_subtiles(
-                over_c, over_s, block_tile, k, cross_amr_only
-            )
-            hits = jax.lax.dynamic_update_slice(
-                hits,
-                jax.lax.dynamic_slice(
-                    hits,
-                    (dev * nb_local, (dev + s) % d_count * nb_local, 0),
-                    (nb_local, nb_local, 2),
+            for (wa, wb, ca, cb, gi, gj, i_off, ti0, tj0, triangle,
+                 active) in _ring_substeps(
+                s, d_count, dev, words_local, moving_w,
+                classes_local, moving_c, row_base, moving_base,
+                block_tile,
+            ):
+                counts = _block_counts(
+                    wa, wb, weights if weighted else None
                 )
-                + bh,
-                (dev * nb_local, (dev + s) % d_count * nb_local, 0),
-            )
-            cursor, bi, bj, bc = _compact_step(
-                mask, counts, gi, gj, block_tile, k,
-                (cursor, bi, bj, bc), cap,
-            )
+                stats, over_c, over_s = _pair_stats(
+                    counts, gi, gj, ca, cb, n, threshold, active,
+                    triangle,
+                )
+                row_stats = _merge_row_stats_at(row_stats, stats, i_off)
+                bh, mask = _fused_subtiles(
+                    over_c, over_s, block_tile, k, cross_amr_only
+                )
+                hits = _accumulate_hits_at(hits, bh, ti0, tj0)
+                cursor, bi, bj, bc = _compact_step(
+                    mask, counts, gi, gj, block_tile, k,
+                    (cursor, bi, bj, bc), cap,
+                )
 
         hits = jax.lax.psum(hits, axis)
         gathered = _gather_compacted(

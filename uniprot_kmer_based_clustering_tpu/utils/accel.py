@@ -44,9 +44,14 @@ def enable_persistent_cache(path: str = "~/.cache/ukc_jax_cache") -> None:
     executable in ~5 s — the cache DOES short-circuit the remote
     compile. Every entry point (cli, benches, scripts) must call this
     before first compile so round-over-round runs stay warm.
+
+    ``UKC_JAX_CACHE_DIR`` overrides the location (bench_prewarm points
+    both of its fresh subprocesses at an empty dir so the raw-cold side
+    of its proof is clean regardless of session state).
     """
     import jax
 
+    path = os.environ.get("UKC_JAX_CACHE_DIR", path)
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser(path)
     )
