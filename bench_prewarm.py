@@ -5,18 +5,20 @@ persistent compilation cache rehydrates a cached executable in ~5 s in a
 fresh process (utils/accel.enable_persistent_cache). scripts/prewarm.py
 exists to pay that bill once per deploy; this bench RECORDS it working:
 
-  1. runs scripts/prewarm.py in a fresh subprocess — when the cache dir
-     is empty (every new session: the home dir does not survive) this
-     pays the raw remote compiles for the production shapes
-     (two-pass sweep+extract, fused, threshold-0 full dump);
-  2. runs the SAME script again in a second fresh subprocess — every
+  1. points both runs at a FRESH empty cache dir (UKC_JAX_CACHE_DIR),
+     so the raw-cold side is clean regardless of session state;
+  2. runs scripts/prewarm.py in a fresh subprocess — pays the raw
+     remote compiles for the production shapes (two-pass sweep+extract,
+     fused, threshold-0 full dump);
+  3. runs the SAME script again in a second fresh subprocess — every
      shape now rehydrates from the persistent cache;
-  3. reports per-config wall times for both runs and the speedup.
+  4. reports per-config wall times for both runs, the speedup, AND the
+     per-shape compile/rehydration table + per-stage timings the
+     instrumented prewarm.py emits (VERDICT r03 weak #4: the residual
+     rehydrated time must be explained shape by shape, not guessed).
 
 Both runs execute identical code on identical input, so the delta is
-purely the compile bill. MUST run before any other bench in a session
-to keep step 1 honest (a warm cache is detected and flagged in the
-artifact instead of silently shrinking the raw-cold side).
+purely the compile bill.
 
 Prints ONE JSON line; mirrors to BENCH_prewarm_r{NN}.json when
 UKC_BENCH_ROUND is set.
@@ -29,9 +31,9 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 import time
 
-CACHE_DIR = os.path.expanduser("~/.cache/ukc_jax_cache")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -44,12 +46,14 @@ def _fail(msg: str) -> None:
     }))
 
 
-def run_prewarm() -> tuple[dict, float]:
-    """One fresh-process scripts/prewarm.py run → per-config seconds."""
+def run_prewarm(cache_dir: str) -> tuple[dict, dict, dict, float]:
+    """One fresh-process scripts/prewarm.py run → (per-config seconds,
+    per-config stage timings, per-config shape events, wall)."""
+    env = dict(os.environ, UKC_JAX_CACHE_DIR=cache_dir)
     t0 = time.perf_counter()
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "prewarm.py")],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     wall = time.perf_counter() - t0
     if p.returncode != 0:
@@ -60,9 +64,22 @@ def run_prewarm() -> tuple[dict, float]:
         m.group(1): float(m.group(2))
         for m in re.finditer(r"prewarm (\w+): ([0-9.]+) s", p.stdout)
     }
+    stages: dict = {}
+    for m in re.finditer(
+        r"prewarm_stage (\w+)\|(\w+)\|([0-9.]+)", p.stdout
+    ):
+        stages.setdefault(m.group(1), {})[m.group(2)] = float(m.group(3))
+    shapes: dict = {}
+    for m in re.finditer(
+        r"prewarm_shape (\w+)\|([^|]+)\|([0-9.]+)\|(\w+)", p.stdout
+    ):
+        shapes.setdefault(m.group(1), []).append(
+            {"name": m.group(2), "s": float(m.group(3)),
+             "kind": m.group(4)}
+        )
     if not times:
         raise RuntimeError(f"no prewarm lines in stdout: {p.stdout[-400:]}")
-    return times, wall
+    return times, stages, shapes, wall
 
 
 def main():
@@ -78,18 +95,33 @@ def main():
               f"tunnel compile costs to be real")
         return
 
-    pre_entries = (
-        len(os.listdir(CACHE_DIR)) if os.path.isdir(CACHE_DIR) else 0
-    )
+    cache_dir = tempfile.mkdtemp(prefix="ukc_prewarm_cache_")
     try:
-        cold, cold_wall = run_prewarm()
-        post_entries = (
-            len(os.listdir(CACHE_DIR)) if os.path.isdir(CACHE_DIR) else 0
-        )
-        warm, warm_wall = run_prewarm()
+        cold, cold_stages, cold_shapes, cold_wall = run_prewarm(cache_dir)
+        entries = len(os.listdir(cache_dir))
+        warm, warm_stages, warm_shapes, warm_wall = run_prewarm(cache_dir)
     except RuntimeError as e:
         _fail(str(e))
         return
+
+    def _table(shapes):
+        # per-config: biggest shapes first, small ones summed as "other"
+        out = {}
+        for label, evs in shapes.items():
+            evs = sorted(evs, key=lambda e: -e["s"])
+            head = [
+                {"name": e["name"], "s": round(e["s"], 2),
+                 "kind": e["kind"]}
+                for e in evs[:12]
+            ]
+            rest = sum(e["s"] for e in evs[12:])
+            out[label] = {
+                "shapes": head,
+                "other_shapes_s": round(rest, 2),
+                "n_shapes": len(evs),
+                "total_s": round(sum(e["s"] for e in evs), 2),
+            }
+        return out
 
     total_cold = sum(cold.values())
     total_warm = sum(warm.values())
@@ -101,22 +133,31 @@ def main():
         "rehydrated_seconds": {k: round(v, 1) for k, v in warm.items()},
         "cold_total_seconds": round(total_cold, 1),
         "rehydrated_total_seconds": round(total_warm, 1),
-        "cache_entries_before": pre_entries,
-        "cache_entries_added": post_entries - pre_entries,
+        "cache_entries_after_cold": entries,
+        "cold_stage_seconds": {
+            k: {s: round(v, 1) for s, v in d.items()}
+            for k, d in cold_stages.items()
+        },
+        "rehydrated_stage_seconds": {
+            k: {s: round(v, 1) for s, v in d.items()}
+            for k, d in warm_stages.items()
+        },
+        "cold_shape_table": _table(cold_shapes),
+        "rehydrated_shape_table": _table(warm_shapes),
         "note": (
-            "identical fresh processes on the bundled dataset; the "
-            "delta is the remote-compile bill the persistent cache "
-            "eliminates. Each side includes ~10 s of host index work."
+            "identical fresh processes on the bundled dataset, both "
+            "pointed at a fresh empty cache dir (raw-cold side is "
+            "clean by construction); the delta is the remote-compile "
+            "bill the persistent cache eliminates. Shape rows time "
+            "compile_or_get_cached per program: kind=compile is a raw "
+            "tunnel compile, kind=hit a persistent-cache rehydration; "
+            "sub-second kind=compile rows are programs below the 1 s "
+            "persistent-cache floor (never cached, by design). The gap "
+            "between a config's wall time and its shape-table total is "
+            "host index work + data movement + device execution "
+            "(cold_stage_seconds breaks it down per stage)."
         ),
     }
-    if pre_entries:
-        rec["warning"] = (
-            f"cache dir had {pre_entries} entries before the cold run "
-            f"(cache keys include the backend — CPU-run entries do not "
-            f"warm TPU shapes); if any were TPU-keyed the true raw-cold "
-            f"gap is LARGER than reported. cache_entries_added counts "
-            f"the compiles the cold run actually paid."
-        )
     print(json.dumps(rec))
     from uniprot_kmer_based_clustering_tpu.utils.artifact import (
         write_bench_artifact,

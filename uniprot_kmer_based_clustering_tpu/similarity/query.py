@@ -169,10 +169,66 @@ def _counts_topk_fn(weighted: bool, cap: int, n: int):
     return counts_topk
 
 
+@functools.lru_cache(maxsize=8)
+def _stream_block_topk_fn(weighted: bool, cap: int):
+    """Jitted one-ROW-BLOCK serving kernel for stream mode: counts of
+    the query batch vs one host-streamed corpus row block, with the
+    same on-device threshold/top-k epilogue as :func:`_counts_topk_fn`
+    (sentinel, tie order, exact per-(query, block) hit counts packed as
+    int32 [Q, 2·cap+1] = vals | local idx | nhits).
+
+    The contraction is chunked over word blocks inside the jit (the
+    row block transposes on device) so the unpacked int8 operands never
+    materialize whole. ``valid_n`` masks padding rows past the corpus
+    end — traced, so every block shares one compiled shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def block_topk(qwords, rows, weight_blocks, threshold, valid_n):
+        bs, w = rows.shape
+        nbw = w // _BLOCK_WORDS
+        rb = jnp.transpose(
+            rows.reshape(bs, nbw, _BLOCK_WORDS), (1, 0, 2)
+        )
+        counts = _blocked_counts(qwords, rb, weight_blocks, weighted)
+        cols = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+        hit = (counts > threshold) & (cols < valid_n)
+        nhits = jnp.sum(hit, axis=1, dtype=jnp.int32)
+        sentinel = jnp.iinfo(jnp.int32).min
+        masked = jnp.where(hit, counts, sentinel)
+        vals, idx = jax.lax.top_k(masked, cap)
+        return jnp.concatenate(
+            [vals, idx.astype(jnp.int32), nhits[:, None]], axis=1
+        )
+
+    return block_topk
+
+
+@functools.lru_cache(maxsize=4)
+def _stream_block_counts_fn(weighted: bool):
+    """Full [Q, bs] counts for one streamed row block — the exact redo
+    path when a (query, block) pair overflows the stream top-k cap."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def block_counts(qwords, rows, weight_blocks):
+        bs, w = rows.shape
+        nbw = w // _BLOCK_WORDS
+        rb = jnp.transpose(
+            rows.reshape(bs, nbw, _BLOCK_WORDS), (1, 0, 2)
+        )
+        return _blocked_counts(qwords, rb, weight_blocks, weighted)
+
+    return block_counts
+
+
 class QueryServer:
     """A standing corpus index for repeated shared-k-mer queries.
 
-    Two serving modes, identical outputs (pinned in tests):
+    Three serving modes, identical outputs (pinned in tests):
       * device (accelerators): uploads the packed corpus bitset once,
         pre-blocked for the scan kernel, and answers with blocked int8
         matmuls; with ``mesh`` given, the corpus rows are sharded over
@@ -180,7 +236,17 @@ class QueryServer:
         corpora beyond one chip's HBM;
       * host (``mode="auto"`` on the cpu platform, needs the host-built
         incidence lists): a rank-CSR walk — the Gustavson structure of
-        the native sweep — with no device involvement at all.
+        the native sweep — with no device involvement at all;
+      * stream (``mode="stream"``): the corpus bitset stays in HOST
+        memory and row blocks stream through the device per query
+        batch — serving for corpora beyond one chip's HBM without a
+        mesh (the serving analogue of the out-of-core sweep engine,
+        ops/stream.py). Transfer-bound by design: each batch re-moves
+        the whole corpus host→device, so batch large and prefer the
+        resident/mesh modes whenever the bitset fits. NOTE (this
+        environment): the axon tunnel leaks every uploaded byte into
+        host RSS, so sustained stream serving is bounded by host RAM —
+        the same known-limit as the stream sweep (docs/DESIGN.md).
 
     `weights` (int8 [w_pad*32], utils.blosum.rank_weights_int8) switches
     scores to BLOSUM-weighted mode, same as the weighted sweep.
@@ -194,10 +260,11 @@ class QueryServer:
         mode: str = "auto",
         mesh=None,
         topk_cap: int = 512,
+        stream_bs: Optional[int] = None,
     ):
         import jax
 
-        if mode not in ("auto", "host", "device"):
+        if mode not in ("auto", "host", "device", "stream"):
             raise ValueError(f"unknown mode {mode!r}")
         self.index = index
         self.bitset = bitset
@@ -217,6 +284,39 @@ class QueryServer:
         # (CSR / device blocks) no longer matches index/bitset; queries
         # raise until rebuild_serving() succeeds
         self._needs_rebuild = False
+        self._stream_mode = mode == "stream"
+        if self._stream_mode:
+            if mesh is not None:
+                raise ValueError(
+                    "mode='stream' is single-device (shard a mesh with "
+                    "mesh=... instead)"
+                )
+            self._host_mode = False
+            # rows per streamed block: ~1.5 GB of packed words by
+            # default (word-chunked in-jit, so only the packed block
+            # plus one unpack chunk is ever device-resident)
+            if stream_bs is None:
+                stream_bs = max(
+                    1024,
+                    min(
+                        bitset.n_pad,
+                        ((3 << 29) // (bitset.w_pad * 4)) // 1024 * 1024,
+                    ),
+                )
+            self._stream_bs = int(stream_bs)
+            import jax.numpy as jnp
+
+            if self.weighted:
+                self._weight_blocks = jnp.asarray(
+                    np.asarray(weights, np.int8).reshape(
+                        bitset.w_pad // _BLOCK_WORDS, _BLOCK_WORDS * 32
+                    )
+                )
+            else:
+                self._weight_blocks = jnp.zeros(
+                    (bitset.w_pad // _BLOCK_WORDS, 1), jnp.int8
+                )
+            return
         if mesh is not None:
             # corpus rows sharded over the mesh (GSPMD partitions the
             # same scan kernel; counts come back sharded on the corpus
@@ -286,6 +386,20 @@ class QueryServer:
                 ),
             )
             self._corpus_blocks = reblock(rows)
+        elif bitset.words.nbytes > (3 << 30):
+            # large corpora (the 100k/9 GB regime): the on-device
+            # transpose would briefly hold TWO copies of the corpus
+            # (upload + blocked output ≈ 2 × 9.2 GB > one v5e HBM) —
+            # pre-block on host instead and upload the final layout
+            # once, so the device peak is exactly the corpus size.
+            # The host copy costs ~1-2 min at this host's throttled
+            # ~85 MB/s RAM writes; it is a one-time server build cost.
+            host_blocked = np.ascontiguousarray(
+                np.asarray(bitset.words)
+                .reshape(bitset.n_pad, nb, _BLOCK_WORDS)
+                .transpose(1, 0, 2)
+            )
+            self._corpus_blocks = jax.device_put(host_blocked)
         else:
             self._corpus_blocks = jnp.transpose(
                 jnp.asarray(bitset.words).reshape(
@@ -432,8 +546,11 @@ class QueryServer:
     def rebuild_serving(self):
         """Rebuild the serving state (host CSR or device blocks) from
         the current index/bitset; clears the inconsistency flag set by
-        a failed :meth:`add_proteins` rollback."""
-        if self._host_mode:
+        a failed :meth:`add_proteins` rollback. Stream mode holds no
+        serving state (blocks re-stream from bitset.words per batch)."""
+        if self._stream_mode:
+            pass
+        elif self._host_mode:
             self._build_host_csr()
         else:
             self._build_device_blocks()
@@ -477,6 +594,46 @@ class QueryServer:
         qp = np.zeros((q_pad, self.bitset.w_pad), np.uint32)
         qp[:nq] = qwords
         qp_j = jnp.asarray(qp)
+        if self._stream_mode:
+            # stream the corpus row blocks through the device; every
+            # block's packed (vals|idx|nhits) stays on device until
+            # query_wait's single batched fetch. The device executes
+            # blocks in launch order, overlapping block b+1's upload
+            # with block b's matmul.
+            bs = self._stream_bs
+            words = np.asarray(self.bitset.words)
+            n_pad = self.bitset.n_pad
+            # stream mode always answers through the per-block top-k
+            # (there is no resident full-counts alternative); the cap
+            # only bounds the per-(query, block) readback — misses are
+            # redone exactly per block
+            cap = max(1, min(
+                self._topk_cap if self._topk_cap > 0 else 512, bs
+            ))
+            fn = _stream_block_topk_fn(self.weighted, cap)
+            blocks = []
+            for row0 in range(0, n_pad, bs):
+                rows = words[row0 : row0 + bs]
+                if rows.shape[0] < bs:  # ragged tail: pad with zeros
+                    rows = np.concatenate([
+                        rows,
+                        np.zeros((bs - rows.shape[0], words.shape[1]),
+                                 np.uint32),
+                    ])
+                out = fn(
+                    qp_j, jax.device_put(rows), self._weight_blocks,
+                    jnp.int32(threshold),
+                    jnp.int32(max(0, min(bs, self.bitset.n - row0))),
+                )
+                blocks.append((row0, out))
+            return {
+                "nq": nq,
+                "threshold": threshold,
+                "cap": cap,
+                "qwords": qwords,
+                "qp_j": qp_j,
+                "stream_blocks": blocks,
+            }
         cap = min(self._topk_cap, self.bitset.n_pad)
         # the fast path exists to shrink readback: it fetches
         # [q_pad, 2·cap+1] vs the full path's [q_pad, n_pad] — once
@@ -525,6 +682,70 @@ class QueryServer:
         if nq == 0:
             return []
         threshold = handle["threshold"]
+        if "stream_blocks" in handle:
+            import jax
+
+            cap = handle["cap"]
+            # one batched fetch retires every block of the batch
+            packed = jax.device_get(
+                [out for _row0, out in handle["stream_blocks"]]
+            )
+            per_q = [[] for _ in range(nq)]
+            for (row0, _out), arr in zip(handle["stream_blocks"], packed):
+                vals = arr[:, :cap]
+                idx = arr[:, cap : 2 * cap]
+                nhits = arr[:, 2 * cap]
+                over = np.nonzero(nhits[:nq] > cap)[0]
+                full = None
+                if over.shape[0]:
+                    # capacity miss in this block: exact redo — re-upload
+                    # the block once and fetch its full counts for the
+                    # overflowed rows only
+                    import jax.numpy as jnp
+
+                    bs = self._stream_bs
+                    words = np.asarray(self.bitset.words)
+                    rows = words[row0 : row0 + bs]
+                    if rows.shape[0] < bs:
+                        rows = np.concatenate([
+                            rows,
+                            np.zeros((bs - rows.shape[0], words.shape[1]),
+                                     np.uint32),
+                        ])
+                    full = np.asarray(
+                        _stream_block_counts_fn(self.weighted)(
+                            handle["qp_j"], jax.device_put(rows),
+                            self._weight_blocks,
+                        )
+                    )
+                valid = max(0, min(self._stream_bs, self.bitset.n - row0))
+                for qi in range(nq):
+                    nh = int(nhits[qi])
+                    if nh == 0:
+                        continue
+                    if nh > cap:
+                        row = full[qi, :valid]
+                        hits = np.nonzero(row > threshold)[0]
+                        per_q[qi].append(
+                            (row0 + hits.astype(np.int64),
+                             row[hits].astype(np.int64))
+                        )
+                    else:
+                        per_q[qi].append(
+                            (row0 + idx[qi, :nh].astype(np.int64),
+                             vals[qi, :nh].astype(np.int64))
+                        )
+            out = []
+            for qi in range(nq):
+                if not per_q[qi]:
+                    out.append(np.zeros((0, 2), np.int64))
+                    continue
+                gidx = np.concatenate([g for g, _v in per_q[qi]])
+                gval = np.concatenate([v for _g, v in per_q[qi]])
+                order = np.lexsort((gidx, -gval))
+                m = np.stack([gidx[order], gval[order]], axis=1)
+                out.append(m[:top] if top is not None else m)
+            return out
         if "packed_dev" in handle:
             import jax
             import jax.numpy as jnp
