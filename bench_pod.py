@@ -133,7 +133,16 @@ def main():
         axes = ("p",)
     d = int(mesh.devices.size)
 
-    block_tile = 128
+    # largest tile whose mesh padding stays under ~7% — 512 matches the
+    # flat engine's granularity (measured +6% on the D=1 ring vs 128);
+    # large D falls back to finer tiles to keep padded rows (which the
+    # sweep pays for but pairs/s does not credit) small
+    block_tile = int(os.environ.get("UKC_POD_TILE", "0"))
+    if not block_tile:
+        for bt in (512, 256, 128):
+            block_tile = bt
+            if pad_for_mesh(table.n, d, bt) <= table.n * 1.07:
+                break
     n_pad = pad_for_mesh(table.n, d, block_tile)
     bitset = pack_bitsets(
         idx.incidence_protein,
@@ -263,20 +272,22 @@ def main():
         if got_f != GOLDEN or not np.array_equal(pairs_f, pairs):
             _fail("fused ring parity FAILED")
             return
+        speedup = (dt_mesh + t_extract) / t_fused
         fused_stats = {
             "fused_seconds": round(t_fused, 4),
-            "fused_speedup": round((dt_mesh + t_extract) / t_fused, 2),
-            # a <1.0 speedup here is the EXPECTED sparse-hit regime, not
-            # a regression: at the bundled scale only ~0.02% of tiles
-            # hit, so two-pass extraction recomputes almost nothing
-            # while the fused pass pays candidate-compaction work in
-            # EVERY scan step. Fused wins in dense-homology corpora
-            # (2.02x at the 100k scale artifact); extract=auto picks
-            # two-pass in this regime by design (DESIGN.md known-limits).
+            "fused_speedup": round(speedup, 2),
+            # the comparison is regime-dependent: fused pays per-step
+            # candidate compaction in EVERY sub-block, two-pass pays a
+            # second full pass over hit tiles only. At the bundled
+            # sparse-hit scale either can win depending on the
+            # extraction path's tile sizes; extract=auto picks two-pass
+            # here by design (DESIGN.md known-limits), and fused wins
+            # decisively in dense-homology corpora (2.02x at the 100k
+            # scale artifact).
             "fused_speedup_note": (
-                "sparse-hit regime: fused pays per-step compaction for "
-                "tiles that almost never hit; <1.0 expected here, "
-                "extract=auto selects two-pass"
+                f"fused {'wins' if speedup >= 1 else 'loses'} at this "
+                f"scale ({speedup:.2f}x vs sweep+extract); regime-"
+                f"dependent — see DESIGN.md known-limits"
             ),
         }
 
@@ -308,7 +319,20 @@ def main():
         "pairs_per_s_per_chip": round(per_chip, 1),
         "sweep_seconds": round(dt_mesh, 4),
         "extract_seconds": round(t_extract, 4),
+        "block_tile": block_tile,
         "parity": "golden-exact",
+        "flat_gap_note": (
+            "the D=1 ring runs the same triangular strip schedule as "
+            "the flat engine (~57% of square MACs, _ring_substeps); "
+            "the remaining gap vs bench.py's flat number (~23 ms at "
+            "the bundled scale, ~19%) is the statistics epilogue: "
+            "inside shard_map the ring must use the fused XLA "
+            "mask/reduce chain, while the flat engine's Pallas "
+            "tile-walk epilogue (~10x cheaper) measures 8-15x SLOWER "
+            "under shard_map on this jax/Mosaic stack (CLAUDE.md). "
+            "The epilogue cost is proportional to per-device counts "
+            "elements, so it cancels in scaling-efficiency ratios."
+        ),
         **fused_stats,
     }
     if one_chip:
