@@ -595,81 +595,154 @@ def _ring_substeps(
     Coverage is exact and disjoint for every D (pinned against the
     single-chip oracle for D ∈ {1..8} in tests/test_sharded.py).
     """
+    if s == 0:
+        yield from _substeps_diag(
+            words_local, classes_local, row_base, block_tile, max_strips
+        )
+    elif 2 * s == d_count:
+        yield from _substeps_split(
+            dev < (d_count // 2), words_local, moving_w,
+            classes_local, moving_c, row_base, moving_base, block_tile,
+        )
+    else:
+        yield _substep_full(
+            words_local, moving_w, classes_local, moving_c,
+            row_base, moving_base, block_tile,
+        )
+
+
+def _ring_substeps_2d(
+    sh: int,
+    sc: int,
+    hc: int,
+    cc: int,
+    h,
+    c,
+    words_local,
+    inner_w,
+    classes_local,
+    inner_c,
+    row_base,
+    moving_base,
+    block_tile: int,
+    max_strips: int = 8,
+):
+    """:func:`_ring_substeps` for the hierarchical 2-D (hosts × chips)
+    schedule — the same three sub-step shapes dispatched on the 2-D
+    dedup cases (`_ring_gate_2d`):
+
+      * (sh=0, sc=0): the within-block diagonal → triangular strips;
+      * (sh=0, 2·sc=cc): even-C intra-host final step — the block pair
+        {(h,c), (h,c+C/2)} appears on both chips → split on c < C/2;
+      * (2·sh=hc): even-H final outer step — every inner step's block
+        pair appears on both hosts of a host pair (the partner sees the
+        transposed orientation at its inner step −sc mod C) → split on
+        h < H/2, for ALL C inner steps;
+      * otherwise: one full block pair.
+    """
+    if sh == 0 and sc == 0:
+        yield from _substeps_diag(
+            words_local, classes_local, row_base, block_tile, max_strips
+        )
+    elif sh == 0 and 2 * sc == cc:
+        yield from _substeps_split(
+            c < (cc // 2), words_local, inner_w,
+            classes_local, inner_c, row_base, moving_base, block_tile,
+        )
+    elif 2 * sh == hc:
+        yield from _substeps_split(
+            h < (hc // 2), words_local, inner_w,
+            classes_local, inner_c, row_base, moving_base, block_tile,
+        )
+    else:
+        yield _substep_full(
+            words_local, inner_w, classes_local, inner_c,
+            row_base, moving_base, block_tile,
+        )
+
+
+def _iota_pair(rows, cols, gi0, gj0):
+    gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return gi, gj
+
+
+def _substeps_diag(words_local, classes_local, row_base, block_tile,
+                   max_strips=8):
+    """Triangular diagonal: tile-aligned row strips vs their column
+    suffix ((ns+1)/2ns of the block square's MACs)."""
+    block = words_local.shape[0]
+    nbl = block // block_tile
+    for t0, t1 in _diag_strip_bounds(nbl, max_strips):
+        r0, r1 = t0 * block_tile, t1 * block_tile
+        gi, gj = _iota_pair(r1 - r0, block - r0, row_base + r0,
+                            row_base + r0)
+        yield (
+            words_local[r0:r1], words_local[r0:],
+            classes_local[r0:r1], classes_local[r0:],
+            gi, gj, r0,
+            row_base // block_tile + t0,
+            row_base // block_tile + t0,
+            True, True,
+        )
+
+
+def _substep_full(words_local, moving_w, classes_local, moving_c,
+                  row_base, moving_base, block_tile, active=True):
+    """One full (stationary × moving) block pair."""
+    block = words_local.shape[0]
+    gi, gj = _iota_pair(block, block, row_base, moving_base)
+    return (
+        words_local, moving_w, classes_local, moving_c, gi, gj, 0,
+        row_base // block_tile, moving_base // block_tile, False, active,
+    )
+
+
+def _substeps_split(first, words_local, moving_w, classes_local,
+                    moving_c, row_base, moving_base, block_tile):
+    """Final-step split: the unordered block pair {d, e} appears on two
+    devices; ``first`` is True on the device whose stationary block is
+    d. The first device covers rows d[0:h) of the pair region, the
+    partner covers rows d[h:2h) in the transposed orientation (its own
+    stationary rows credit the stats) — two [h, h] matmuls each, only
+    the slice OFFSETS device-dependent (SPMD-compatible):
+
+        m1: stat[0:h) × mov[b1:b1+h),  b1 = first ? 0 : h
+        m2: stat[a2:a2+h) × mov[h:2h), a2 = first ? 0 : h
+
+    Falls back to the masked half-gate (full block square, partner
+    idle) when the block cannot split on a tile boundary.
+    """
     block = words_local.shape[0]
     w_words = words_local.shape[1]
-    nbl = block // block_tile
-
-    def _iota(rows, cols, gi0, gj0):
-        gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-        gj = gj0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-        return gi, gj
-
-    if s == 0:
-        # triangular diagonal: strip r vs its own column suffix
-        for t0, t1 in _diag_strip_bounds(nbl, max_strips):
-            r0, r1 = t0 * block_tile, t1 * block_tile
-            wa = words_local[r0:r1]
-            wb = words_local[r0:]
-            ca = classes_local[r0:r1]
-            cb = classes_local[r0:]
-            gi, gj = _iota(r1 - r0, block - r0, row_base + r0,
-                           row_base + r0)
-            yield (
-                wa, wb, ca, cb, gi, gj, r0,
-                row_base // block_tile + t0,
-                row_base // block_tile + t0,
-                True, True,
-            )
-        return
-
-    if 2 * s == d_count:
-        h = block // 2
-        if h % block_tile != 0:
-            # can't split on a tile boundary: fall back to the masked
-            # half-ring gate (full block square, half the devices idle)
-            gi, gj = _iota(block, block, row_base, moving_base)
-            yield (
-                words_local, moving_w, classes_local, moving_c, gi, gj,
-                0, row_base // block_tile, moving_base // block_tile,
-                False, dev < (d_count // 2),
-            )
-            return
-        hb = h // block_tile
-        first = dev < (d_count // 2)
-        # region {d × e}: first-half devices cover rows d[0:h) (their
-        # own stationary rows), second-half devices cover rows d[h:2h)
-        # transposed (stationary e rows × moving d[h:2h) columns):
-        #   m1: stat[0:h) × mov[b1:b1+h), b1 = first ? 0 : h
-        #   m2: stat[a2:a2+h) × mov[h:2h), a2 = first ? 0 : h
-        b1 = jnp.where(first, 0, h)
-        b1t = jnp.where(first, 0, hb)
-        a2 = jnp.where(first, 0, h)
-        a2t = jnp.where(first, 0, hb)
-        wa1 = words_local[:h]
-        wb1 = jax.lax.dynamic_slice(moving_w, (b1, 0), (h, w_words))
-        cb1 = jax.lax.dynamic_slice(moving_c, (b1,), (h,))
-        gi1, gj1 = _iota(h, h, row_base, moving_base + b1)
-        yield (
-            wa1, wb1, classes_local[:h], cb1, gi1, gj1, 0,
-            row_base // block_tile, moving_base // block_tile + b1t,
-            False, True,
-        )
-        wa2 = jax.lax.dynamic_slice(words_local, (a2, 0), (h, w_words))
-        ca2 = jax.lax.dynamic_slice(classes_local, (a2,), (h,))
-        gi2, gj2 = _iota(h, h, row_base + a2, moving_base + h)
-        yield (
-            wa2, moving_w[h:], ca2, moving_c[h:], gi2, gj2, a2,
-            row_base // block_tile + a2t,
-            moving_base // block_tile + hb,
-            False, True,
+    h = block // 2
+    if h % block_tile != 0:
+        yield _substep_full(
+            words_local, moving_w, classes_local, moving_c,
+            row_base, moving_base, block_tile, active=first,
         )
         return
-
-    # middle steps: one full block pair, fully active
-    gi, gj = _iota(block, block, row_base, moving_base)
+    hb = h // block_tile
+    b1 = jnp.where(first, 0, h)
+    b1t = jnp.where(first, 0, hb)
+    a2 = jnp.where(first, 0, h)
+    a2t = jnp.where(first, 0, hb)
+    wb1 = jax.lax.dynamic_slice(moving_w, (b1, 0), (h, w_words))
+    cb1 = jax.lax.dynamic_slice(moving_c, (b1,), (h,))
+    gi1, gj1 = _iota_pair(h, h, row_base, moving_base + b1)
     yield (
-        words_local, moving_w, classes_local, moving_c, gi, gj, 0,
-        row_base // block_tile, moving_base // block_tile, False, True,
+        words_local[:h], wb1, classes_local[:h], cb1, gi1, gj1, 0,
+        row_base // block_tile, moving_base // block_tile + b1t,
+        False, True,
+    )
+    wa2 = jax.lax.dynamic_slice(words_local, (a2, 0), (h, w_words))
+    ca2 = jax.lax.dynamic_slice(classes_local, (a2,), (h,))
+    gi2, gj2 = _iota_pair(h, h, row_base + a2, moving_base + h)
+    yield (
+        wa2, moving_w[h:], ca2, moving_c[h:], gi2, gj2, a2,
+        row_base // block_tile + a2t,
+        moving_base // block_tile + hb,
+        False, True,
     )
 
 
@@ -1169,9 +1242,6 @@ def make_ring_extract_2d(
         c = jax.lax.axis_index(chip_axis)
         block = words_local.shape[0]
         row_base = (h * cc + c) * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         bi = jnp.zeros(cap, jnp.int32)
         bj = jnp.zeros(cap, jnp.int32)
@@ -1198,25 +1268,25 @@ def make_ring_extract_2d(
                 moving_h = (h + sh) % hc
                 moving_chip = (c + sc) % cc
                 moving_base = (moving_h * cc + moving_chip) * block
-                gj = moving_base + jax.lax.broadcasted_iota(
-                    jnp.int32, (block, block), 1
-                )
-
-                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
-
-                counts = _block_counts(
-                    words_local, inner_w, weights if weighted else None
-                )
-                valid = (gi < n) & (gj < n) & active
-                if triangle:
-                    valid &= gi < gj
-                mask = valid & (counts > threshold)
-                if cross_amr_only:
-                    mask &= classes_local[:, None] != inner_c[None, :]
-                cursor, bi, bj, bc = _compact_step(
-                    mask, counts, gi, gj, block_tile, k,
-                    (cursor, bi, bj, bc), cap,
-                )
+                for (wa, wb, ca, cb, gi, gj, _i_off, _ti0, _tj0,
+                     triangle, active) in _ring_substeps_2d(
+                    sh, sc, hc, cc, h, c, words_local, inner_w,
+                    classes_local, inner_c, row_base, moving_base,
+                    block_tile,
+                ):
+                    counts = _block_counts(
+                        wa, wb, weights if weighted else None
+                    )
+                    valid = (gi < n) & (gj < n) & active
+                    if triangle:
+                        valid &= gi < gj
+                    mask = valid & (counts > threshold)
+                    if cross_amr_only:
+                        mask &= ca[:, None] != cb[None, :]
+                    cursor, bi, bj, bc = _compact_step(
+                        mask, counts, gi, gj, block_tile, k,
+                        (cursor, bi, bj, bc), cap,
+                    )
         return _gather_compacted(
             bi, bj, bc, cursor, h * cc + c, hc * cc, cap,
             (host_axis, chip_axis),
@@ -1280,11 +1350,7 @@ def make_ring_sweep_2d(
         block = words_local.shape[0]
         nb_local = block // block_tile
         nb = nb_local * hc * cc
-
         row_base = (h * cc + c) * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         row_stats = jnp.zeros((block, 8), jnp.int32)
         hits = jnp.zeros((nb, nb, 2), jnp.int32)
@@ -1310,32 +1376,55 @@ def make_ring_sweep_2d(
                 moving_h = (h + sh) % hc
                 moving_chip = (c + sc) % cc
                 moving_base = (moving_h * cc + moving_chip) * block
-                gj = moving_base + jax.lax.broadcasted_iota(
-                    jnp.int32, (block, block), 1
-                )
 
-                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
-
-                counts = _block_counts(
-                    words_local, inner_w, weights if weighted else None
-                )
-                stats, bh = _step_stats(
-                    counts, gi, gj, classes_local, inner_c,
-                    n, threshold, active, triangle, block_tile,
-                    stats_engine, vma=(host_axis, chip_axis),
-                )
-                row_stats = _merge_row_stats(row_stats, stats)
-
-                bi = (h * cc + c) * nb_local
-                bj = (moving_h * cc + moving_chip) * nb_local
-                hits = jax.lax.dynamic_update_slice(
-                    hits,
-                    jax.lax.dynamic_slice(
-                        hits, (bi, bj, 0), (nb_local, nb_local, 2)
+                if stats_engine.startswith("pallas"):
+                    # the Pallas epilogue consumes full square counts
+                    # blocks — keep the masked _ring_gate_2d schedule
+                    gi = row_base + jax.lax.broadcasted_iota(
+                        jnp.int32, (block, block), 0
                     )
-                    + bh,
-                    (bi, bj, 0),
-                )
+                    gj = moving_base + jax.lax.broadcasted_iota(
+                        jnp.int32, (block, block), 1
+                    )
+                    active, triangle = _ring_gate_2d(
+                        sh, sc, hc, cc, h, c
+                    )
+                    counts = _block_counts(
+                        words_local, inner_w,
+                        weights if weighted else None,
+                    )
+                    stats, bh = _step_stats(
+                        counts, gi, gj, classes_local, inner_c,
+                        n, threshold, active, triangle, block_tile,
+                        stats_engine, vma=(host_axis, chip_axis),
+                    )
+                    row_stats = _merge_row_stats(row_stats, stats)
+                    hits = _accumulate_hits_at(
+                        hits, bh, (h * cc + c) * nb_local,
+                        (moving_h * cc + moving_chip) * nb_local,
+                    )
+                    continue
+
+                for (wa, wb, ca, cb, gi, gj, i_off, ti0, tj0, triangle,
+                     active) in _ring_substeps_2d(
+                    sh, sc, hc, cc, h, c, words_local, inner_w,
+                    classes_local, inner_c, row_base, moving_base,
+                    block_tile,
+                ):
+                    counts = _block_counts(
+                        wa, wb, weights if weighted else None
+                    )
+                    stats, over_c, over_s = _pair_stats(
+                        counts, gi, gj, ca, cb, n, threshold, active,
+                        triangle,
+                    )
+                    row_stats = _merge_row_stats_at(
+                        row_stats, stats, i_off
+                    )
+                    bh, _ = _fused_subtiles(
+                        over_c, over_s, block_tile, 0, True
+                    )
+                    hits = _accumulate_hits_at(hits, bh, ti0, tj0)
 
         hits = jax.lax.psum(
             jax.lax.psum(hits, chip_axis), host_axis
@@ -1390,9 +1479,6 @@ def make_ring_fused_2d(
         nb_local = block // block_tile
         nb = nb_local * hc * cc
         row_base = (h * cc + c) * block
-        gi = row_base + jax.lax.broadcasted_iota(
-            jnp.int32, (block, block), 0
-        )
 
         row_stats = jnp.zeros((block, 8), jnp.int32)
         hits = jnp.zeros((nb, nb, 2), jnp.int32)
@@ -1421,37 +1507,30 @@ def make_ring_fused_2d(
                 moving_h = (h + sh) % hc
                 moving_chip = (c + sc) % cc
                 moving_base = (moving_h * cc + moving_chip) * block
-                gj = moving_base + jax.lax.broadcasted_iota(
-                    jnp.int32, (block, block), 1
-                )
-
-                active, triangle = _ring_gate_2d(sh, sc, hc, cc, h, c)
-
-                counts = _block_counts(
-                    words_local, inner_w, weights if weighted else None
-                )
-                stats, over_c, over_s = _pair_stats(
-                    counts, gi, gj, classes_local, inner_c,
-                    n, threshold, active, triangle,
-                )
-                row_stats = _merge_row_stats(row_stats, stats)
-                bh, mask = _fused_subtiles(
-                    over_c, over_s, block_tile, k, cross_amr_only
-                )
-                ti0 = (h * cc + c) * nb_local
-                tj0 = (moving_h * cc + moving_chip) * nb_local
-                hits = jax.lax.dynamic_update_slice(
-                    hits,
-                    jax.lax.dynamic_slice(
-                        hits, (ti0, tj0, 0), (nb_local, nb_local, 2)
+                for (wa, wb, ca, cb, gi, gj, i_off, ti0, tj0, triangle,
+                     active) in _ring_substeps_2d(
+                    sh, sc, hc, cc, h, c, words_local, inner_w,
+                    classes_local, inner_c, row_base, moving_base,
+                    block_tile,
+                ):
+                    counts = _block_counts(
+                        wa, wb, weights if weighted else None
                     )
-                    + bh,
-                    (ti0, tj0, 0),
-                )
-                cursor, bi, bj, bc = _compact_step(
-                    mask, counts, gi, gj, block_tile, k,
-                    (cursor, bi, bj, bc), cap,
-                )
+                    stats, over_c, over_s = _pair_stats(
+                        counts, gi, gj, ca, cb, n, threshold, active,
+                        triangle,
+                    )
+                    row_stats = _merge_row_stats_at(
+                        row_stats, stats, i_off
+                    )
+                    bh, mask = _fused_subtiles(
+                        over_c, over_s, block_tile, k, cross_amr_only
+                    )
+                    hits = _accumulate_hits_at(hits, bh, ti0, tj0)
+                    cursor, bi, bj, bc = _compact_step(
+                        mask, counts, gi, gj, block_tile, k,
+                        (cursor, bi, bj, bc), cap,
+                    )
 
         hits = jax.lax.psum(
             jax.lax.psum(hits, chip_axis), host_axis
