@@ -98,12 +98,17 @@ def _build_servers(mesh_devices: int = 0):
         idx.n_repeated,
         row_multiple=512,
     )
+    # UKC_QUERY_TOPK: serving hit-lane capacity override — dense
+    # template corpora at 100k scale average ~hundreds of over-gate
+    # matches per query, so the default 512 would route most queries
+    # through the full-counts overflow redo (exact but a [Q, N] fetch)
+    cap = int(os.environ.get("UKC_QUERY_TOPK", "512"))
     if mesh_devices:
         from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
 
         srv = QueryServer(idx, bitset, mesh=make_mesh(mesh_devices))
     else:
-        srv = QueryServer(idx, bitset, mode="device")
+        srv = QueryServer(idx, bitset, mode="device", topk_cap=cap)
     host = QueryServer(idx, bitset, mode="host")
     return table, bitset, srv, host
 
