@@ -397,6 +397,54 @@ def sweep_mxu_stream(
     return base + (cands,)
 
 
+def sort_compact_append(gbi, gbj, gbc, cursor, keep, gi, gj, counts):
+    """Append one window's survivors to the global pair buffers via
+    SORT-based compaction.
+
+    The cumsum+scatter idiom (`compact_positions` + ``.at[pos].set``)
+    serializes on TPU: the 19 GiB beyond-HBM run measured ~150 ms of
+    non-matmul device time per [1024²]-lane step (777 s of 1424 s total
+    — the dominant cost), i.e. ~7M scattered lanes/s. ``lax.sort``
+    moves the same window in ~10 ms (19M×3 int32 in 0.13 s, CLAUDE.md):
+    sort the flattened window by the keep flag (survivors first; order
+    WITHIN a window is irrelevant — every consumer re-sorts globally by
+    (i, j)), sentinel the tail, and write the whole window at ``cursor``
+    with one contiguous ``dynamic_update_slice``. The next append
+    starts at ``cursor + kept``, overwriting this append's sentinel
+    tail, so the final buffer is [real pairs][sentinels] exactly.
+
+    Buffers MUST be allocated with ≥ window extra rows past the usable
+    capacity (``_new_pair_buffers(vcap + window)``): the slice would
+    otherwise CLAMP near the end and corrupt valid rows in runs that do
+    not overflow. In overflow runs the cursor walks past the buffer and
+    the slice clamps harmlessly — those buffers are discarded (the
+    caller decides overflow from the sweep's own exact int64 total).
+
+    Returns (gbi, gbj, gbc, cursor + kept).
+    """
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _IMAX,
+    )
+
+    k = keep.ravel()
+    key = jnp.where(k, jnp.int32(0), jnp.int32(1))
+    _, gi_s, gj_s, c_s = jax.lax.sort(
+        (key, gi.ravel(), gj.ravel(), counts.ravel()), num_keys=1
+    )
+    kept = jnp.sum(k.astype(jnp.int32))
+    live = jnp.arange(k.shape[0], dtype=jnp.int32) < kept
+    gbi = jax.lax.dynamic_update_slice(
+        gbi, jnp.where(live, gi_s, _IMAX), (cursor,)
+    )
+    gbj = jax.lax.dynamic_update_slice(
+        gbj, jnp.where(live, gj_s, _IMAX), (cursor,)
+    )
+    gbc = jax.lax.dynamic_update_slice(
+        gbc, jnp.where(live, c_s, -1), (cursor,)
+    )
+    return gbi, gbj, gbc, cursor + kept
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -425,7 +473,10 @@ def _stream_step_compact(
     sweep's exact pair total whenever capacity suffices — the
     capacity-miss detector. No per-step top_k (the fused path's
     large-k remote-compile hazard, CLAUDE.md) and no per-step data
-    fetch: the cursor scalar is the only probe."""
+    fetch: the cursor scalar is the only probe. Compaction is the
+    sort-based append (:func:`sort_compact_append` — the scatter idiom
+    measured ~150 ms/step at beyond-HBM scale); the caller allocates
+    the buffers with a window of slack rows."""
     counts = _counts_window_pair(wa, wb, weights, word_chunk=word_chunk)
     rs, bh, over_c, over_s = pair_block_stats(
         counts, ca, cb, i0, j0,
@@ -435,16 +486,13 @@ def _stream_step_compact(
     bs = wa.shape[0]
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
-    vcap = gbi.shape[0]
-    pos, kept = compact_positions(em.ravel(), vcap, cursor)
-    opts = dict(mode="drop", unique_indices=True)
-    gbi = gbi.at[pos].set(gi.ravel(), **opts)
-    gbj = gbj.at[pos].set(gj.ravel(), **opts)
-    gbc = gbc.at[pos].set(counts.ravel(), **opts)
+    gbi, gbj, gbc, cursor = sort_compact_append(
+        gbi, gbj, gbc, cursor, em, gi, gj, counts
+    )
     row_stats, block_hits = accumulate_pair_block(
         row_stats, block_hits, rs, bh, i0, j0, block=block
     )
-    return row_stats, block_hits, gbi, gbj, gbc, cursor + kept
+    return row_stats, block_hits, gbi, gbj, gbc, cursor
 
 
 def sweep_extract_stream(
@@ -515,7 +563,11 @@ def sweep_extract_stream(
         # the capacity-miss path is part of the contract and must be
         # reachable below the default bucket floor
         vcap = max(128, -(-int(cap) // 128) * 128)
-    budget = max(1 << 28, hbm_budget_bytes - 3 * vcap * 4)
+    # charge the buffers AND the worst-case sort-append slack window
+    # (bs ≤ 4096 — auto_stream_block's cap) before sizing the blocks
+    budget = max(
+        1 << 28, hbm_budget_bytes - 3 * (vcap + 4096 * 4096) * 4
+    )
     if bs is None:
         bs = auto_stream_block(words_host.shape[0], w_words, block, budget)
     assert bs % block == 0, "stream block must be a multiple of the tile"
@@ -554,7 +606,9 @@ def sweep_extract_stream(
     )
     row_stats = jnp.zeros((n_pad, 8), jnp.int32)
     block_hits = jnp.zeros((nb, nb, 2), jnp.int32)
-    buffers = _new_pair_buffers(vcap)
+    # + one [bs, bs] window of slack rows: the sort-based append writes
+    # whole windows at the cursor and must never clamp in a valid run
+    buffers = _new_pair_buffers(vcap + bs * bs)
     state = (row_stats, block_hits) + buffers
     cls_dev = [
         jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
@@ -902,10 +956,11 @@ def _extract_block_pair(
 
     Recomputes the full [bs, bs] counts window (the sweep's own operand
     shape — NOT per-tile windows), masks survivors, and compacts them
-    into the donated global buffers with the cumsum+scatter idiom.
-    ``sub_mask`` restricts output to wanted sub-tiles (all-hit tiles for
-    a full extraction; only truncated tiles when redoing a fused sweep's
-    overflow). Returns updated (gbi, gbj, gbc, cursor).
+    into the donated global buffers with the sort-based append
+    (:func:`sort_compact_append`; the caller over-allocates by one
+    window). ``sub_mask`` restricts output to wanted sub-tiles (all-hit
+    tiles for a full extraction; only truncated tiles when redoing a
+    fused sweep's overflow). Returns updated (gbi, gbj, gbc, cursor).
 
     ``weights`` is always an array (ones when unweighted) — the chunked
     operand path slices it unconditionally, so the topk/scatter
@@ -928,13 +983,9 @@ def _extract_block_pair(
     mask &= jnp.repeat(
         jnp.repeat(sub_mask, block, axis=0), block, axis=1
     )
-    vcap = gbi.shape[0]
-    pos, kept = compact_positions(mask.ravel(), vcap, cursor)
-    opts = dict(mode="drop", unique_indices=True)
-    gbi = gbi.at[pos].set(gi.ravel(), **opts)
-    gbj = gbj.at[pos].set(gj.ravel(), **opts)
-    gbc = gbc.at[pos].set(counts.ravel(), **opts)
-    return gbi, gbj, gbc, cursor + kept
+    return sort_compact_append(
+        gbi, gbj, gbc, cursor, mask, gi, gj, counts
+    )
 
 
 def extract_pairs_stream_grouped(
@@ -1050,7 +1101,8 @@ def extract_pairs_stream_grouped(
     cls_dev = [
         jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
     ]
-    buffers = _new_pair_buffers(vcap)
+    # + one [bs, bs] window of slack rows for the sort-based append
+    buffers = _new_pair_buffers(vcap + bs * bs)
     pending = []  # cursor probes — the in-flight window bound
     trace = {
         "upload_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
