@@ -580,3 +580,74 @@ def test_stream_empty_result():
         ),
     )
     assert r.pairs.shape == (0, 3)
+
+
+def test_sort_compact_append_contract():
+    """Direct unit pin of the sort-based append: survivors land
+    contiguously at the cursor, tails are sentinels, repeated appends
+    chain, and the window write never clamps while cursor <= vcap
+    (buffers carry one window of slack)."""
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sort_compact_append,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _IMAX,
+        _new_pair_buffers,
+    )
+
+    rng = np.random.default_rng(3)
+    window, vcap = 64, 128
+    gbi, gbj, gbc, cursor = _new_pair_buffers(vcap + window)
+
+    expect = []
+    for _ in range(3):  # three chained appends, mixed densities
+        keep = jnp.asarray(rng.random((8, 8)) < 0.4)
+        gi = jnp.asarray(rng.integers(0, 1000, (8, 8)), jnp.int32)
+        gj = jnp.asarray(rng.integers(0, 1000, (8, 8)), jnp.int32)
+        c = jnp.asarray(rng.integers(1, 99, (8, 8)), jnp.int32)
+        gbi, gbj, gbc, cursor = sort_compact_append(
+            gbi, gbj, gbc, cursor, keep, gi, gj, c
+        )
+        m = np.asarray(keep).ravel()
+        expect.extend(
+            zip(np.asarray(gi).ravel()[m], np.asarray(gj).ravel()[m],
+                np.asarray(c).ravel()[m])
+        )
+
+    n_kept = int(cursor)
+    assert n_kept == len(expect)
+    got = set(
+        zip(np.asarray(gbi)[:n_kept], np.asarray(gbj)[:n_kept],
+            np.asarray(gbc)[:n_kept])
+    )
+    assert got == set(expect)  # exact survivor multiset (values unique enough)
+    # everything past the cursor is sentinel
+    assert (np.asarray(gbi)[n_kept:] == _IMAX).all()
+    assert (np.asarray(gbc)[n_kept:] == -1).all()
+
+    # zero-survivor append: cursor unchanged, no corruption
+    gbi2, gbj2, gbc2, cur2 = sort_compact_append(
+        gbi, gbj, gbc, cursor,
+        jnp.zeros((8, 8), bool),
+        jnp.zeros((8, 8), jnp.int32),
+        jnp.zeros((8, 8), jnp.int32),
+        jnp.zeros((8, 8), jnp.int32),
+    )
+    assert int(cur2) == n_kept
+    assert np.array_equal(np.asarray(gbi2)[:n_kept], np.asarray(gbi)[:n_kept])
+
+    # full-window append with cursor at vcap: lands in the slack region
+    # without clamping away valid rows
+    gbi3, gbj3, gbc3, cur3 = _new_pair_buffers(vcap + window)
+    gbi3, gbj3, gbc3, cur3 = sort_compact_append(
+        gbi3, gbj3, gbc3, jnp.int32(vcap),
+        jnp.ones((8, 8), bool),
+        jnp.full((8, 8), 7, jnp.int32),
+        jnp.full((8, 8), 9, jnp.int32),
+        jnp.full((8, 8), 3, jnp.int32),
+    )
+    assert int(cur3) == vcap + window
+    assert (np.asarray(gbi3)[vcap:] == 7).all()
+    assert (np.asarray(gbi3)[:vcap] == _IMAX).all()  # untouched
