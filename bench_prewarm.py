@@ -103,6 +103,10 @@ def main():
     except RuntimeError as e:
         _fail(str(e))
         return
+    finally:
+        import shutil
+
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
     def _table(shapes):
         # per-config: biggest shapes first, small ones summed as "other"

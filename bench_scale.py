@@ -291,16 +291,39 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     idx = build_index(codes, koff, kk)
     t_index = time.perf_counter() - t0
 
-    # pack on HOST — the stream engine's natural source (the matrix
-    # cannot live on device); the cgroup-throttled RAM writes make this
-    # a real cost worth recording
-    t0 = time.perf_counter()
-    bs_host = pack_bitsets(
-        idx.incidence_protein, idx.incidence_rank, n, idx.n_repeated,
-        row_multiple=7 * blk,
+    # block source: "csr" (default) keeps the DENSE matrix virtual —
+    # the ~0.02%-dense incidence lists upload once and every [bs, W]
+    # block materializes ON DEVICE (the r04 finding: the host-words
+    # stream re-moved ~49 GiB of mostly zeros through the ~45 MB/s
+    # tunnel, which WAS the whole 19 GiB design point's cost — the
+    # sweep step itself is 18 ms). "host" packs on the host and
+    # streams dense blocks (the right source on real PCIe hosts).
+    src_mode = os.environ.get("UKC_SCALE_STREAM_SOURCE", "csr")
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        CSRBlockSource,
     )
-    t_pack = time.perf_counter() - t0
-    matrix_gib = bs_host.words.nbytes / 2**30
+
+    t0 = time.perf_counter()
+    if src_mode == "csr":
+        w_words = -(-idx.n_repeated // 32)
+        w_pad = -(-w_words // 128) * 128
+        source = CSRBlockSource(
+            idx.incidence_protein, idx.incidence_rank, n, w_pad
+        )
+        words_arg = None
+        n_pad0 = -(-n // (7 * blk)) * (7 * blk)
+        matrix_gib = n_pad0 * w_pad * 4 / 2**30  # virtual: never built
+        t_pack = time.perf_counter() - t0  # CSR prep only
+    else:
+        source = None
+        bs_host = pack_bitsets(
+            idx.incidence_protein, idx.incidence_rank, n,
+            idx.n_repeated,
+            row_multiple=7 * blk,
+        )
+        words_arg = bs_host.words
+        t_pack = time.perf_counter() - t0
+        matrix_gib = bs_host.words.nbytes / 2**30
 
     budget_gib = float(os.environ.get("UKC_SCALE_STREAM_BUDGET", "0"))
 
@@ -311,8 +334,14 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     if budget_gib:
         sweep_kw["hbm_budget_bytes"] = int(budget_gib * (1 << 30))
 
-    cls_np = np.full(bs_host.n_pad, -1, np.int32)
-    cls_np[:n] = classes
+    if source is not None:
+        sweep_kw["block_source"] = source
+        cls_np = classes  # the engine pads rows itself
+        w_report = source.w_words
+    else:
+        cls_np = np.full(bs_host.n_pad, -1, np.int32)
+        cls_np[:n] = classes
+        w_report = bs_host.words.shape[1]
 
     # ONE cold pass of the ONE-PASS engine (stats + survivor compaction
     # into device pair buffers, one final device-sorted fetch — no
@@ -329,7 +358,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
 
     t0 = time.perf_counter()
     rs, th, tl, pairs = sweep_extract_stream(
-        bs_host.words, cls_np, n, 10, **sweep_kw
+        words_arg, cls_np, n, 10, **sweep_kw
     )
     t_sweep = time.perf_counter() - t0  # sweep AND extraction: one pass
     t_first = t_sweep
@@ -360,9 +389,15 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         "extract_seconds": round(t_extract, 1),
         "pack_host_seconds": round(t_pack, 1),
         "capacity_overflow_redone": bool(trace.get("overflow", False)),
+        "block_source": (
+            "csr-device-materialized" if source is not None
+            else "host-words"
+        ),
+        # with the CSR source this is the volume MATERIALIZED on device
+        # (zero host->device block traffic); with host words, the
+        # volume actually moved through the tunnel
         "streamed_gib": round(
-            trace.get("uploads", 0)
-            * sbs * bs_host.words.shape[1] * 4 / 2**30, 1
+            trace.get("uploads", 0) * sbs * w_report * 4 / 2**30, 1
         ),
         "stream_trace": {
             k: (round(v, 1) if isinstance(v, float) else v)

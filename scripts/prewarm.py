@@ -42,12 +42,15 @@ class _CompileLog(logging.Handler):
 
     def __init__(self):
         super().__init__(level=logging.DEBUG)
-        self.events = []  # (name, secs) in order
-        # names can repeat across shapes (e.g. 7 _strip_stats programs),
-        # so count hit events per name and consume them in order
-        from collections import Counter
-
-        self.hits = Counter()
+        # ONE ordered stream of both event kinds: a program's cache-hit
+        # line is logged inside compile_or_get_cached, immediately
+        # before its "Finished XLA compilation" line, so a Finished
+        # event is a rehydration iff a hit for the same (normalized)
+        # name arrived since that name's previous Finished. Counting
+        # hits per name without ordering mislabels configs where the
+        # same jit name both hits (an old shape) and compiles (a new
+        # one).
+        self.events = []  # ("finished", name, secs) | ("hit", name)
 
     def emit(self, record):
         msg = record.getMessage()
@@ -58,9 +61,9 @@ class _CompileLog(logging.Handler):
                 secs = float(msg.rsplit(" in ", 1)[1].split(" ")[0])
             except (IndexError, ValueError):
                 return
-            self.events.append((name, secs))
+            self.events.append(("finished", name, secs))
         elif msg.startswith("Persistent compilation cache hit for "):
-            self.hits[self._norm(msg.split("'")[1])] += 1
+            self.events.append(("hit", self._norm(msg.split("'")[1])))
 
     @staticmethod
     def _norm(name):
@@ -72,15 +75,17 @@ class _CompileLog(logging.Handler):
 
     def drain(self):
         out = []
-        for name, secs in self.events:
+        pending_hits = set()
+        for ev in self.events:
+            if ev[0] == "hit":
+                pending_hits.add(ev[1])
+                continue
+            _, name, secs = ev
             key = self._norm(name)
-            if self.hits.get(key, 0) > 0:
-                self.hits[key] -= 1
-                out.append((name, secs, "hit"))
-            else:
-                out.append((name, secs, "compile"))
+            kind = "hit" if key in pending_hits else "compile"
+            pending_hits.discard(key)
+            out.append((name, secs, kind))
         self.events = []
-        self.hits.clear()
         return out
 
 

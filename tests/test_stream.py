@@ -651,3 +651,101 @@ def test_sort_compact_append_contract():
     assert int(cur3) == vcap + window
     assert (np.asarray(gbi3)[vcap:] == 7).all()
     assert (np.asarray(gbi3)[:vcap] == _IMAX).all()  # untouched
+
+
+def test_stream_multigroup_schedule_matches_single(problem):
+    """max_group=1 forces the multi-group re-streaming schedule
+    (stationary groups + per-group moving re-uploads) that real budgets
+    only trigger at beyond-HBM scale — outputs must be bit-identical to
+    the default single-group pass for all three stream entry points."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        extract_pairs_stream_grouped,
+        sweep_extract_stream,
+        sweep_mxu_stream,
+    )
+
+    bs, classes, _ref = problem
+    n = bs.n
+    ref_rs, ref_th, ref_tl = sweep_mxu_stream(
+        bs.words, classes, n=n, threshold=THR, bs=64, block=16
+    )
+    rs, th, tl = sweep_mxu_stream(
+        bs.words, classes, n=n, threshold=THR, bs=64, block=16,
+        max_group=1,
+    )
+    assert np.array_equal(np.asarray(rs), np.asarray(ref_rs))
+    assert np.array_equal(th, ref_th)
+
+    r_rs, r_th, _, r_pairs = sweep_extract_stream(
+        bs.words, classes, n=n, threshold=THR, bs=64, block=16
+    )
+    m_rs, m_th, _, m_pairs = sweep_extract_stream(
+        bs.words, classes, n=n, threshold=THR, bs=64, block=16,
+        max_group=1,
+    )
+    assert np.array_equal(np.asarray(m_rs), np.asarray(r_rs))
+    assert np.array_equal(m_th, r_th)
+    assert np.array_equal(m_pairs, r_pairs)
+
+    g_pairs = extract_pairs_stream_grouped(
+        bs.words, classes, ref_th, ref_tl, n=n, threshold=THR,
+        bs=64, max_group=1,
+    )
+    assert np.array_equal(g_pairs, r_pairs)
+
+
+def test_csr_block_source_matches_packed(problem):
+    """Device-materialized blocks (CSRBlockSource) must equal the packed
+    matrix's row slices bit for bit, including ragged/padding blocks,
+    and the stream engines must produce identical results from either
+    block source."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        CSRBlockSource,
+        sweep_extract_stream,
+        sweep_mxu_stream,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 150, 1200
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.06)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+
+    src = CSRBlockSource(rows, cols, bs.n_pad, bs.w_pad)
+    src.prepare(64, n_pad=192)  # extends past n_pad with zero blocks
+    words = np.asarray(bs.words)
+    for b in range(3):
+        got = np.asarray(src.put(b))
+        want = np.zeros((64, bs.w_pad), np.uint32)
+        chunk = words[b * 64 : (b + 1) * 64]
+        want[: chunk.shape[0]] = chunk
+        assert np.array_equal(got, want), b
+
+    ref = sweep_mxu_stream(bs.words, classes, n=n, threshold=THR,
+                           bs=64, block=16)
+    got = sweep_mxu_stream(None, classes, n=n, threshold=THR,
+                           bs=64, block=16, block_source=src)
+    assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    assert np.array_equal(got[1], ref[1])
+
+    r_rs, r_th, _, r_pairs = sweep_extract_stream(
+        bs.words, classes, n=n, threshold=THR, bs=64, block=16
+    )
+    c_rs, c_th, _, c_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=THR, bs=64, block=16,
+        block_source=src, max_group=1,
+    )
+    assert np.array_equal(np.asarray(c_rs), np.asarray(r_rs))
+    assert np.array_equal(c_th, r_th)
+    assert np.array_equal(c_pairs, r_pairs)
+
+    # capacity-miss redo through the grouped extractor, CSR-sourced
+    _, _, _, o_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=THR, bs=64, block=16,
+        block_source=src, cap=128,
+    )
+    assert len(r_pairs) > 128  # the cap genuinely missed
+    assert np.array_equal(o_pairs, r_pairs)

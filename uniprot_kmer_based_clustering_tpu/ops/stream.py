@@ -73,6 +73,100 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
 )
 
 
+class CSRBlockSource:
+    """On-device materialization of packed row blocks from the sparse
+    incidence lists — the TPU-native block source for the stream engine.
+
+    The packed bitset at beyond-HBM scale is ~0.02% dense: the 19 GiB
+    7-mer/100k matrix carries ~33M set bits, i.e. a ~270 MB CSR. The
+    host-words block source re-streams the DENSE matrix (~49 GiB of
+    mostly zeros through this environment's ~45 MB/s tunnel — measured
+    to be the whole cost of the 19 GiB design point: the sweep step
+    itself is 18 ms), while this source uploads the incidence lists
+    ONCE and rebuilds each ``[bs, W]`` block on device with the
+    flat single-bit scatter-add (``kmers/index_device.py``'s idiom —
+    every (row, rank) is unique, so add == or). The per-block flat
+    index space ``bs·W`` always fits int32 regardless of corpus size
+    (unlike the whole-matrix device build).
+
+    Prefer the host-words source on hosts with real PCIe/DMA bandwidth
+    (a dense 19 GiB DMA beats 33M serialized scatter updates there);
+    prefer this wherever host→device bandwidth is the bottleneck, or
+    when the host cannot hold the dense matrix at all (it is never
+    materialized anywhere).
+
+    Bit-identical blocks by construction (pinned against
+    ``pack_bitsets`` slices in tests/test_stream.py).
+    """
+
+    def __init__(self, incidence_protein, incidence_rank, n_rows: int,
+                 w_words: int):
+        p = np.asarray(incidence_protein, np.int32)
+        r = np.asarray(incidence_rank, np.int32)
+        if p.shape[0] and np.any(np.diff(p) < 0):
+            order = np.argsort(p, kind="stable")
+            p, r = p[order], r[order]
+        self._p, self._r = p, r
+        self.n_rows = int(n_rows)
+        self.w_words = int(w_words)
+        self._bs = None
+
+    def prepare(self, bs: int, n_pad: Optional[int] = None) -> None:
+        """Split the incidences per bs-row block (padded to the max
+        block's count so every block materializes through ONE compiled
+        shape) and stage them on device. ``n_pad`` extends coverage
+        with all-zero blocks (sweep-side row padding)."""
+        nbk = -(-(n_pad or self.n_rows) // bs)
+        if self._bs == bs and getattr(self, "_nbk", 0) >= nbk:
+            return
+        self._bs = bs
+        self._nbk = nbk
+        offs = np.searchsorted(self._p, np.arange(nbk + 1) * bs)
+        per = np.diff(offs)
+        m = int(per.max()) if nbk else 0
+        m = max(8, -(-m // 8) * 8)
+        rows = np.zeros((nbk, m), np.int32)
+        ranks = np.zeros((nbk, m), np.int32)
+        valid = np.zeros((nbk, m), bool)
+        for b in range(nbk):
+            lo, hi = offs[b], offs[b + 1]
+            k = hi - lo
+            rows[b, :k] = self._p[lo:hi] - b * bs
+            ranks[b, :k] = self._r[lo:hi]
+            valid[b, :k] = True
+        self._rows = jax.device_put(rows)
+        self._ranks = jax.device_put(ranks)
+        self._valid = jax.device_put(valid)
+        bs_, w = bs, self.w_words
+
+        @jax.jit
+        def materialize(rows_b, ranks_b, valid_b):
+            # padding lanes get DISTINCT out-of-bounds slots (dropped)
+            # so unique_indices stays honest — a shared dummy index
+            # under the hint would be undefined behavior
+            lane = jnp.arange(rows_b.shape[0], dtype=jnp.int32)
+            flat = jnp.where(
+                valid_b, rows_b * w + (ranks_b >> 5), bs_ * w + lane
+            )
+            bit = jnp.where(
+                valid_b,
+                jnp.uint32(1) << (ranks_b & 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            )
+            words = jnp.zeros(bs_ * w, jnp.uint32).at[flat].add(
+                bit, mode="drop", unique_indices=True
+            )
+            return words.reshape(bs_, w)
+
+        self._materialize = materialize
+
+    def put(self, b: int):
+        """Materialize block ``b`` on device ([bs, W] uint32)."""
+        return self._materialize(
+            self._rows[b], self._ranks[b], self._valid[b]
+        )
+
+
 @dataclasses.dataclass
 class StreamCandidates:
     """Survivor candidates drained from a fused streaming sweep.
@@ -208,8 +302,19 @@ def sweep_mxu_stream(
     inflight: int = 4,
     fused_k: int = 0,
     fused_same: bool = False,
+    max_group: Optional[int] = None,
+    block_source: Optional[CSRBlockSource] = None,
 ):
     """Full upper-triangle sweep with the packed matrix in HOST memory.
+
+    ``max_group`` caps the stationary-group size (g) below the budget's
+    choice — the test seam for the multi-group re-streaming schedule,
+    which real budgets only force at beyond-HBM scale (the 1<<28 budget
+    floor makes toy matrices single-group otherwise).
+
+    ``block_source`` (a :class:`CSRBlockSource`) materializes row
+    blocks ON DEVICE from the sparse incidence lists instead of
+    streaming them from ``words_host`` (which may then be None).
 
     Args mirror :func:`ops.bitmul.sweep_mxu` (``bs`` plays ``strip``'s
     role: rows per streamed block). Returns the engine-agnostic
@@ -226,23 +331,30 @@ def sweep_mxu_stream(
     detects those from the tile hits and redoes them exactly.
     ``fused_same`` widens the candidate mask to same-class survivors.
     """
-    words_host = np.ascontiguousarray(words_host)
+    if block_source is not None:
+        rows0, w_words = block_source.n_rows, block_source.w_words
+    else:
+        words_host = np.ascontiguousarray(words_host)
+        rows0, w_words = words_host.shape
     classes = np.asarray(classes, np.int32)
-    if classes.shape[0] < words_host.shape[0]:
+    if classes.shape[0] < rows0:
         classes = np.concatenate(
-            [
-                classes,
-                np.full(words_host.shape[0] - classes.shape[0], -1, np.int32),
-            ]
+            [classes, np.full(rows0 - classes.shape[0], -1, np.int32)]
         )
-    w_words = words_host.shape[1]
     if bs is None:
-        bs = auto_stream_block(
-            words_host.shape[0], w_words, block, hbm_budget_bytes
-        )
+        bs = auto_stream_block(rows0, w_words, block, hbm_budget_bytes)
     assert bs % block == 0, "stream block must be a multiple of the tile"
-    words_host, classes = _pad_rows(words_host, classes, bs)
-    n_pad = words_host.shape[0]
+    if block_source is not None:
+        n_pad = -(-rows0 // bs) * bs
+        if classes.shape[0] < n_pad:
+            classes = np.concatenate(
+                [classes,
+                 np.full(n_pad - classes.shape[0], -1, np.int32)]
+            )
+        block_source.prepare(bs, n_pad)
+    else:
+        words_host, classes = _pad_rows(words_host, classes, bs)
+        n_pad = words_host.shape[0]
     nb = n_pad // block
     nbk = n_pad // bs
 
@@ -283,6 +395,8 @@ def sweep_mxu_stream(
     # stationary group size: how many [bs, W] blocks stay resident
     resident_budget = max(block_bytes, avail // 2)
     g = int(min(nbk, max(1, resident_budget // block_bytes)))
+    if max_group:
+        g = max(1, min(g, int(max_group)))
 
     wts = jnp.asarray(
         weights if weights is not None else np.ones(w_words * 32, np.int8),
@@ -338,9 +452,12 @@ def sweep_mxu_stream(
 
     def _put(lo_block):
         t0 = time.perf_counter()
-        out = jax.device_put(
-            words_host[lo_block * bs : (lo_block + 1) * bs]
-        )
+        if block_source is not None:
+            out = block_source.put(lo_block)
+        else:
+            out = jax.device_put(
+                words_host[lo_block * bs : (lo_block + 1) * bs]
+            )
         trace["upload_s"] += time.perf_counter() - t0
         trace["uploads"] += 1
         return out
@@ -510,8 +627,16 @@ def sweep_extract_stream(
     inflight: int = 4,
     cross_amr_only: bool = True,
     cap: Optional[int] = None,
+    max_group: Optional[int] = None,
+    block_source: Optional[CSRBlockSource] = None,
 ):
     """ONE-PASS out-of-core sweep **and** exact pair extraction.
+
+    With ``block_source`` (a :class:`CSRBlockSource`), row blocks are
+    materialized ON DEVICE from the sparse incidence lists instead of
+    streamed from ``words_host`` (which may then be None — the dense
+    matrix is never built anywhere): the transfer-bound regime's fix
+    when host→device bandwidth is the bottleneck.
 
     The fused streaming mode (``sweep_mxu_stream(fused_k=...)``) drains
     per-sub-tile top-k candidates to the host every step — correct, but
@@ -535,16 +660,16 @@ def sweep_extract_stream(
     Returns ``(row_stats int64 [N_pad', 8], tile_hits int32 [nT, 2],
     (ti, tj, block), pairs int32 [M, 3])``.
     """
-    words_host = np.ascontiguousarray(words_host)
+    if block_source is not None:
+        rows0, w_words = block_source.n_rows, block_source.w_words
+    else:
+        words_host = np.ascontiguousarray(words_host)
+        rows0, w_words = words_host.shape
     classes = np.asarray(classes, np.int32)
-    if classes.shape[0] < words_host.shape[0]:
+    if classes.shape[0] < rows0:
         classes = np.concatenate(
-            [
-                classes,
-                np.full(words_host.shape[0] - classes.shape[0], -1, np.int32),
-            ]
+            [classes, np.full(rows0 - classes.shape[0], -1, np.int32)]
         )
-    w_words = words_host.shape[1]
 
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
         _new_pair_buffers,
@@ -563,16 +688,27 @@ def sweep_extract_stream(
         # the capacity-miss path is part of the contract and must be
         # reachable below the default bucket floor
         vcap = max(128, -(-int(cap) // 128) * 128)
-    # charge the buffers AND the worst-case sort-append slack window
-    # (bs ≤ 4096 — auto_stream_block's cap) before sizing the blocks
+    # charge the buffers AND the sort-append slack window (the actual
+    # bs² when the caller fixed bs; auto_stream_block's 4096 cap
+    # otherwise) before sizing the blocks
+    slack = int(bs) ** 2 if bs else 4096 * 4096
     budget = max(
-        1 << 28, hbm_budget_bytes - 3 * (vcap + 4096 * 4096) * 4
+        1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4
     )
     if bs is None:
-        bs = auto_stream_block(words_host.shape[0], w_words, block, budget)
+        bs = auto_stream_block(rows0, w_words, block, budget)
     assert bs % block == 0, "stream block must be a multiple of the tile"
-    words_host, classes = _pad_rows(words_host, classes, bs)
-    n_pad = words_host.shape[0]
+    if block_source is not None:
+        n_pad = -(-rows0 // bs) * bs
+        if classes.shape[0] < n_pad:
+            classes = np.concatenate(
+                [classes,
+                 np.full(n_pad - classes.shape[0], -1, np.int32)]
+            )
+        block_source.prepare(bs, n_pad)
+    else:
+        words_host, classes = _pad_rows(words_host, classes, bs)
+        n_pad = words_host.shape[0]
     nb = n_pad // block
     nbk = n_pad // bs
 
@@ -588,6 +724,8 @@ def sweep_extract_stream(
     avail = max(block_bytes, budget - fixed)
     resident_budget = max(block_bytes, avail // 2)
     g = int(min(nbk, max(1, resident_budget // block_bytes)))
+    if max_group:
+        g = max(1, min(g, int(max_group)))
 
     if word_chunk is None:
         word_chunk = 0
@@ -634,9 +772,12 @@ def sweep_extract_stream(
 
     def _put(lo_block):
         t0 = time.perf_counter()
-        out = jax.device_put(
-            words_host[lo_block * bs : (lo_block + 1) * bs]
-        )
+        if block_source is not None:
+            out = block_source.put(lo_block)
+        else:
+            out = jax.device_put(
+                words_host[lo_block * bs : (lo_block + 1) * bs]
+            )
         trace["upload_s"] += time.perf_counter() - t0
         trace["uploads"] += 1
         return out
@@ -692,10 +833,11 @@ def sweep_extract_stream(
         # hits (one more pass); truncation impossible.
         trace["overflow"] = True
         pairs = extract_pairs_stream_grouped(
-            words_host, classes, tile_hits, tiles, n=n,
+            None if block_source is not None else words_host,
+            classes, tile_hits, tiles, n=n,
             threshold=threshold, cross_amr_only=cross_amr_only,
             weights=weights, hbm_budget_bytes=hbm_budget_bytes,
-            inflight=inflight,
+            inflight=inflight, block_source=block_source,
         )
     else:
         # total ≤ vcap < 2^31 here, so the int32 cursor cannot have
@@ -1001,6 +1143,8 @@ def extract_pairs_stream_grouped(
     hbm_budget_bytes: int = 13 << 30,
     inflight: int = 4,
     word_chunk: Optional[int] = None,
+    max_group: Optional[int] = None,
+    block_source: Optional[CSRBlockSource] = None,
 ) -> np.ndarray:
     """Pass-2 exact pair recovery with the SWEEP's residency schedule.
 
@@ -1023,14 +1167,15 @@ def extract_pairs_stream_grouped(
     pins equality against the in-core extractor and the window path).
     """
     ti, tj, tile = tiles
-    words_host = np.ascontiguousarray(words_host)
+    if block_source is not None:
+        rows0, w_words0 = block_source.n_rows, block_source.w_words
+    else:
+        words_host = np.ascontiguousarray(words_host)
+        rows0, w_words0 = words_host.shape
     classes = np.asarray(classes, np.int32)
-    if classes.shape[0] < words_host.shape[0]:
+    if classes.shape[0] < rows0:
         classes = np.concatenate(
-            [
-                classes,
-                np.full(words_host.shape[0] - classes.shape[0], -1, np.int32),
-            ]
+            [classes, np.full(rows0 - classes.shape[0], -1, np.int32)]
         )
     hits_per_tile = tile_hits[:, 0].astype(np.int64)
     want = tile_hits[:, 0] > 0
@@ -1041,7 +1186,7 @@ def extract_pairs_stream_grouped(
         return np.zeros((0, 3), dtype=np.int32)
     total = int(hits_per_tile[want].sum())
 
-    w_words = words_host.shape[1]
+    w_words = w_words0
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
         _finalize_pairs,
         _new_pair_buffers,
@@ -1049,21 +1194,32 @@ def extract_pairs_stream_grouped(
     )
 
     vcap = _vcap_bucket(total)
-    # the global pair buffers are resident for the whole pass — charge
-    # them (and the [bs, bs] counts/index transients, in the in-flight
-    # accounting below) against the caller's budget before blocking
-    budget = max(1 << 28, hbm_budget_bytes - 3 * vcap * 4)
+    # the global pair buffers (+ the sort-append slack window) are
+    # resident for the whole pass — charge them (and the [bs, bs]
+    # counts/index transients, in the in-flight accounting below)
+    # against the caller's budget before blocking
+    slack = int(bs) ** 2 if bs else 4096 * 4096
+    budget = max(1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4)
     if bs is None:
-        bs = auto_stream_block(words_host.shape[0], w_words, tile, budget)
+        bs = auto_stream_block(rows0, w_words, tile, budget)
     assert bs % tile == 0, "grouped block must be a multiple of the tile"
     # the sweep's tile enumeration may cover rows beyond the caller's
     # matrix (sweep-side padding to its own block multiple): pad to the
     # tile coverage first, then to this pass's block multiple
     cover = (int(max(ti.max(), tj.max())) + 1) * tile
-    if cover > words_host.shape[0]:
-        words_host, classes = _pad_rows(words_host, classes, cover)
-    words_host, classes = _pad_rows(words_host, classes, bs)
-    n_pad = words_host.shape[0]
+    if block_source is not None:
+        n_pad = -(-max(cover, rows0) // bs) * bs
+        if classes.shape[0] < n_pad:
+            classes = np.concatenate(
+                [classes,
+                 np.full(n_pad - classes.shape[0], -1, np.int32)]
+            )
+        block_source.prepare(bs, n_pad)
+    else:
+        if cover > words_host.shape[0]:
+            words_host, classes = _pad_rows(words_host, classes, cover)
+        words_host, classes = _pad_rows(words_host, classes, bs)
+        n_pad = words_host.shape[0]
     nbk = n_pad // bs
     nsb = bs // tile
 
@@ -1081,6 +1237,8 @@ def extract_pairs_stream_grouped(
     avail = max(block_bytes, budget - fixed)
     resident_budget = max(block_bytes, avail // 2)
     g = int(min(nbk, max(1, resident_budget // block_bytes)))
+    if max_group:
+        g = max(1, min(g, int(max_group)))
 
     if word_chunk is None:
         word_chunk = 0
@@ -1124,9 +1282,12 @@ def extract_pairs_stream_grouped(
 
     def _put(lo_block):
         t0 = time.perf_counter()
-        out = jax.device_put(
-            words_host[lo_block * bs : (lo_block + 1) * bs]
-        )
+        if block_source is not None:
+            out = block_source.put(lo_block)
+        else:
+            out = jax.device_put(
+                words_host[lo_block * bs : (lo_block + 1) * bs]
+            )
         trace["upload_s"] += time.perf_counter() - t0
         trace["uploads"] += 1
         return out

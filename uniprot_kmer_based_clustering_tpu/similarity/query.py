@@ -514,7 +514,15 @@ class QueryServer:
                     " call rebuild_serving() once the cause is fixed",
                     RuntimeWarning,
                 )
-                restore_err.__cause__ = append_err
+                # the bare raise below re-raises append_err — attach
+                # the restore failure to IT so both errors surface in
+                # the traceback (mutating restore_err would chain an
+                # exception nobody raises)
+                append_err.add_note(
+                    f"rollback to the pre-append serving state ALSO "
+                    f"failed ({restore_err!r}); server flagged "
+                    f"needs_rebuild"
+                )
             raise
 
         # new-vs-all report, vectorized (a per-match Python loop costs
@@ -612,6 +620,7 @@ class QueryServer:
             ))
             fn = _stream_block_topk_fn(self.weighted, cap)
             blocks = []
+            inflight = 2
             for row0 in range(0, n_pad, bs):
                 rows = words[row0 : row0 + bs]
                 if rows.shape[0] < bs:  # ragged tail: pad with zeros
@@ -625,13 +634,22 @@ class QueryServer:
                     jnp.int32(threshold),
                     jnp.int32(max(0, min(bs, self.bitset.n - row0))),
                 )
-                blocks.append((row0, out))
+                blocks.append([row0, out])
+                # backpressure: every queued execution pins its input
+                # block's HBM until it runs — with no bound, a
+                # beyond-HBM corpus would accumulate in-flight blocks
+                # past device memory (the exact condition this mode
+                # exists for). Retiring the (small) output of the
+                # block `inflight` steps back caps live inputs; the
+                # fetched ndarray is kept so query_wait doesn't refetch.
+                if len(blocks) > inflight:
+                    ent = blocks[-1 - inflight]
+                    ent[1] = jax.device_get(ent[1])
             return {
                 "nq": nq,
                 "threshold": threshold,
                 "cap": cap,
                 "qwords": qwords,
-                "qp_j": qp_j,
                 "stream_blocks": blocks,
             }
         cap = min(self._topk_cap, self.bitset.n_pad)
@@ -699,8 +717,11 @@ class QueryServer:
                 full = None
                 if over.shape[0]:
                     # capacity miss in this block: exact redo — re-upload
-                    # the block once and fetch its full counts for the
-                    # overflowed rows only
+                    # the block once and fetch full counts for ONLY the
+                    # overflowed query rows (padded to their own pow2
+                    # bucket, the device-mode redo's idiom — fetching
+                    # the whole batch would move [q_pad, bs] int32
+                    # through the ~10 MB/s readback tunnel per block)
                     import jax.numpy as jnp
 
                     bs = self._stream_bs
@@ -712,19 +733,27 @@ class QueryServer:
                             np.zeros((bs - rows.shape[0], words.shape[1]),
                                      np.uint32),
                         ])
+                    o_pad = max(
+                        8, 1 << (int(over.shape[0]) - 1).bit_length()
+                    )
+                    op = np.zeros(
+                        (o_pad, self.bitset.w_pad), np.uint32
+                    )
+                    op[: over.shape[0]] = handle["qwords"][over]
                     full = np.asarray(
                         _stream_block_counts_fn(self.weighted)(
-                            handle["qp_j"], jax.device_put(rows),
+                            jnp.asarray(op), jax.device_put(rows),
                             self._weight_blocks,
                         )
                     )
+                over_row = {int(q): k for k, q in enumerate(over)}
                 valid = max(0, min(self._stream_bs, self.bitset.n - row0))
                 for qi in range(nq):
                     nh = int(nhits[qi])
                     if nh == 0:
                         continue
                     if nh > cap:
-                        row = full[qi, :valid]
+                        row = full[over_row[qi], :valid]
                         hits = np.nonzero(row > threshold)[0]
                         per_q[qi].append(
                             (row0 + hits.astype(np.int64),
