@@ -67,6 +67,9 @@ ENGINES = [
     ("stream_two_pass", dict(engine="stream", extract="two_pass")),
     ("stream_fused", dict(engine="stream", extract="fused")),
     ("stream_onepass", dict(engine="stream", extract="onepass")),
+    ("stream_onepass_csr", dict(
+        engine="stream", extract="onepass", stream_source="csr",
+    )),
     ("native_cpp", dict(engine="native")),
 ]
 

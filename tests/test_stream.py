@@ -749,3 +749,49 @@ def test_csr_block_source_matches_packed(problem):
     )
     assert len(r_pairs) > 128  # the cap genuinely missed
     assert np.array_equal(o_pairs, r_pairs)
+
+
+def test_stream_csr_via_config(problem):
+    """The config-level stream_source='csr' path: identical result to
+    the host-words stream engine, and the validation gates."""
+    bs, classes, ref = problem
+
+    class _Idx:  # the three members the csr path consumes
+        has_incidences = True
+
+        def __init__(self, words):
+            w = np.asarray(words)
+            rows, wordcols = np.nonzero(w)
+            ranks = []
+            prot = []
+            for rr, wc in zip(rows, wordcols):
+                v = int(w[rr, wc])
+                for b in range(32):
+                    if v >> b & 1:
+                        prot.append(rr)
+                        ranks.append(wc * 32 + b)
+            self.incidence_protein = np.asarray(prot, np.int32)
+            self.incidence_rank = np.asarray(ranks, np.int32)
+
+    got = pairwise_similarity(
+        bs, classes,
+        PipelineConfig(
+            threshold=THR, tile=16, word_block=128, engine="stream",
+            extract="onepass", stream_source="csr",
+        ),
+        index=_Idx(bs.words),
+    )
+    _check_same(ref, got)
+    assert np.array_equal(ref.pairs, got.pairs)
+
+    with pytest.raises(ValueError, match="onepass"):
+        PipelineConfig(engine="stream", extract="fused",
+                       stream_source="csr")
+    with pytest.raises(ValueError, match="incidence"):
+        pairwise_similarity(
+            bs, classes,
+            PipelineConfig(
+                threshold=THR, tile=16, word_block=128,
+                engine="stream", stream_source="csr",
+            ),
+        )

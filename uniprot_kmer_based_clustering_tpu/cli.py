@@ -44,6 +44,7 @@ def _build_config(args):
         min_shared=args.min_shared,
         engine=args.engine,
         index_engine=args.index_engine,
+        stream_source=getattr(args, "stream_source", "host"),
         extract=getattr(args, "extract", "auto"),
         extract_k=getattr(args, "extract_k", 0),
         run_diamond=args.diamond,
@@ -404,6 +405,13 @@ def main(argv=None) -> int:
                         "pair-buffer rows (128-row granularity, typ. "
                         "millions) — not interchangeable "
                         "(0 = auto from HBM budget in both modes)")
+    r.add_argument("--stream-source", default="host",
+                   choices=("host", "csr"),
+                   help="stream-engine block source: host-resident "
+                        "packed rows, or csr (blocks materialize on "
+                        "device from the incidence lists — for hosts "
+                        "where upload bandwidth is the bottleneck; "
+                        "pairs with --extract onepass)")
     r.add_argument("--index-engine", default="host",
                    choices=("host", "device"),
                    help="build the doc-freq index + bitset on host or TPU")

@@ -89,6 +89,18 @@ class PipelineConfig:
                                     #   0 = auto-size from the HBM budget
                                     #   in both modes; capacity misses are
                                     #   detected exactly and redone.
+    stream_source: str = "host"     # stream-engine block source:
+                                    #   "host": row blocks upload from the
+                                    #     host-resident packed matrix (the
+                                    #     right source on PCIe-class hosts);
+                                    #   "csr": blocks MATERIALIZE on device
+                                    #     from the sparse incidence lists
+                                    #     (uploaded once, ~0.02% of the
+                                    #     dense volume at beyond-HBM scale)
+                                    #     — the fix when host→device
+                                    #     bandwidth is the bottleneck.
+                                    #     Requires the host-built index
+                                    #     and extract='onepass'.
     index_engine: str = "host"      # "host" | "device": where the doc-freq
                                     # index + bitset are built. "device"
                                     # runs on TPU — k=5: dense-universe
@@ -124,6 +136,17 @@ class PipelineConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.index_engine not in ("host", "device"):
             raise ValueError(f"unknown index_engine {self.index_engine!r}")
+        if self.stream_source not in ("host", "csr"):
+            raise ValueError(
+                f"unknown stream_source {self.stream_source!r}"
+            )
+        if self.stream_source == "csr" and self.extract not in (
+            "auto", "onepass"
+        ):
+            raise ValueError(
+                "stream_source='csr' pairs with extract='onepass' (the "
+                "window/fused extractors read host rows directly)"
+            )
         if self.extract not in ("auto", "two_pass", "fused", "onepass"):
             raise ValueError(f"unknown extract mode {self.extract!r}")
         if self.extract_k < 0:

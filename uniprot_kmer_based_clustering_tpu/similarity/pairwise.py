@@ -789,16 +789,38 @@ def pairwise_similarity(
             sweep_mxu_stream,
         )
 
-        if config.extract == "onepass":
+        source = None
+        if config.stream_source == "csr":
+            # on-device block materialization from the incidence lists
+            # (CSRBlockSource): host→device traffic drops to one CSR
+            # upload. Geometry pinned to the packed matrix's padding so
+            # the tile enumeration matches the host-words path exactly.
+            if index is None or not getattr(index, "has_incidences", False):
+                raise ValueError(
+                    "stream_source='csr' needs the host-built index "
+                    "incidence lists (index_engine='host')"
+                )
+            from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                CSRBlockSource,
+            )
+
+            source = CSRBlockSource(
+                index.incidence_protein, index.incidence_rank,
+                bitset.n_pad, bitset.w_pad,
+            )
+
+        if config.extract == "onepass" or source is not None:
             # stats + survivor compaction in ONE streamed pass: device
             # global pair buffers instead of the fused per-step top-k
             # candidate drain (no capacity guessing, no large-k top_k
             # remote-compile hazard; exact capacity-miss redo)
             row_stats, tile_hits, tiles, pairs = sweep_extract_stream(
-                bitset.words, classes, n=n, threshold=threshold,
+                None if source is not None else bitset.words,
+                classes, n=n, threshold=threshold,
                 bs=config.strip, block=config.tile, weights=weights,
                 cross_amr_only=config.cross_amr_only,
                 cap=config.extract_k or None,
+                block_source=source,
             )
             return PairwiseResult.from_row_stats(
                 row_stats, pairs, cross_amr_only=config.cross_amr_only
