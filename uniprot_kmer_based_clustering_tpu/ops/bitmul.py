@@ -192,17 +192,26 @@ def pair_block_stats(counts, ca, cb, i0, j0, *, n, threshold, block,
     return rs, bh, over_c, over_s
 
 
-def accumulate_pair_block(row_stats, block_hits, rs, bh, i0, j0, *,
-                          block):
-    """Merge one block pair's (rs, bh) into the full accumulators at
-    (i0, j0): stat lanes %4==3 merge by max, the rest by sum (the
-    ROW_STAT_NAMES contract). Shared by scan and stream."""
+def merge_row_stats_at(row_stats, rs, i0):
+    """THE single row-stats lane-merge rule (ROW_STAT_NAMES contract:
+    lanes %4==3 merge by max, the rest by sum), applied at (possibly
+    traced) row offset ``i0``. Shared by the scan, stream, AND ring
+    engines — the merge semantics must never drift between them."""
     bs = rs.shape[0]
-    nbs = bs // block
     lanes8 = jnp.arange(8)[None, :]
     prev = jax.lax.dynamic_slice(row_stats, (i0, 0), (bs, 8))
     merged = jnp.where(lanes8 % 4 == 3, jnp.maximum(prev, rs), prev + rs)
-    row_stats = jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
+    return jax.lax.dynamic_update_slice(row_stats, merged, (i0, 0))
+
+
+def accumulate_pair_block(row_stats, block_hits, rs, bh, i0, j0, *,
+                          block):
+    """Merge one block pair's (rs, bh) into the full accumulators at
+    (i0, j0) (:func:`merge_row_stats_at` for the stats; hits add).
+    Shared by scan and stream."""
+    bs = rs.shape[0]
+    nbs = bs // block
+    row_stats = merge_row_stats_at(row_stats, rs, i0)
     bi, bj = i0 // block, j0 // block
     prev_bh = jax.lax.dynamic_slice(block_hits, (bi, bj, 0), (nbs, nbs, 2))
     block_hits = jax.lax.dynamic_update_slice(

@@ -45,6 +45,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+    merge_row_stats_at,
     stack_row_stats,
     unpack_words_to_int8,
 )
@@ -185,14 +186,9 @@ def _fused_subtiles(over_c, over_s, block_tile: int, k: int,
 
 
 def _merge_row_stats(row_stats, stats):
-    """Accumulate one step's stats: max lanes (3, 7) take maximum, the
-    sum lanes add."""
-    lane = jnp.arange(8)[None, :]
-    return jnp.where(
-        lane % 4 == 3,
-        jnp.maximum(row_stats, stats),
-        row_stats + stats,
-    )
+    """Accumulate one full-block step's stats (the ROW_STAT_NAMES merge
+    at offset 0 — ops.bitmul.merge_row_stats_at is the single rule)."""
+    return merge_row_stats_at(row_stats, stats, 0)
 
 
 def stage_mesh_inputs(
@@ -531,15 +527,9 @@ def _diag_strip_bounds(nbl: int, max_strips: int = 8):
 
 def _merge_row_stats_at(row_stats, stats, i_off):
     """Merge a sub-block's [rows, 8] stats into the device-local
-    accumulator at (possibly traced) row offset ``i_off`` — max lanes
-    (%4==3) take maximum, the rest add (the ROW_STAT_NAMES contract)."""
-    rows = stats.shape[0]
-    prev = jax.lax.dynamic_slice(row_stats, (i_off, 0), (rows, 8))
-    lane = jnp.arange(8)[None, :]
-    merged = jnp.where(
-        lane % 4 == 3, jnp.maximum(prev, stats), prev + stats
-    )
-    return jax.lax.dynamic_update_slice(row_stats, merged, (i_off, 0))
+    accumulator at (possibly traced) row offset ``i_off``
+    (ops.bitmul.merge_row_stats_at — the single merge rule)."""
+    return merge_row_stats_at(row_stats, stats, i_off)
 
 
 def _accumulate_hits_at(hits, bh, ti0, tj0):
