@@ -370,15 +370,18 @@ def test_query_serving_matches_pipeline(toy_fasta):
 
     # stream-mode serving (host-resident corpus, row blocks streamed
     # through the device — the beyond-HBM serving path): multiple
-    # blocks + a ragged tail + the per-block overflow redo (cap 1)
-    # must all answer exactly like the resident device server
-    for sbs, cap in ((16, 512), (16, 1), (res.bitset.n_pad, 2)):
-        s = QueryServer(
-            res.index, res.bitset, mode="stream", stream_bs=sbs,
-            topk_cap=cap,
-        )
-        for sm, dm in zip(s.query(batch, threshold=1), one_dev):
-            assert np.array_equal(sm, dm), (sbs, cap)
+    # blocks + a ragged tail + the per-block overflow redo (cap 1),
+    # from BOTH block sources (host-words upload and on-device CSR
+    # materialization — "auto" resolves to csr here), must all answer
+    # exactly like the resident device server
+    for src in ("host", "auto", "csr"):
+        for sbs, cap in ((16, 512), (16, 1), (res.bitset.n_pad, 2)):
+            s = QueryServer(
+                res.index, res.bitset, mode="stream", stream_bs=sbs,
+                topk_cap=cap, stream_source=src,
+            )
+            for sm, dm in zip(s.query(batch, threshold=1), one_dev):
+                assert np.array_equal(sm, dm), (src, sbs, cap)
 
     # negative threshold admits count-0 corpus rows — but NEVER the
     # n_pad padding rows; pins the top-k epilogue's col<n mask against

@@ -261,6 +261,7 @@ class QueryServer:
         mesh=None,
         topk_cap: int = 512,
         stream_bs: Optional[int] = None,
+        stream_source: str = "auto",
     ):
         import jax
 
@@ -304,6 +305,40 @@ class QueryServer:
                     ),
                 )
             self._stream_bs = int(stream_bs)
+            # block source: "csr" materializes each corpus block on
+            # device from the incidence lists (uploaded once) instead
+            # of re-uploading the dense corpus per batch — the
+            # difference between ~1 qps (9.2 GiB moved per batch
+            # through this environment's tunnel) and compute-bound
+            # stream serving. "auto" picks csr whenever the host-built
+            # incidences exist.
+            if stream_source not in ("auto", "host", "csr"):
+                raise ValueError(
+                    f"unknown stream_source {stream_source!r}"
+                )
+            use_csr = stream_source == "csr" or (
+                stream_source == "auto" and index.has_incidences
+            )
+            if use_csr and not index.has_incidences:
+                raise ValueError(
+                    "stream_source='csr' needs the host-built index "
+                    "incidence lists"
+                )
+            self._stream_src = None
+            if use_csr:
+                from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                    CSRBlockSource,
+                )
+
+                self._stream_src = CSRBlockSource(
+                    index.incidence_protein, index.incidence_rank,
+                    bitset.n_pad, bitset.w_pad,
+                )
+                self._stream_src.prepare(
+                    self._stream_bs,
+                    -(-bitset.n_pad // self._stream_bs)
+                    * self._stream_bs,
+                )
             import jax.numpy as jnp
 
             if self.weighted:
@@ -554,15 +589,49 @@ class QueryServer:
     def rebuild_serving(self):
         """Rebuild the serving state (host CSR or device blocks) from
         the current index/bitset; clears the inconsistency flag set by
-        a failed :meth:`add_proteins` rollback. Stream mode holds no
-        serving state (blocks re-stream from bitset.words per batch)."""
+        a failed :meth:`add_proteins` rollback. Stream mode rebuilds
+        its CSR block source (host-words streaming holds no state —
+        blocks re-stream from bitset.words per batch)."""
         if self._stream_mode:
-            pass
+            if self._stream_src is not None:
+                from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                    CSRBlockSource,
+                )
+
+                self._stream_src = CSRBlockSource(
+                    self.index.incidence_protein,
+                    self.index.incidence_rank,
+                    self.bitset.n_pad, self.bitset.w_pad,
+                )
+                self._stream_src.prepare(
+                    self._stream_bs,
+                    -(-self.bitset.n_pad // self._stream_bs)
+                    * self._stream_bs,
+                )
         elif self._host_mode:
             self._build_host_csr()
         else:
             self._build_device_blocks()
         self._needs_rebuild = False
+
+    def _stream_block(self, row0: int):
+        """One [stream_bs, W] corpus block on device: materialized from
+        the CSR source when available, else uploaded from the host
+        matrix (ragged tail zero-padded)."""
+        import jax
+
+        bs = self._stream_bs
+        if self._stream_src is not None:
+            return self._stream_src.put(row0 // bs)
+        words = np.asarray(self.bitset.words)
+        rows = words[row0 : row0 + bs]
+        if rows.shape[0] < bs:
+            rows = np.concatenate([
+                rows,
+                np.zeros((bs - rows.shape[0], words.shape[1]),
+                         np.uint32),
+            ])
+        return jax.device_put(rows)
 
     def query_async(self, seqs: Sequence[str], threshold: int = 10):
         """Dispatch a batch WITHOUT any synchronizing fetch.
@@ -609,7 +678,6 @@ class QueryServer:
             # blocks in launch order, overlapping block b+1's upload
             # with block b's matmul.
             bs = self._stream_bs
-            words = np.asarray(self.bitset.words)
             n_pad = self.bitset.n_pad
             # stream mode always answers through the per-block top-k
             # (there is no resident full-counts alternative); the cap
@@ -622,15 +690,8 @@ class QueryServer:
             blocks = []
             inflight = 2
             for row0 in range(0, n_pad, bs):
-                rows = words[row0 : row0 + bs]
-                if rows.shape[0] < bs:  # ragged tail: pad with zeros
-                    rows = np.concatenate([
-                        rows,
-                        np.zeros((bs - rows.shape[0], words.shape[1]),
-                                 np.uint32),
-                    ])
                 out = fn(
-                    qp_j, jax.device_put(rows), self._weight_blocks,
+                    qp_j, self._stream_block(row0), self._weight_blocks,
                     jnp.int32(threshold),
                     jnp.int32(max(0, min(bs, self.bitset.n - row0))),
                 )
@@ -716,23 +777,15 @@ class QueryServer:
                 over = np.nonzero(nhits[:nq] > cap)[0]
                 full = None
                 if over.shape[0]:
-                    # capacity miss in this block: exact redo — re-upload
-                    # the block once and fetch full counts for ONLY the
-                    # overflowed query rows (padded to their own pow2
-                    # bucket, the device-mode redo's idiom — fetching
-                    # the whole batch would move [q_pad, bs] int32
-                    # through the ~10 MB/s readback tunnel per block)
+                    # capacity miss in this block: exact redo — rebuild
+                    # the block once (CSR-materialized or re-uploaded)
+                    # and fetch full counts for ONLY the overflowed
+                    # query rows (padded to their own pow2 bucket, the
+                    # device-mode redo's idiom — fetching the whole
+                    # batch would move [q_pad, bs] int32 through the
+                    # ~10 MB/s readback tunnel per block)
                     import jax.numpy as jnp
 
-                    bs = self._stream_bs
-                    words = np.asarray(self.bitset.words)
-                    rows = words[row0 : row0 + bs]
-                    if rows.shape[0] < bs:
-                        rows = np.concatenate([
-                            rows,
-                            np.zeros((bs - rows.shape[0], words.shape[1]),
-                                     np.uint32),
-                        ])
                     o_pad = max(
                         8, 1 << (int(over.shape[0]) - 1).bit_length()
                     )
@@ -742,7 +795,7 @@ class QueryServer:
                     op[: over.shape[0]] = handle["qwords"][over]
                     full = np.asarray(
                         _stream_block_counts_fn(self.weighted)(
-                            jnp.asarray(op), jax.device_put(rows),
+                            jnp.asarray(op), self._stream_block(row0),
                             self._weight_blocks,
                         )
                     )
