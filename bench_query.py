@@ -265,7 +265,9 @@ def main():
 
         srv_s = QueryServer(
             srv.index, srv.bitset, mode="stream",
+            topk_cap=int(os.environ.get("UKC_QUERY_TOPK", "512")),
         )
+        csr = srv_s._stream_src is not None
         b = 256
         batch = seqs[:b]
         t0 = time.perf_counter()
@@ -284,17 +286,24 @@ def main():
                 "cold_seconds": round(t_cold, 2),
                 "warm_seconds": round(t_warm, 2),
                 "queries_per_s_warm": round(len(batch) / t_warm, 2),
-                "corpus_gib_moved_per_batch": round(corpus_gb, 2),
+                "block_source": (
+                    "csr-device-materialized" if csr else "host-words"
+                ),
+                "corpus_gib_per_batch": round(corpus_gb, 2),
                 "stream_bs_rows": int(srv_s._stream_bs),
                 "parity": (
                     f"host-exact ({len(batch)}/{len(batch)})" if ok
                     else "MISMATCH"
                 ),
                 "label": (
-                    "beyond-HBM serving path: transfer-bound by design "
-                    "(the whole corpus re-streams host->device per "
-                    "batch); prefer resident/mesh serving whenever the "
-                    "bitset fits"
+                    "beyond-HBM serving path: corpus blocks "
+                    + ("MATERIALIZE on device from the once-uploaded "
+                       "incidence lists per batch (no dense corpus "
+                       "transfer)" if csr else
+                       "re-stream host->device per batch "
+                       "(transfer-bound by design)")
+                    + "; prefer resident/mesh serving whenever the "
+                      "bitset fits"
                 ),
             }
         }
