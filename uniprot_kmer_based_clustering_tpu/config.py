@@ -147,6 +147,12 @@ class PipelineConfig:
                 "stream_source='csr' pairs with extract='onepass' (the "
                 "window/fused extractors read host rows directly)"
             )
+        if self.stream_source == "csr" and self.engine != "stream":
+            raise ValueError(
+                "stream_source='csr' is a stream-engine knob; it would "
+                "be silently ignored with engine="
+                f"{self.engine!r} — set engine='stream'"
+            )
         if self.extract not in ("auto", "two_pass", "fused", "onepass"):
             raise ValueError(f"unknown extract mode {self.extract!r}")
         if self.extract_k < 0:

@@ -73,6 +73,32 @@ from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
 )
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "w"))
+def _materialize_block(rows_a, ranks_a, valid_a, b, *, bs: int, w: int):
+    """[bs, w] packed words for block ``b`` from the staged per-block
+    incidence arrays ([nbk, m] each). Module-level (NOT a per-instance
+    closure — jax's jit cache keys on function identity) and ``b`` is
+    traced, so ONE compiled program serves every block of every
+    same-geometry source."""
+    rows_b = jax.lax.dynamic_index_in_dim(rows_a, b, 0, keepdims=False)
+    ranks_b = jax.lax.dynamic_index_in_dim(ranks_a, b, 0, keepdims=False)
+    valid_b = jax.lax.dynamic_index_in_dim(valid_a, b, 0, keepdims=False)
+    # padding lanes get DISTINCT out-of-bounds slots (dropped) so
+    # unique_indices stays honest — a shared dummy index under the
+    # hint would be undefined behavior
+    lane = jnp.arange(rows_b.shape[0], dtype=jnp.int32)
+    flat = jnp.where(valid_b, rows_b * w + (ranks_b >> 5), bs * w + lane)
+    bit = jnp.where(
+        valid_b,
+        jnp.uint32(1) << (ranks_b & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    words = jnp.zeros(bs * w, jnp.uint32).at[flat].add(
+        bit, mode="drop", unique_indices=True
+    )
+    return words.reshape(bs, w)
+
+
 class CSRBlockSource:
     """On-device materialization of packed row blocks from the sparse
     incidence lists — the TPU-native block source for the stream engine.
@@ -110,6 +136,11 @@ class CSRBlockSource:
         self.n_rows = int(n_rows)
         self.w_words = int(w_words)
         self._bs = None
+        # device HBM the staged per-block arrays will occupy for the
+        # whole pass (rows+ranks int32 + valid bool, padded to the max
+        # block's count — charge 2x for skew); the stream entry points
+        # subtract this from their budget before blocking
+        self.staging_estimate = 18 * max(1, p.shape[0])
 
     def prepare(self, bs: int, n_pad: Optional[int] = None) -> None:
         """Split the incidences per bs-row block (padded to the max
@@ -137,33 +168,13 @@ class CSRBlockSource:
         self._rows = jax.device_put(rows)
         self._ranks = jax.device_put(ranks)
         self._valid = jax.device_put(valid)
-        bs_, w = bs, self.w_words
-
-        @jax.jit
-        def materialize(rows_b, ranks_b, valid_b):
-            # padding lanes get DISTINCT out-of-bounds slots (dropped)
-            # so unique_indices stays honest — a shared dummy index
-            # under the hint would be undefined behavior
-            lane = jnp.arange(rows_b.shape[0], dtype=jnp.int32)
-            flat = jnp.where(
-                valid_b, rows_b * w + (ranks_b >> 5), bs_ * w + lane
-            )
-            bit = jnp.where(
-                valid_b,
-                jnp.uint32(1) << (ranks_b & 31).astype(jnp.uint32),
-                jnp.uint32(0),
-            )
-            words = jnp.zeros(bs_ * w, jnp.uint32).at[flat].add(
-                bit, mode="drop", unique_indices=True
-            )
-            return words.reshape(bs_, w)
-
-        self._materialize = materialize
+        self.staging_estimate = rows.nbytes + ranks.nbytes + valid.nbytes
 
     def put(self, b: int):
         """Materialize block ``b`` on device ([bs, W] uint32)."""
-        return self._materialize(
-            self._rows[b], self._ranks[b], self._valid[b]
+        return _materialize_block(
+            self._rows, self._ranks, self._valid, jnp.int32(b),
+            bs=self._bs, w=self.w_words,
         )
 
 
@@ -377,6 +388,8 @@ def sweep_mxu_stream(
             block_bytes + bs * bs * 4 + nsub * fused_k * 12
         )
         + n_pad * 4
+        + (block_source.staging_estimate
+           if block_source is not None else 0)
     )
     avail = max(block_bytes, hbm_budget_bytes - fixed)
 
@@ -692,8 +705,11 @@ def sweep_extract_stream(
     # bs² when the caller fixed bs; auto_stream_block's 4096 cap
     # otherwise) before sizing the blocks
     slack = int(bs) ** 2 if bs else 4096 * 4096
+    src_bytes = (
+        block_source.staging_estimate if block_source is not None else 0
+    )
     budget = max(
-        1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4
+        1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4 - src_bytes
     )
     if bs is None:
         bs = auto_stream_block(rows0, w_words, block, budget)
@@ -832,12 +848,17 @@ def sweep_extract_stream(
         # is exact at any scale. Redo the pair list with the exact tile
         # hits (one more pass); truncation impossible.
         trace["overflow"] = True
+        # forward the sweep's own blocking so a CSR source reuses its
+        # prepared per-block split and the already-compiled step shapes
+        # (a fresh auto-sized bs would re-split, re-upload, and compile
+        # a second shape family through the remote tunnel)
         pairs = extract_pairs_stream_grouped(
             None if block_source is not None else words_host,
             classes, tile_hits, tiles, n=n,
             threshold=threshold, cross_amr_only=cross_amr_only,
             weights=weights, hbm_budget_bytes=hbm_budget_bytes,
             inflight=inflight, block_source=block_source,
+            bs=bs, word_chunk=word_chunk, max_group=max_group,
         )
     else:
         # total ≤ vcap < 2^31 here, so the int32 cursor cannot have
@@ -1199,7 +1220,12 @@ def extract_pairs_stream_grouped(
     # counts/index transients, in the in-flight accounting below)
     # against the caller's budget before blocking
     slack = int(bs) ** 2 if bs else 4096 * 4096
-    budget = max(1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4)
+    src_bytes = (
+        block_source.staging_estimate if block_source is not None else 0
+    )
+    budget = max(
+        1 << 28, hbm_budget_bytes - 3 * (vcap + slack) * 4 - src_bytes
+    )
     if bs is None:
         bs = auto_stream_block(rows0, w_words, tile, budget)
     assert bs % tile == 0, "grouped block must be a multiple of the tile"

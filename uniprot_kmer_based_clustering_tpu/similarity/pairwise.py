@@ -114,11 +114,21 @@ def _vcap_bucket(total: int, space: Optional[int] = None) -> int:
 
 
 def _finalize_pairs(buffers, expected_total: int) -> np.ndarray:
-    """Sort + single-fetch the global buffers; return the int32 [M, 3]
-    pair view. Raises when the compacted count disagrees with the
-    sweep's exact tile hits (capacity bugs must never truncate)."""
+    """Sort the global buffers ON DEVICE, slice the occupied prefix
+    there (sentinels sort to the tail), and fetch exactly
+    ``expected_total`` rows — the buffers may carry large sentinel
+    slack (the sort-append window), and fetching it would move tens of
+    MB of sentinels through the ~10 MB/s readback tunnel. Raises when
+    the compacted count disagrees with the sweep's exact tile hits
+    (capacity bugs must never truncate)."""
     bi, bj, bc, cursor = buffers
-    arr, count = jax.device_get((_sort_pairs(bi, bj, bc), cursor))
+    sorted_dev = _sort_pairs(bi, bj, bc)
+    if bi.shape[0] - expected_total > (1 << 20):
+        # large sentinel tail (the sort-append slack window at scale):
+        # slice on device; _vcap_bucket-sized buffers keep the whole
+        # fetch (≤ ~1.5 MB slack) and avoid a per-total slice program
+        sorted_dev = sorted_dev[:expected_total]
+    arr, count = jax.device_get((sorted_dev, cursor))
     if int(count) != expected_total:
         raise AssertionError(
             f"extraction compacted {int(count)} pairs, sweep stats "

@@ -326,19 +326,7 @@ class QueryServer:
                 )
             self._stream_src = None
             if use_csr:
-                from uniprot_kmer_based_clustering_tpu.ops.stream import (
-                    CSRBlockSource,
-                )
-
-                self._stream_src = CSRBlockSource(
-                    index.incidence_protein, index.incidence_rank,
-                    bitset.n_pad, bitset.w_pad,
-                )
-                self._stream_src.prepare(
-                    self._stream_bs,
-                    -(-bitset.n_pad // self._stream_bs)
-                    * self._stream_bs,
-                )
+                self._build_stream_source()
             import jax.numpy as jnp
 
             if self.weighted:
@@ -552,12 +540,14 @@ class QueryServer:
                 # the bare raise below re-raises append_err — attach
                 # the restore failure to IT so both errors surface in
                 # the traceback (mutating restore_err would chain an
-                # exception nobody raises)
-                append_err.add_note(
-                    f"rollback to the pre-append serving state ALSO "
-                    f"failed ({restore_err!r}); server flagged "
-                    f"needs_rebuild"
-                )
+                # exception nobody raises). add_note is 3.11+; older
+                # interpreters keep the warning as the only record.
+                if hasattr(append_err, "add_note"):
+                    append_err.add_note(
+                        f"rollback to the pre-append serving state ALSO "
+                        f"failed ({restore_err!r}); server flagged "
+                        f"needs_rebuild"
+                    )
             raise
 
         # new-vs-all report, vectorized (a per-match Python loop costs
@@ -594,25 +584,29 @@ class QueryServer:
         blocks re-stream from bitset.words per batch)."""
         if self._stream_mode:
             if self._stream_src is not None:
-                from uniprot_kmer_based_clustering_tpu.ops.stream import (
-                    CSRBlockSource,
-                )
-
-                self._stream_src = CSRBlockSource(
-                    self.index.incidence_protein,
-                    self.index.incidence_rank,
-                    self.bitset.n_pad, self.bitset.w_pad,
-                )
-                self._stream_src.prepare(
-                    self._stream_bs,
-                    -(-self.bitset.n_pad // self._stream_bs)
-                    * self._stream_bs,
-                )
+                self._build_stream_source()
         elif self._host_mode:
             self._build_host_csr()
         else:
             self._build_device_blocks()
         self._needs_rebuild = False
+
+    def _build_stream_source(self):
+        """(Re)build the CSR block source from the CURRENT index/bitset
+        — one definition of the source geometry shared by __init__ and
+        rebuild_serving so the two cannot drift."""
+        from uniprot_kmer_based_clustering_tpu.ops.stream import (
+            CSRBlockSource,
+        )
+
+        self._stream_src = CSRBlockSource(
+            self.index.incidence_protein, self.index.incidence_rank,
+            self.bitset.n_pad, self.bitset.w_pad,
+        )
+        self._stream_src.prepare(
+            self._stream_bs,
+            -(-self.bitset.n_pad // self._stream_bs) * self._stream_bs,
+        )
 
     def _stream_block(self, row0: int):
         """One [stream_bs, W] corpus block on device: materialized from
@@ -688,7 +682,18 @@ class QueryServer:
             ))
             fn = _stream_block_topk_fn(self.weighted, cap)
             blocks = []
-            inflight = 2
+            # backpressure: every queued execution pins its input
+            # block's HBM until it runs — with no bound, a beyond-HBM
+            # corpus would accumulate in-flight blocks past device
+            # memory (the exact condition this mode exists for).
+            # Size-gated: corpora whose queued blocks stay within a
+            # few GB dispatch fully async (no synchronizing fetch,
+            # the query_async contract); past that, the (small)
+            # output of the block `max_inflight` steps back is
+            # retired per dispatch — the fetched ndarray is kept so
+            # query_wait doesn't refetch it.
+            block_bytes = bs * self.bitset.w_pad * 4
+            max_inflight = max(2, int((4 << 30) // max(1, block_bytes)))
             for row0 in range(0, n_pad, bs):
                 out = fn(
                     qp_j, self._stream_block(row0), self._weight_blocks,
@@ -696,15 +701,8 @@ class QueryServer:
                     jnp.int32(max(0, min(bs, self.bitset.n - row0))),
                 )
                 blocks.append([row0, out])
-                # backpressure: every queued execution pins its input
-                # block's HBM until it runs — with no bound, a
-                # beyond-HBM corpus would accumulate in-flight blocks
-                # past device memory (the exact condition this mode
-                # exists for). Retiring the (small) output of the
-                # block `inflight` steps back caps live inputs; the
-                # fetched ndarray is kept so query_wait doesn't refetch.
-                if len(blocks) > inflight:
-                    ent = blocks[-1 - inflight]
+                if len(blocks) > max_inflight:
+                    ent = blocks[-1 - max_inflight]
                     ent[1] = jax.device_get(ent[1])
             return {
                 "nq": nq,
