@@ -645,3 +645,42 @@ def test_stage_mesh_inputs_pass_through_all_layouts():
             mesh, words_s, classes_s, n, THR, block_tile=128
         )
         assert np.array_equal(p_np, p_s)
+
+
+def test_stage_mesh_inputs_csr_matches_packed():
+    """CSR mesh staging (dense shards materialized ON DEVICE from the
+    sparse incidences — no dense host staging) must equal pack_bitsets'
+    matrix bit for bit, and the ring sweep over it must match the
+    host-staged sweep exactly."""
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh,
+        stage_mesh_inputs_csr,
+    )
+
+    rng = np.random.default_rng(23)
+    n, k = 500, 1500
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.04)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=1024, word_multiple=128,
+    )
+    classes = np.full(bs.n_pad, -1, np.int32)
+    classes[:n] = rng.integers(0, 4, n)
+
+    mesh = make_mesh(4)
+    words_s, classes_s = stage_mesh_inputs_csr(
+        mesh, rows, cols, bs.n_pad, bs.w_pad, classes
+    )
+    assert np.array_equal(np.asarray(words_s), np.asarray(bs.words))
+    assert np.array_equal(np.asarray(classes_s), classes)
+
+    rs_ref, th_ref, _ = sharded_pairwise_similarity(
+        mesh, bs.words, classes, n, THR, block_tile=128
+    )
+    rs, th, _ = sharded_pairwise_similarity(
+        mesh, words_s, classes_s, n, THR, block_tile=128
+    )
+    assert np.array_equal(th, th_ref)
+    assert np.array_equal(
+        rs[:, SUM_LANES].sum(axis=0), rs_ref[:, SUM_LANES].sum(axis=0)
+    )

@@ -234,6 +234,92 @@ def stage_mesh_inputs(
     return words_s, classes_s
 
 
+def stage_mesh_inputs_csr(
+    mesh: Mesh,
+    incidence_protein,
+    incidence_rank,
+    n_pad: int,
+    w_pad: int,
+    classes,
+    axis: str = "p",
+):
+    """Stage the ROW-SHARDED packed bitset onto a flat mesh by
+    materializing each device's shard ON DEVICE from the sparse
+    incidence lists — the pod-scale analogue of the stream engine's
+    CSR block source.
+
+    ``stage_mesh_inputs`` uploads the dense host matrix (minutes at the
+    100k/9 GB scale through a slow link, and impossible when the host
+    never built it); this stages only the incidences (~0.02% of the
+    dense volume at scale) plus the per-shard split, then one
+    ``shard_map`` scatter builds the dense shards in place. Each
+    shard's flat scatter space is ``shard_rows · w_pad`` — per-device,
+    so the int32 flat-index ceiling that limits the whole-matrix device
+    build (kmers/index_device.py) never binds. Bits are identical to
+    ``pack_bitsets`` rows by construction (pinned in
+    tests/test_sharded.py).
+
+    Returns ``(words_sharded [n_pad, w_pad] P(axis, None),
+    classes_sharded P(axis))``.
+    """
+    d = int(mesh.devices.size)
+    assert n_pad % d == 0, (n_pad, d)
+    shard = n_pad // d
+    p = np.asarray(incidence_protein, np.int32)
+    r = np.asarray(incidence_rank, np.int32)
+    if p.shape[0] and np.any(np.diff(p) < 0):
+        order = np.argsort(p, kind="stable")
+        p, r = p[order], r[order]
+    offs = np.searchsorted(p, np.arange(d + 1) * shard)
+    m = int(np.diff(offs).max()) if d else 0
+    m = max(8, -(-m // 8) * 8)
+    rows = np.zeros((d, m), np.int32)
+    ranks = np.zeros((d, m), np.int32)
+    valid = np.zeros((d, m), bool)
+    for b in range(d):
+        lo, hi = offs[b], offs[b + 1]
+        rows[b, : hi - lo] = p[lo:hi] - b * shard
+        ranks[b, : hi - lo] = r[lo:hi]
+        valid[b, : hi - lo] = True
+    rows_s = jax.device_put(rows, NamedSharding(mesh, P(axis, None)))
+    ranks_s = jax.device_put(ranks, NamedSharding(mesh, P(axis, None)))
+    valid_s = jax.device_put(valid, NamedSharding(mesh, P(axis, None)))
+
+    def build(rows_l, ranks_l, valid_l):
+        # [1, m] local slices; distinct OOB slots for padding lanes so
+        # unique_indices stays honest (the CSRBlockSource idiom)
+        lane = jnp.arange(rows_l.shape[1], dtype=jnp.int32)
+        flat = jnp.where(
+            valid_l[0], rows_l[0] * w_pad + (ranks_l[0] >> 5),
+            shard * w_pad + lane,
+        )
+        bit = jnp.where(
+            valid_l[0],
+            jnp.uint32(1) << (ranks_l[0] & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        words = jnp.zeros(shard * w_pad, jnp.uint32).at[flat].add(
+            bit, mode="drop", unique_indices=True
+        )
+        return words.reshape(shard, w_pad)
+
+    words_s = jax.jit(
+        shard_map(
+            build,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+    )(rows_s, ranks_s, valid_s)
+    cls = np.asarray(classes, np.int32)
+    if cls.shape[0] < n_pad:
+        cls = np.concatenate(
+            [cls, np.full(n_pad - cls.shape[0], -1, np.int32)]
+        )
+    classes_s = jax.device_put(cls, NamedSharding(mesh, P(axis)))
+    return words_s, classes_s
+
+
 def _stage_inputs(mesh, words, classes, weights, row_spec, cls_spec):
     """device_put the sweep inputs with the mesh's shardings; default the
     weights to ones (unweighted) — shared by all three sharded wrappers."""
