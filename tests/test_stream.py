@@ -795,3 +795,44 @@ def test_stream_csr_via_config(problem):
                 engine="stream", stream_source="csr",
             ),
         )
+
+
+def test_pipeline_packless_csr(tmp_path):
+    """engine=stream + stream_source='csr' + components clustering runs
+    the whole pipeline WITHOUT ever materializing the dense matrix:
+    results equal the host-engine run, and the carried bitset raises
+    loudly on any dense-path access."""
+    from uniprot_kmer_based_clustering_tpu import cluster_fasta
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
+        VirtualBitsetMatrix,
+    )
+
+    rng = np.random.default_rng(31)
+    aas = "CSTAGPDEQNHRKMILVWYF"
+    fasta = tmp_path / "toy.fasta"
+    with open(fasta, "w") as f:
+        base = "".join(aas[i] for i in rng.integers(0, 20, 60))
+        for i in range(50):
+            seq = list(base)
+            for p in rng.integers(0, 60, 6):
+                seq[p] = aas[rng.integers(0, 20)]
+            f.write(f">P{i}|x|U|class{i % 3}|g\n{''.join(seq)}\n")
+
+    ref = cluster_fasta(
+        str(fasta), engine="xla", threshold=3, tile=16, word_block=128,
+        cluster="components",
+    )
+    got = cluster_fasta(
+        str(fasta), engine="stream", stream_source="csr", threshold=3,
+        tile=16, word_block=128, cluster="components",
+    )
+    assert isinstance(got.bitset, VirtualBitsetMatrix)
+    assert got.bitset.n_pad == ref.bitset.n_pad
+    assert got.bitset.w_pad == ref.bitset.w_pad
+    assert np.array_equal(got.pairwise.pairs, ref.pairwise.pairs)
+    assert got.parity_report() == ref.parity_report()
+    assert np.array_equal(got.cluster_labels, ref.cluster_labels)
+    with pytest.raises(RuntimeError, match="never materialized"):
+        got.bitset.words.shape
+    with pytest.raises(RuntimeError, match="never materialized"):
+        got.bitset.device_words()

@@ -11,6 +11,7 @@ from uniprot_kmer_based_clustering_tpu.kmers.index import (  # noqa: F401
 )
 from uniprot_kmer_based_clustering_tpu.kmers.bitset import (  # noqa: F401
     BitsetMatrix,
+    VirtualBitsetMatrix,
     pack_bitsets,
     pack_bitsets_device,
 )

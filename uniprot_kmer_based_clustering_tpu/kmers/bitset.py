@@ -69,10 +69,65 @@ class BitsetMatrix:
 
     def row_bits(self, i: int) -> np.ndarray:
         """Unpacked bool row (testing/debug only)."""
-        bits = np.unpackbits(
-            self.words[i].view(np.uint8), bitorder="little"
+        return _row_bits_impl(self, i)
+
+
+class _NeverWords:
+    """Guard standing in for the dense matrix in packless runs: ANY
+    attribute access (shape, dtype, slicing via __getitem__ …) raises
+    with the reason, so an accidental dense-path dispatch fails loudly
+    instead of computing on zeros."""
+
+    def __getattr__(self, name):
+        raise RuntimeError(
+            "the dense packed matrix was never materialized "
+            "(stream_source='csr' packless run); this code path needs "
+            "the host words — re-run with stream_source='host' or a "
+            "dense-matrix engine"
         )
-        return bits[: self.n_bits].astype(bool)
+
+    def __getitem__(self, *_):
+        self.shape  # raises
+
+
+@dataclasses.dataclass
+class VirtualBitsetMatrix(BitsetMatrix):
+    """Geometry-only stand-in for runs that never build the dense
+    matrix (the stream engine with the CSR block source): carries the
+    padded dims the engines key their tile enumeration on; touching
+    ``.words`` raises loudly."""
+
+    pad_rows: int = 0
+    pad_words: int = 0
+
+    @classmethod
+    def make(cls, n: int, n_bits: int, row_multiple: int = 512,
+             word_multiple: int = 128) -> "VirtualBitsetMatrix":
+        n_pad = -(-max(n, 1) // row_multiple) * row_multiple
+        w_words = -(-max(n_bits, 1) // 32)
+        w_pad = -(-w_words // word_multiple) * word_multiple
+        return cls(
+            words=_NeverWords(), n=n, n_bits=n_bits,
+            pad_rows=n_pad, pad_words=w_pad,
+        )
+
+    @property
+    def n_pad(self) -> int:
+        return self.pad_rows
+
+    @property
+    def w_pad(self) -> int:
+        return self.pad_words
+
+    def device_words(self):
+        self.words.shape  # raises with the packless explanation
+
+
+def _row_bits_impl(bs: BitsetMatrix, i: int) -> np.ndarray:
+    bits = np.unpackbits(
+        bs.words[i].view(np.uint8), bitorder="little"
+    )
+    return bits[: bs.n_bits].astype(bool)
 
 
 def pack_bitsets(

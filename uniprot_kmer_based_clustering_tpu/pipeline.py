@@ -156,13 +156,33 @@ def run_pipeline(
             )
 
         with timers.stage("pack"):
-            bitset = pack_bitsets(
-                index.incidence_protein,
-                index.incidence_rank,
-                table.n,
-                index.n_repeated,
-                row_multiple=_row_multiple(config, table.n),
-            )
+            # PACKLESS runs (stream engine, CSR block source): the
+            # dense matrix is never materialized anywhere — blocks
+            # rebuild on device from the incidence lists. Only the
+            # geometry is carried; any dense-path touch of .words
+            # raises loudly. Tree/agglomerative clustering needs the
+            # dense rows, so those configs keep the real pack.
+            if (
+                config.engine == "stream"
+                and config.stream_source == "csr"
+                and config.cluster in ("none", "components")
+            ):
+                from uniprot_kmer_based_clustering_tpu.kmers import (
+                    VirtualBitsetMatrix,
+                )
+
+                bitset = VirtualBitsetMatrix.make(
+                    table.n, index.n_repeated,
+                    row_multiple=_row_multiple(config, table.n),
+                )
+            else:
+                bitset = pack_bitsets(
+                    index.incidence_protein,
+                    index.incidence_rank,
+                    table.n,
+                    index.n_repeated,
+                    row_multiple=_row_multiple(config, table.n),
+                )
 
     if stop_after == "pack":
         return PipelineResult(
