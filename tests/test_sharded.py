@@ -684,3 +684,57 @@ def test_stage_mesh_inputs_csr_matches_packed():
     assert np.array_equal(
         rs[:, SUM_LANES].sum(axis=0), rs_ref[:, SUM_LANES].sum(axis=0)
     )
+
+
+def test_pipeline_mesh_csr_packless(tmp_path):
+    """run_pipeline(mesh=...) with stream_source='csr': dense shards
+    materialize on device (no dense host matrix) and results equal the
+    dense-staged mesh run, on the flat AND 2-D layouts; the k-axis
+    layout refuses with a clear message."""
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
+    from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
+        VirtualBitsetMatrix,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel import (
+        make_mesh,
+        make_mesh_2d,
+    )
+    from uniprot_kmer_based_clustering_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(37)
+    aas = "CSTAGPDEQNHRKMILVWYF"
+    fasta = tmp_path / "toy.fasta"
+    with open(fasta, "w") as f:
+        base = "".join(aas[i] for i in rng.integers(0, 20, 60))
+        for i in range(50):
+            seq = list(base)
+            for p in rng.integers(0, 60, 6):
+                seq[p] = aas[rng.integers(0, 20)]
+            f.write(f">P{i}|x|U|class{i % 3}|g\n{''.join(seq)}\n")
+
+    base_cfg = dict(threshold=3, tile=16, word_block=128,
+                    cluster="components")
+    ref = run_pipeline(
+        str(fasta), PipelineConfig(**base_cfg), mesh=make_mesh(4)
+    )
+    for mesh in (make_mesh(4), make_mesh_2d(2, 2)):
+        got = run_pipeline(
+            str(fasta),
+            PipelineConfig(engine="stream", stream_source="csr",
+                           **base_cfg),
+            mesh=mesh,
+        )
+        assert isinstance(got.bitset, VirtualBitsetMatrix)
+        assert np.array_equal(got.pairwise.pairs, ref.pairwise.pairs)
+        assert got.parity_report() == ref.parity_report()
+        assert np.array_equal(got.cluster_labels, ref.cluster_labels)
+
+    with pytest.raises(ValueError, match="k-axis"):
+        run_pipeline(
+            str(fasta),
+            PipelineConfig(engine="stream", stream_source="csr",
+                           **base_cfg),
+            mesh=make_mesh(4, axis="k"),
+        )

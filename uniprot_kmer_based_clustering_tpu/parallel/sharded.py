@@ -260,8 +260,14 @@ def stage_mesh_inputs_csr(
     tests/test_sharded.py).
 
     Returns ``(words_sharded [n_pad, w_pad] P(axis, None),
-    classes_sharded P(axis))``.
+    classes_sharded P(axis))``. ``axis`` may be a tuple of mesh axis
+    names for hierarchical row sharding (the 2-D ring's
+    ``P((h, c), None)`` layout — row shards are contiguous in raveled
+    device order, so the per-shard split is identical).
     """
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    row_spec = P(axes if len(axes) > 1 else axes[0], None)
+    cls_spec = P(axes if len(axes) > 1 else axes[0])
     d = int(mesh.devices.size)
     assert n_pad % d == 0, (n_pad, d)
     shard = n_pad // d
@@ -281,9 +287,9 @@ def stage_mesh_inputs_csr(
         rows[b, : hi - lo] = p[lo:hi] - b * shard
         ranks[b, : hi - lo] = r[lo:hi]
         valid[b, : hi - lo] = True
-    rows_s = jax.device_put(rows, NamedSharding(mesh, P(axis, None)))
-    ranks_s = jax.device_put(ranks, NamedSharding(mesh, P(axis, None)))
-    valid_s = jax.device_put(valid, NamedSharding(mesh, P(axis, None)))
+    rows_s = jax.device_put(rows, NamedSharding(mesh, row_spec))
+    ranks_s = jax.device_put(ranks, NamedSharding(mesh, row_spec))
+    valid_s = jax.device_put(valid, NamedSharding(mesh, row_spec))
 
     def build(rows_l, ranks_l, valid_l):
         # [1, m] local slices; distinct OOB slots for padding lanes so
@@ -307,8 +313,8 @@ def stage_mesh_inputs_csr(
         shard_map(
             build,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None)),
-            out_specs=P(axis, None),
+            in_specs=(row_spec, row_spec, row_spec),
+            out_specs=row_spec,
         )
     )(rows_s, ranks_s, valid_s)
     cls = np.asarray(classes, np.int32)
@@ -316,7 +322,7 @@ def stage_mesh_inputs_csr(
         cls = np.concatenate(
             [cls, np.full(n_pad - cls.shape[0], -1, np.int32)]
         )
-    classes_s = jax.device_put(cls, NamedSharding(mesh, P(axis)))
+    classes_s = jax.device_put(cls, NamedSharding(mesh, cls_spec))
     return words_s, classes_s
 
 

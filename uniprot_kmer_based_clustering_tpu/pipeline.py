@@ -221,7 +221,8 @@ def run_pipeline(
         with timers.stage("sweep"):
             if mesh is not None:
                 pairwise = _sharded_similarity(
-                    bitset, table, config, mesh, weights=weights
+                    bitset, table, config, mesh, weights=weights,
+                    index=index,
                 )
             else:
                 pairwise = pairwise_similarity(
@@ -366,7 +367,7 @@ def _device_index(table: ProteinTable, config: PipelineConfig):
 
 
 def _sharded_similarity(
-    bitset, table, config, mesh, weights=None
+    bitset, table, config, mesh, weights=None, index=None
 ) -> PairwiseResult:
     """Mesh-parallel sweep + mesh-parallel extraction."""
     import functools
@@ -396,22 +397,48 @@ def _sharded_similarity(
     d = mesh.devices.size
     block_tile = 128
     n_pad = pad_for_mesh(bitset.n_pad, d, block_tile)
-    words = bitset.words
-    if n_pad != bitset.n_pad:
-        words = np.zeros((n_pad, bitset.w_pad), dtype=np.uint32)
-        words[: bitset.n_pad] = bitset.words
     classes = np.full(n_pad, -1, dtype=np.int32)
     classes[: bitset.n] = np.asarray(table.amr_class_ids, np.int32)
 
-    # stage the packed matrix onto the mesh ONCE: the sweep and the
-    # extraction pass use the same sharding, and re-uploading through
-    # the host→device tunnel costs ~4.4 s per 307 MB (≈2 min for a
-    # 100k corpus's 9 GB) — formerly paid twice per run
-    from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
-        stage_mesh_inputs,
-    )
+    if config.stream_source == "csr":
+        # packless mesh staging: dense row shards materialize ON DEVICE
+        # from the incidence lists (no dense host matrix, no dense
+        # upload) — flat and 2-D row layouts; the k-axis layout shards
+        # COLUMNS, which the CSR stager does not cover
+        if mesh.axis_names == ("k",):
+            raise ValueError(
+                "stream_source='csr' mesh staging covers the row-"
+                "sharded layouts (flat/2-D ring); the k-axis layout "
+                "needs the dense matrix — use stream_source='host'"
+            )
+        if index is None or not getattr(index, "has_incidences", False):
+            raise ValueError(
+                "stream_source='csr' needs the host-built index "
+                "incidence lists"
+            )
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            stage_mesh_inputs_csr,
+        )
 
-    words, classes = stage_mesh_inputs(mesh, words, classes)
+        words, classes = stage_mesh_inputs_csr(
+            mesh, index.incidence_protein, index.incidence_rank,
+            n_pad, bitset.w_pad, classes, axis=tuple(mesh.axis_names),
+        )
+    else:
+        words = bitset.words
+        if n_pad != bitset.n_pad:
+            words = np.zeros((n_pad, bitset.w_pad), dtype=np.uint32)
+            words[: bitset.n_pad] = bitset.words
+
+        # stage the packed matrix onto the mesh ONCE: the sweep and the
+        # extraction pass use the same sharding, and re-uploading
+        # through the host→device tunnel costs ~4.4 s per 307 MB
+        # (≈2 min for a 100k corpus's 9 GB) — formerly paid twice
+        from uniprot_kmer_based_clustering_tpu.parallel.sharded import (
+            stage_mesh_inputs,
+        )
+
+        words, classes = stage_mesh_inputs(mesh, words, classes)
 
     threshold = (
         config.effective_weighted_threshold(weights)
