@@ -836,3 +836,37 @@ def test_pipeline_packless_csr(tmp_path):
         got.bitset.words.shape
     with pytest.raises(RuntimeError, match="never materialized"):
         got.bitset.device_words()
+
+
+def test_stream_csr_weighted_matches_host_source(problem):
+    """BLOSUM-style weighted sweeps through the CSR block source must
+    equal the host-words stream engine exactly (weights scale the
+    materialized operand the same way)."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        CSRBlockSource,
+        sweep_extract_stream,
+    )
+
+    rng = np.random.default_rng(41)
+    n, k = 150, 1200
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.06)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    wts = rng.integers(1, 30, size=bs.w_pad * 32).astype(np.int8)
+
+    r_rs, r_th, _, r_pairs = sweep_extract_stream(
+        bs.words, classes, n=n, threshold=60, bs=64, block=16,
+        weights=wts,
+    )
+    src = CSRBlockSource(rows, cols, bs.n_pad, bs.w_pad)
+    c_rs, c_th, _, c_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=60, bs=64, block=16,
+        weights=wts, block_source=src,
+    )
+    assert np.array_equal(np.asarray(c_rs), np.asarray(r_rs))
+    assert np.array_equal(c_th, r_th)
+    assert np.array_equal(c_pairs, r_pairs)
+    assert len(r_pairs) > 0
