@@ -121,7 +121,36 @@ def oracle_gate(
             ).shape[0]
         )
 
-    keys = pairs[:, 0].astype(np.int64) * n + pairs[:, 1].astype(np.int64)
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        packed_key,
+        packed_pair,
+    )
+
+    # Either pair-list format: packed int64 [M] (searched directly — no
+    # host-side [M] key build, which cost ~25 s of throttled RAM writes
+    # at 133M pairs) or canonical [M, 3] int32.
+    is_packed = pairs.ndim == 1
+    if not is_packed:
+        keys = (
+            pairs[:, 0].astype(np.int64) * n
+            + pairs[:, 1].astype(np.int64)
+        )
+
+    def lookup(i: int, j: int):
+        """(member, stored_count) for pair (i, j)."""
+        if is_packed:
+            p = int(np.searchsorted(pairs, packed_key(i, j)))
+            if p < len(pairs):
+                pi, pj, pc = packed_pair(pairs[p])
+                if (pi, pj) == (i, j):
+                    return True, pc
+            return False, -1
+        key = i * n + j
+        p = int(np.searchsorted(keys, key))
+        if p < len(keys) and keys[p] == key:
+            return True, int(pairs[p, 2])
+        return False, -1
+
     checked = 0
     for i, j in rng.integers(0, n, size=(samples, 2)):
         if i == j:
@@ -129,25 +158,26 @@ def oracle_gate(
         i, j = (int(i), int(j)) if i < j else (int(j), int(i))
         c = count(i, j)
         expect = c > threshold and classes[i] != classes[j]
-        key = i * n + j
-        p = int(np.searchsorted(keys, key))
-        member = p < len(keys) and keys[p] == key
+        member, stored = lookup(i, j)
         assert member == expect, (
             f"oracle gate: pair ({i},{j}) count={c} "
             f"cross={classes[i] != classes[j]} expect_member={expect} "
             f"but list_member={member}"
         )
         if member:
-            assert int(pairs[p, 2]) == c, (
+            assert stored == c, (
                 f"oracle gate: pair ({i},{j}) list count "
-                f"{int(pairs[p, 2])} != exact {c}"
+                f"{stored} != exact {c}"
             )
         checked += 1
     if len(pairs):
         for s in np.unique(
             rng.integers(0, len(pairs), min(samples, len(pairs)))
         ):
-            i, j, c = (int(v) for v in pairs[s])
+            if is_packed:
+                i, j, c = packed_pair(pairs[s])
+            else:
+                i, j, c = (int(v) for v in pairs[s])
             assert count(i, j) == c and c > threshold, (
                 f"oracle gate: listed pair ({i},{j},{c}) exact count "
                 f"{count(i, j)}"
@@ -358,7 +388,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
 
     t0 = time.perf_counter()
     rs, th, tl, pairs = sweep_extract_stream(
-        words_arg, cls_np, n, 10, **sweep_kw
+        words_arg, cls_np, n, 10, pair_format="packed", **sweep_kw
     )
     t_sweep = time.perf_counter() - t0  # sweep AND extraction: one pass
     t_first = t_sweep
@@ -389,6 +419,12 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         "extract_seconds": round(t_extract, 1),
         "pack_host_seconds": round(t_pack, 1),
         "capacity_overflow_redone": bool(trace.get("overflow", False)),
+        # packed: one int64/pair fetched (8 B vs 12 — the readback is
+        # the dominant post-drain term at beyond-HBM scale); the oracle
+        # consumes the packed list directly, no host unpack pass
+        "pair_format": (
+            "packed-int64" if pairs.ndim == 1 else "arr3-int32"
+        ),
         "block_source": (
             "csr-device-materialized" if source is not None
             else "host-words"

@@ -486,6 +486,91 @@ def test_stream_onepass_matches_reference(problem, obs):
     assert np.array_equal(pairs, ref.pairs)
 
 
+def test_stream_onepass_packed_pairs(problem):
+    """pair_format="packed": the int64 packed list decodes to exactly
+    the canonical [M, 3] matrix (8 B/pair fetch — the beyond-HBM
+    readback optimization), and the per-element helpers agree."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        packed_key,
+        packed_pair,
+        pairs_as_array,
+        unpack_pairs,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles, pairs = sweep_extract_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=32, block=16,
+        pair_format="packed",
+    )
+    assert pairs.ndim == 1 and pairs.dtype == np.int64
+    assert np.array_equal(unpack_pairs(pairs), ref.pairs)
+    assert np.array_equal(pairs_as_array(pairs), ref.pairs)
+    assert pairs_as_array(ref.pairs) is ref.pairs
+    # packed values are sorted and the key helper is the searchsorted
+    # lower bound of each stored pair
+    assert np.all(np.diff(pairs) > 0)
+    i, j, c = (int(v) for v in ref.pairs[len(ref.pairs) // 2])
+    p = int(np.searchsorted(pairs, packed_key(i, j)))
+    assert packed_pair(pairs[p]) == (i, j, c)
+
+
+def test_stream_onepass_packed_overflow_redo(problem):
+    """The capacity-miss redo (grouped pass) honors the packed format
+    too — the artifact's fetch discipline must not silently regress on
+    overflow."""
+    from uniprot_kmer_based_clustering_tpu.ops import stream as stream_mod
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        unpack_pairs,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    rs, th, tiles, pairs = sweep_extract_stream(
+        bs.words, cls, n=bs.n, threshold=THR, bs=32, block=16, cap=8,
+        pair_format="packed",
+    )
+    assert stream_mod.last_onepass_trace["overflow"] is True
+    assert pairs.ndim == 1
+    assert np.array_equal(unpack_pairs(pairs), ref.pairs)
+
+
+def test_packed_fetch_count_fallback():
+    """A stored count ≥ 2^16 cannot pack — the finalize must detect it
+    on device and fall back to the [M, 3] format (never corrupt)."""
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _fetch_sorted_pairs,
+    )
+
+    bi = jnp.asarray(np.array([3, 1], np.int32))
+    bj = jnp.asarray(np.array([5, 2], np.int32))
+    bc = jnp.asarray(np.array([1 << 16, 7], np.int32))
+    got = _fetch_sorted_pairs(bi, bj, bc, 2, "packed", n_rows=10)
+    assert got.ndim == 2
+    assert np.array_equal(got, [[1, 2, 7], [3, 5, 1 << 16]])
+    # counts strictly below the limit pack fine
+    bc_ok = jnp.asarray(np.array([(1 << 16) - 1, 7], np.int32))
+    got = _fetch_sorted_pairs(bi, bj, bc_ok, 2, "packed", n_rows=10)
+    assert got.ndim == 1
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        unpack_pairs,
+    )
+
+    assert np.array_equal(
+        unpack_pairs(got), [[1, 2, 7], [3, 5, (1 << 16) - 1]]
+    )
+
+
 def test_stream_onepass_capacity_miss_redo(problem):
     """A capacity smaller than the survivor count must be detected from
     the cursor/stats mismatch and redone exactly (never truncated)."""

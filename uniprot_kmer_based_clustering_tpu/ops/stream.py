@@ -642,6 +642,7 @@ def sweep_extract_stream(
     cap: Optional[int] = None,
     max_group: Optional[int] = None,
     block_source: Optional[CSRBlockSource] = None,
+    pair_format: str = "arr3",
 ):
     """ONE-PASS out-of-core sweep **and** exact pair extraction.
 
@@ -670,8 +671,14 @@ def sweep_extract_stream(
     tile hits (one more pass), so the result is identical in every
     regime.
 
+    ``pair_format="packed"`` fetches the pair list in the packed int64
+    layout (``similarity.pairwise.unpack_pairs`` decodes; 8 B/pair
+    instead of 12 — worth ~1/3 of the dominant readback at beyond-HBM
+    scale) when row indices and counts fit the pack; otherwise the
+    [M, 3] fallback is returned and callers distinguish by ``ndim``.
+
     Returns ``(row_stats int64 [N_pad', 8], tile_hits int32 [nT, 2],
-    (ti, tj, block), pairs int32 [M, 3])``.
+    (ti, tj, block), pairs int32 [M, 3] — or packed int64 [M])``.
     """
     if block_source is not None:
         rows0, w_words = block_source.n_rows, block_source.w_words
@@ -685,8 +692,8 @@ def sweep_extract_stream(
         )
 
     from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        _fetch_sorted_pairs,
         _new_pair_buffers,
-        _sort_pairs,
         _vcap_bucket,
     )
 
@@ -859,6 +866,7 @@ def sweep_extract_stream(
             weights=weights, hbm_budget_bytes=hbm_budget_bytes,
             inflight=inflight, block_source=block_source,
             bs=bs, word_chunk=word_chunk, max_group=max_group,
+            pair_format=pair_format,
         )
     else:
         # total ≤ vcap < 2^31 here, so the int32 cursor cannot have
@@ -872,8 +880,10 @@ def sweep_extract_stream(
         # sort to the tail), fetch only `total` rows — vcap may be far
         # larger than the survivor count
         t0 = time.perf_counter()
-        pairs = jax.device_get(_sort_pairs(gbi, gbj, gbc)[:total])
+        pairs = _fetch_sorted_pairs(gbi, gbj, gbc, total, pair_format,
+                                    n_pad)
         trace["fetch_s"] += time.perf_counter() - t0
+        trace["pair_format"] = "packed" if pairs.ndim == 1 else "arr3"
     global last_onepass_trace
     last_onepass_trace = trace
     return rs.astype(np.int64), tile_hits, tiles, pairs
@@ -1166,6 +1176,7 @@ def extract_pairs_stream_grouped(
     word_chunk: Optional[int] = None,
     max_group: Optional[int] = None,
     block_source: Optional[CSRBlockSource] = None,
+    pair_format: str = "arr3",
 ) -> np.ndarray:
     """Pass-2 exact pair recovery with the SWEEP's residency schedule.
 
@@ -1359,7 +1370,7 @@ def extract_pairs_stream_grouped(
                 _drain(inflight)
     _drain(0)
     t0 = time.perf_counter()
-    out = _finalize_pairs(buffers, total)
+    out = _finalize_pairs(buffers, total, pair_format, n_pad)
     trace["finalize_s"] += time.perf_counter() - t0
     global last_grouped_trace
     last_grouped_trace = trace

@@ -83,6 +83,94 @@ def _new_pair_buffers(vcap: int):
     )
 
 
+# Packed pair-list layout: one int64 per pair, i(24) | j(24) | count(16)
+# — sorting the packed value IS the canonical (i, j) sort because every
+# surviving pair is unique (exactly one tile owns each (i, j)), so the
+# count bits never decide an ordering. Used by the out-of-core
+# extractors to fetch 8 bytes/pair instead of 12 through the ~10 MB/s
+# readback tunnel (the dominant term of a beyond-HBM run: 83 s of the
+# 169.5 s 19 GiB design point was the [M, 3] int32 fetch). Valid when
+# every row index < 2^24 (16.7M proteins) and every stored count
+# < 2^16; the finalize checks both and falls back to the [M, 3] format.
+_PACK_I_SHIFT = 40
+_PACK_J_SHIFT = 16
+_PACK_ROW_LIMIT = 1 << 24
+_PACK_COUNT_LIMIT = 1 << 16
+_PACK_SENTINEL = np.int64(np.iinfo(np.int64).max)
+
+
+@jax.jit
+def _pack_sort_pairs_x64(bi, bj, bc):
+    packed = (
+        (bi.astype(jnp.int64) << _PACK_I_SHIFT)
+        | (bj.astype(jnp.int64) << _PACK_J_SHIFT)
+        | bc.astype(jnp.int64)
+    )
+    packed = jnp.where(bc < 0, _PACK_SENTINEL, packed)
+    return jax.lax.sort(packed)
+
+
+def _pack_sort_fetch(bi, bj, bc, total: int) -> np.ndarray:
+    """Device finalize for the packed layout: pack the compacted buffers
+    into one int64 lane each, single-key sort, slice the occupied
+    prefix, fetch. Sentinel slots (bc < 0) pack to INT64_MAX, sorting
+    past every real pair — same prefix convention as
+    :func:`_sort_pairs`. The repo runs with jax x64 DISABLED (the
+    default dtype discipline everywhere else); the int64 lanes exist
+    only inside this scoped ``jax.enable_x64`` block — trace, slice and
+    fetch all under it, so the values round-trip unclipped."""
+    with jax.enable_x64(True):
+        return jax.device_get(_pack_sort_pairs_x64(bi, bj, bc)[:total])
+
+
+def unpack_pairs(packed: np.ndarray) -> np.ndarray:
+    """Decode a packed int64 pair list to the canonical [M, 3] int32
+    matrix (host-side; costs one pass over the data — prefer consuming
+    the packed form directly where possible on bandwidth-starved
+    hosts)."""
+    out = np.empty((len(packed), 3), np.int32)
+    out[:, 0] = packed >> _PACK_I_SHIFT
+    out[:, 1] = (packed >> _PACK_J_SHIFT) & (_PACK_ROW_LIMIT - 1)
+    out[:, 2] = packed & (_PACK_COUNT_LIMIT - 1)
+    return out
+
+
+def pairs_as_array(pairs: np.ndarray) -> np.ndarray:
+    """Canonical [M, 3] int32 view of either pair-list format (packed
+    int64 [M] or already-unpacked [M, 3])."""
+    return unpack_pairs(pairs) if pairs.ndim == 1 else pairs
+
+
+def packed_key(i: int, j: int) -> int:
+    """Packed value of pair (i, j) with count 0 — the ``searchsorted``
+    lower bound for membership tests on a sorted packed pair list (a
+    stored pair's value lies in [key, key + 2^16))."""
+    return (int(i) << _PACK_I_SHIFT) | (int(j) << _PACK_J_SHIFT)
+
+
+def packed_pair(v) -> tuple:
+    """Decode one packed int64 to (i, j, count)."""
+    v = int(v)
+    return (
+        v >> _PACK_I_SHIFT,
+        (v >> _PACK_J_SHIFT) & (_PACK_ROW_LIMIT - 1),
+        v & (_PACK_COUNT_LIMIT - 1),
+    )
+
+
+def _fetch_sorted_pairs(bi, bj, bc, total: int, pair_format: str,
+                        n_rows: int):
+    """Sort + prefix-slice + fetch the canonical pair list from the
+    compacted global buffers. ``pair_format="packed"`` fetches the
+    int64 packed layout (8 B/pair) when the ranges fit — row indices
+    bounded by ``n_rows``, counts checked on device (one scalar fetch)
+    — and silently falls back to the [M, 3] int32 format otherwise."""
+    if pair_format == "packed" and n_rows < _PACK_ROW_LIMIT:
+        if int(jax.device_get(jnp.max(bc))) < _PACK_COUNT_LIMIT:
+            return _pack_sort_fetch(bi, bj, bc, total)
+    return jax.device_get(_sort_pairs(bi, bj, bc)[:total])
+
+
 @jax.jit
 def _sort_pairs(bi, bj, bc):
     """Device-side finalize shared by every extraction path: sort the
@@ -113,15 +201,31 @@ def _vcap_bucket(total: int, space: Optional[int] = None) -> int:
     return vcap
 
 
-def _finalize_pairs(buffers, expected_total: int) -> np.ndarray:
+def _finalize_pairs(buffers, expected_total: int,
+                    pair_format: str = "arr3",
+                    n_rows: int = 0) -> np.ndarray:
     """Sort the global buffers ON DEVICE, slice the occupied prefix
     there (sentinels sort to the tail), and fetch exactly
     ``expected_total`` rows — the buffers may carry large sentinel
     slack (the sort-append window), and fetching it would move tens of
     MB of sentinels through the ~10 MB/s readback tunnel. Raises when
     the compacted count disagrees with the sweep's exact tile hits
-    (capacity bugs must never truncate)."""
+    (capacity bugs must never truncate). ``pair_format="packed"``
+    (with ``n_rows`` the row-index bound) fetches the packed int64
+    layout when the ranges fit — see :func:`_pack_sort_pairs`."""
     bi, bj, bc, cursor = buffers
+    if (
+        pair_format == "packed"
+        and 0 < n_rows < _PACK_ROW_LIMIT
+        and int(jax.device_get(jnp.max(bc))) < _PACK_COUNT_LIMIT
+    ):
+        arr = _pack_sort_fetch(bi, bj, bc, expected_total)
+        if int(jax.device_get(cursor)) != expected_total:
+            raise AssertionError(
+                f"extraction compacted {int(jax.device_get(cursor))} "
+                f"pairs, sweep stats promised {expected_total}"
+            )
+        return arr
     sorted_dev = _sort_pairs(bi, bj, bc)
     if bi.shape[0] - expected_total > (1 << 20):
         # large sentinel tail (the sort-append slack window at scale):
