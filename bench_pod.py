@@ -323,15 +323,20 @@ def main():
         "parity": "golden-exact",
         "flat_gap_note": (
             "the D=1 ring runs the same triangular strip schedule as "
-            "the flat engine (~57% of square MACs, _ring_substeps); "
-            "the remaining gap vs bench.py's flat number (~23 ms at "
-            "the bundled scale, ~19%) is the statistics epilogue: "
-            "inside shard_map the ring must use the fused XLA "
-            "mask/reduce chain, while the flat engine's Pallas "
-            "tile-walk epilogue (~10x cheaper) measures 8-15x SLOWER "
-            "under shard_map on this jax/Mosaic stack (CLAUDE.md). "
-            "The epilogue cost is proportional to per-device counts "
-            "elements, so it cancels in scaling-efficiency ratios."
+            "the flat engine (~57% of square MACs, _ring_substeps) "
+            "with the tiled-XLA statistics epilogue behind an "
+            "optimization barrier (~2 ms over the ring's measured "
+            "matmul-only floor — the epilogue is no longer the gap). "
+            "The remaining gap vs bench.py's flat number is the "
+            "program-structure floor itself: the same matmuls with a "
+            "trivial XLA consumer measure ~16 ms slower than the flat "
+            "engine's matmul+Pallas strip programs (attribution A/Bs, "
+            "DESIGN.md); shard_map adds only ~1-3 ms (plain-jit "
+            "replicas of the same loop measure the same floor), and "
+            "Pallas itself is unavailable under shard_map (8-15x "
+            "slowdown, CLAUDE.md). The floor cost is proportional to "
+            "per-device work, so it cancels in scaling-efficiency "
+            "ratios."
         ),
         **fused_stats,
     }

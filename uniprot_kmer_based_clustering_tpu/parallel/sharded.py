@@ -81,16 +81,130 @@ def _pair_stats(counts, gi, gj, ca, cb, n, threshold, active, triangle):
     return stack_row_stats(counts, cross, same, threshold)
 
 
+def _step_stats_tiled(
+    counts, gi_row, gj_col, ca, cb, n, threshold, active, triangle,
+    block_tile: int, variadic: bool = True, barrier: bool = False,
+):
+    """Hierarchical XLA statistics for one sub-block: reshape the
+    [S, J] counts to [S, J/tile, tile] lanes-last and reduce the lane
+    axis in ONE variadic ``lax.reduce`` over the 8 masked operands, so
+    the mask chain fuses into a single traversal of the counts block
+    and the only materialized intermediates are the [S, J/tile] int32
+    per-(row, tile-column) partials. Per-row stats and per-tile hit
+    counts both finish from those partials (tiny second-stage
+    reductions) — the flat chain's full-block ``over_c``/``over_s``
+    masks and ``czero``/``szero`` copies never exist.
+
+    Bit-identical to ``_pair_stats`` + ``_fused_subtiles``: int32
+    addition is associative mod 2³² (two's complement), so regrouping
+    the sum per tile column cannot change any lane; max lanes regroup
+    trivially. ``gi_row [S]`` / ``gj_col [J]`` are the sub-block's
+    global index VECTORS (the flat chain's iota matrices sliced at
+    [:, 0] / [0, :] — XLA folds the slice back to a 1-D iota).
+
+    Returns (row_stats int32 [S, 8], bh int32 [S/tile, J/tile, 2]).
+    """
+    if barrier:
+        counts = jax.lax.optimization_barrier(counts)
+    s, j = counts.shape
+    qi, qj = s // block_tile, j // block_tile
+    c3 = counts.reshape(s, qj, block_tile)
+    g3 = gj_col.reshape(qj, block_tile)
+    cb3 = cb.reshape(qj, block_tile)
+    valid = (g3 < n)[None] & (gi_row < n)[:, None, None] & active
+    if triangle:
+        valid = valid & (gi_row[:, None, None] < g3[None])
+    cross = valid & (ca[:, None, None] != cb3[None])
+    same = valid & ~cross
+    czero = jnp.where(cross, c3, 0)
+    szero = jnp.where(same, c3, 0)
+    ops = (
+        czero,
+        (cross & (c3 >= 1)).astype(jnp.int32),
+        (cross & (c3 > threshold)).astype(jnp.int32),
+        czero,
+        szero,
+        (same & (c3 >= 1)).astype(jnp.int32),
+        (same & (c3 > threshold)).astype(jnp.int32),
+        szero,
+    )
+
+    if variadic:
+
+        def _comb(a, b):
+            return (
+                a[0] + b[0], a[1] + b[1], a[2] + b[2],
+                jnp.maximum(a[3], b[3]),
+                a[4] + b[4], a[5] + b[5], a[6] + b[6],
+                jnp.maximum(a[7], b[7]),
+            )
+
+        red = jax.lax.reduce(ops, (jnp.int32(0),) * 8, _comb, (2,))
+    else:
+        red = [
+            o.max(axis=2) if k in (3, 7) else o.sum(axis=2)
+            for k, o in enumerate(ops)
+        ]
+    row_stats = jnp.stack(
+        [
+            red[0].sum(axis=1),
+            red[1].sum(axis=1),
+            red[2].sum(axis=1),
+            red[3].max(axis=1),
+            red[4].sum(axis=1),
+            red[5].sum(axis=1),
+            red[6].sum(axis=1),
+            red[7].max(axis=1),
+        ],
+        axis=1,
+    )
+    bh = jnp.stack(
+        [
+            red[2].reshape(qi, block_tile, qj).sum(axis=1),
+            red[6].reshape(qi, block_tile, qj).sum(axis=1),
+        ],
+        axis=-1,
+    )
+    return row_stats, bh
+
+
+def _step_stats_xla(
+    counts, gi, gj, ca, cb, n, threshold, active, triangle,
+    block_tile: int, stats_engine: str,
+):
+    """One sub-block's (row_stats, bh) via the XLA epilogue —
+    "xla_tiled" (the "auto" default) is the single-pass hierarchical
+    reduce; "xla" keeps the flat mask/reduce chain for A/B timing."""
+    if stats_engine == "xla":
+        stats, over_c, over_s = _pair_stats(
+            counts, gi, gj, ca, cb, n, threshold, active, triangle
+        )
+        bh, _ = _fused_subtiles(over_c, over_s, block_tile, 0, True)
+        return stats, bh
+    return _step_stats_tiled(
+        counts, gi[:, 0], gj[0, :], ca, cb, n, threshold, active,
+        triangle, block_tile,
+        variadic="tiled8" not in stats_engine,
+        barrier="barrier" in stats_engine,
+    )
+
+
 def _resolve_stats_engine(stats_engine: str) -> str:
-    # "auto" is XLA: inside shard_map the fused mask/reduce chain costs
-    # only ~25 ms on the bundled full square (the matmul dominates at
-    # ~155 ms), while pallas_call under shard_map measures 8-15× slower
-    # than the identical kernel outside it on this jax/Mosaic stack
-    # (1.4-2.7 s vs 0.17 s total) — keep the kernel available for when
-    # that lowering is fixed, and as the interpret-mode correctness
-    # cross-check.
+    # "auto" is the tiled XLA epilogue BEHIND AN OPTIMIZATION BARRIER:
+    # pallas_call under shard_map measures 8-15× slower than the
+    # identical kernel outside it on this jax/Mosaic stack (1.4-2.7 s
+    # vs 0.17 s total; kept available for when that lowering is fixed,
+    # and as the interpret-mode correctness cross-check). Of the XLA
+    # shapes, measured in the full D=1 ring program on hardware
+    # (matmul-only floor 112.4 ms): flat mask/reduce chain fused with
+    # the matmul 117.4 ms, tiled WITHOUT the barrier 243.6 ms (letting
+    # XLA fuse the variadic reduce into the matmul consumer is
+    # catastrophic), tiled behind the barrier 114.4 ms — epilogue
+    # all-in ~2 ms, within 20% of standalone Pallas. The barrier
+    # materializes the counts block once (it exists anyway as the
+    # matmul output) and stops the pathological producer fusion.
     if stats_engine == "auto":
-        return "xla"
+        return "xla_tiled_barrier"
     return stats_engine
 
 
@@ -145,11 +259,10 @@ def _step_stats(
         stats = jnp.where(active, stats, 0)
         bh = jnp.where(active, bh, 0)
         return stats, bh
-    stats, over_c, over_s = _pair_stats(
-        counts, gi, gj, ca, cb, n, threshold, active, triangle
+    return _step_stats_xla(
+        counts, gi, gj, ca, cb, n, threshold, active, triangle,
+        block_tile, stats_engine,
     )
-    bh, _ = _fused_subtiles(over_c, over_s, block_tile, 0, True)
-    return stats, bh
 
 
 def _fused_subtiles(over_c, over_s, block_tile: int, k: int,
@@ -537,13 +650,11 @@ def make_ring_sweep(
                 counts = _block_counts(
                     wa, wb, weights if weighted else None
                 )
-                stats, over_c, over_s = _pair_stats(
+                stats, bh = _step_stats_xla(
                     counts, gi, gj, ca, cb, n, threshold, active,
-                    triangle,
+                    triangle, block_tile, stats_engine,
                 )
                 row_stats = _merge_row_stats_at(row_stats, stats, i_off)
-                bh, _ = _fused_subtiles(over_c, over_s, block_tile, 0,
-                                        True)
                 hits = _accumulate_hits_at(hits, bh, ti0, tj0)
 
         hits = jax.lax.psum(hits, axis)
@@ -1496,15 +1607,12 @@ def make_ring_sweep_2d(
                     counts = _block_counts(
                         wa, wb, weights if weighted else None
                     )
-                    stats, over_c, over_s = _pair_stats(
+                    stats, bh = _step_stats_xla(
                         counts, gi, gj, ca, cb, n, threshold, active,
-                        triangle,
+                        triangle, block_tile, stats_engine,
                     )
                     row_stats = _merge_row_stats_at(
                         row_stats, stats, i_off
-                    )
-                    bh, _ = _fused_subtiles(
-                        over_c, over_s, block_tile, 0, True
                     )
                     hits = _accumulate_hits_at(hits, bh, ti0, tj0)
 
@@ -1760,6 +1868,7 @@ def make_kaxis_sweep(
     block_tile: int,
     axis: str = "k",
     weighted: bool = False,
+    stats_engine: str = "auto",
 ):
     """Contraction-axis (k-mer-axis) sharded sweep — the Ulysses/TP
     analogue of SURVEY.md §5: each device holds a *column* slice of the
@@ -1779,6 +1888,7 @@ def make_kaxis_sweep(
     replicated and match the single-chip engine format.
     """
     d_count = mesh.shape[axis]
+    stats_engine = _resolve_stats_engine(stats_engine)
 
     def step(words_local, classes, weights_local):
         n_pad = words_local.shape[0]
@@ -1804,9 +1914,10 @@ def make_kaxis_sweep(
             gi = r0 + jax.lax.broadcasted_iota(
                 jnp.int32, (block_tile, n_pad), 0
             )
-            stats, over_c, over_s = _pair_stats(
+            stats, bh = _step_stats_xla(
                 counts, gi, col, ca, classes,
                 n, threshold, jnp.bool_(True), True,
+                block_tile, stats_engine,
             )
             prev = jax.lax.dynamic_slice(
                 row_stats, (r0, 0), (block_tile, 8)
@@ -1814,20 +1925,8 @@ def make_kaxis_sweep(
             row_stats = jax.lax.dynamic_update_slice(
                 row_stats, _merge_row_stats(prev, stats), (r0, 0)
             )
-            bh = jnp.stack(
-                [
-                    over_c.astype(jnp.int32)
-                    .reshape(block_tile, nb, block_tile)
-                    .sum(axis=(0, 2)),
-                    over_s.astype(jnp.int32)
-                    .reshape(block_tile, nb, block_tile)
-                    .sum(axis=(0, 2)),
-                ],
-                axis=-1,
-            )
-            hits = jax.lax.dynamic_update_slice(
-                hits, bh[None], (bi, 0, 0)
-            )
+            # bh is [1, nb, 2] here (S = one block_tile row strip)
+            hits = jax.lax.dynamic_update_slice(hits, bh, (bi, 0, 0))
             return (row_stats, hits), None
 
         row_stats = jnp.zeros((n_pad, 8), jnp.int32)
