@@ -836,6 +836,77 @@ def test_csr_block_source_matches_packed(problem):
     assert np.array_equal(o_pairs, r_pairs)
 
 
+def test_stream_scan_dispatch(problem):
+    """The scan-chunked CSR dispatch (_stream_scan_chunk) must be
+    bit-identical to the per-step loop for every chunk size, group
+    size, capacity, and pair format — including chunk-padding tails,
+    the in-group moving-block reuse branch, and the overflow redo."""
+    from uniprot_kmer_based_clustering_tpu.ops import stream as stream_mod
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        CSRBlockSource,
+        sweep_extract_stream,
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        unpack_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    n, k = 150, 1200
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.06)
+    bs = pack_bitsets(
+        rows.astype(np.int32), cols.astype(np.int32), n, k,
+        row_multiple=16, word_multiple=128,
+    )
+    classes = rng.integers(0, 3, n).astype(np.int32)
+    src = CSRBlockSource(rows, cols, bs.n_pad, bs.w_pad)
+
+    r_rs, r_th, _, r_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=THR, bs=32, block=16,
+        block_source=src, dispatch="steps",
+    )
+    assert stream_mod.last_onepass_trace["dispatch"] == "steps"
+
+    for chunk, mg in ((1, 1), (3, 2), (8, None), (64, None)):
+        s_rs, s_th, _, s_pairs = sweep_extract_stream(
+            None, classes, n=n, threshold=THR, bs=32, block=16,
+            block_source=src, dispatch="scan", scan_chunk=chunk,
+            max_group=mg,
+        )
+        tr = stream_mod.last_onepass_trace
+        assert tr["dispatch"] == "scan"
+        assert tr["launches"] <= tr["steps"]
+        if chunk >= 8 and mg is None:
+            assert tr["launches"] < tr["steps"]
+        assert np.array_equal(np.asarray(s_rs), np.asarray(r_rs)), (
+            chunk, mg)
+        assert np.array_equal(s_th, r_th), (chunk, mg)
+        assert np.array_equal(s_pairs, r_pairs), (chunk, mg)
+
+    # capacity miss under scan dispatch: detected exactly, redone
+    o_rs, o_th, _, o_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=THR, bs=32, block=16,
+        block_source=src, dispatch="scan", cap=8,
+    )
+    assert stream_mod.last_onepass_trace["overflow"] is True
+    assert len(r_pairs) > 8
+    assert np.array_equal(o_pairs, r_pairs)
+
+    # packed pair format rides the scan dispatch
+    _, _, _, p_pairs = sweep_extract_stream(
+        None, classes, n=n, threshold=THR, bs=32, block=16,
+        block_source=src, dispatch="scan", pair_format="packed",
+    )
+    assert p_pairs.ndim == 1
+    assert np.array_equal(unpack_pairs(p_pairs), r_pairs)
+
+    # scan without a CSR source is a contract error
+    with pytest.raises(ValueError, match="scan"):
+        sweep_extract_stream(
+            bs.words, classes, n=n, threshold=THR, bs=32, block=16,
+            dispatch="scan",
+        )
+
+
 def test_stream_csr_via_config(problem):
     """The config-level stream_source='csr' path: identical result to
     the host-words stream engine, and the validation gates."""

@@ -607,6 +607,24 @@ def _stream_step_compact(
     sort-based append (:func:`sort_compact_append` — the scatter idiom
     measured ~150 ms/step at beyond-HBM scale); the caller allocates
     the buffers with a window of slack rows."""
+    return _step_compact_body(
+        (row_stats, block_hits, gbi, gbj, gbc, cursor),
+        wa, wb, ca, cb, weights, i0, j0,
+        n=n, threshold=threshold, block=block, w_thresh=w_thresh,
+        word_chunk=word_chunk, cross_amr_only=cross_amr_only,
+    )
+
+
+def _step_compact_body(
+    state, wa, wb, ca, cb, weights, i0, j0,
+    *, n, threshold, block, w_thresh, word_chunk, cross_amr_only,
+):
+    """The ONE-PASS step math on plain values — THE single
+    implementation shared by the per-step program
+    (:func:`_stream_step_compact`) and the scan-chunked program
+    (:func:`_stream_scan_chunk`), so the two dispatch modes cannot
+    drift. Returns the updated 6-tuple state."""
+    row_stats, block_hits, gbi, gbj, gbc, cursor = state
     counts = _counts_window_pair(wa, wb, weights, word_chunk=word_chunk)
     rs, bh, over_c, over_s = pair_block_stats(
         counts, ca, cb, i0, j0,
@@ -623,6 +641,120 @@ def _stream_step_compact(
         row_stats, block_hits, rs, bh, i0, j0, block=block
     )
     return row_stats, block_hits, gbi, gbj, gbc, cursor
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bs", "w", "g", "n", "threshold", "block", "w_thresh",
+        "word_chunk", "cross_amr_only",
+    ),
+    donate_argnames=("row_stats", "block_hits", "gbi", "gbj", "gbc"),
+)
+def _stream_scan_chunk(
+    row_stats, block_hits, gbi, gbj, gbc, cursor,
+    stat_stack,   # uint32 [g, bs, W] materialized stationary group
+    rows_a, ranks_a, valid_a,   # staged CSR incidence [nbk, m]
+    classes_pad,  # int32 [n_pad]
+    weights,      # int8 [W*32]
+    jb_arr,       # int32 [C] moving-block index per outer entry
+    tc_arr,       # int32 [C] active stationary partners (0 = skip entry)
+    s0,           # int32 scalar — group's first stationary block
+    gh,           # int32 scalar — real group size (≤ g; stack tail unused)
+    *,
+    bs: int, w: int, g: int, n: int, threshold: int, block: int,
+    w_thresh: int, word_chunk: int, cross_amr_only: bool,
+):
+    """A CHUNK of the one-pass sweep — C moving blocks × ≤g stationary
+    partners — as ONE compiled program (``lax.scan`` outer over moving
+    blocks, inner over the stationary group, ``lax.cond`` skipping
+    inactive entries so the triangular ramp pays no matmuls).
+
+    Exists because per-step launches are the engine's tunnel
+    vulnerability: each ``_stream_step_compact`` launch re-marshals the
+    call (donated ~GB-scale pair buffers included), and this
+    environment's per-launch cost varies by session — measured
+    14.3 ms/step one day and ~98 ms/step the next ON THE SAME CODE AND
+    SHAPES (BENCH_scale7mer100k traces; bench.py/bench_pod single big
+    programs ran identically on both days). Chunking turns 4,851
+    launches into ~40 while keeping the same per-chunk cursor probe for
+    the in-flight window. On a healthy (non-tunnel) TPU host it is the
+    same schedule with strictly fewer launches.
+
+    Moving blocks materialize from the CSR staging inside the scan
+    (one per outer entry); a moving block that belongs to the resident
+    stationary group is taken from the stack instead (the step-loop's
+    reuse, via ``cond``). Step order (jb outer, t inner) matches the
+    step loop exactly, so even the pre-sort buffer contents are
+    identical — bit-identity is by construction, pinned in
+    tests/test_stream.py.
+    """
+    def outer(state, x):
+        jb, tc = x
+
+        def do_outer(state):
+            wb = jax.lax.cond(
+                jb - s0 < gh,
+                lambda: jax.lax.dynamic_index_in_dim(
+                    stat_stack, jnp.clip(jb - s0, 0, g - 1), 0,
+                    keepdims=False,
+                ),
+                lambda: _materialize_block(
+                    rows_a, ranks_a, valid_a, jb, bs=bs, w=w
+                ),
+            )
+            cb = jax.lax.dynamic_slice(classes_pad, (jb * bs,), (bs,))
+            j0 = jb * bs
+
+            def inner(state2, t):
+                def do_inner(state2):
+                    wa = jax.lax.dynamic_index_in_dim(
+                        stat_stack, t, 0, keepdims=False
+                    )
+                    i0 = (s0 + t) * bs
+                    ca = jax.lax.dynamic_slice(
+                        classes_pad, (i0,), (bs,)
+                    )
+                    return _step_compact_body(
+                        state2, wa, wb, ca, cb, weights, i0, j0,
+                        n=n, threshold=threshold, block=block,
+                        w_thresh=w_thresh, word_chunk=word_chunk,
+                        cross_amr_only=cross_amr_only,
+                    )
+
+                return jax.lax.cond(
+                    t < tc, do_inner, lambda s: s, state2
+                ), None
+
+            state, _ = jax.lax.scan(
+                inner, state, jnp.arange(g, dtype=jnp.int32)
+            )
+            return state
+
+        return jax.lax.cond(tc > 0, do_outer, lambda s: s, state), None
+
+    state = (row_stats, block_hits, gbi, gbj, gbc, cursor)
+    state, _ = jax.lax.scan(outer, state, (jb_arr, tc_arr))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "w", "g"))
+def _materialize_stack(rows_a, ranks_a, valid_a, s0, *, bs, w, g):
+    """[g, bs, w] stationary-group stack materialized in ONE program
+    (g scatter builds under ``lax.scan``); indices past the staging's
+    last block clamp to it — those rows are never read (``tc`` gating)."""
+    nbk = rows_a.shape[0]
+
+    def body(_, t):
+        b = jnp.minimum(s0 + t, nbk - 1)
+        return None, _materialize_block(
+            rows_a, ranks_a, valid_a, b, bs=bs, w=w
+        )
+
+    _, stack = jax.lax.scan(
+        body, None, jnp.arange(g, dtype=jnp.int32)
+    )
+    return stack
 
 
 def sweep_extract_stream(
@@ -643,6 +775,8 @@ def sweep_extract_stream(
     max_group: Optional[int] = None,
     block_source: Optional[CSRBlockSource] = None,
     pair_format: str = "arr3",
+    dispatch: str = "auto",
+    scan_chunk: int = 8,
 ):
     """ONE-PASS out-of-core sweep **and** exact pair extraction.
 
@@ -676,6 +810,16 @@ def sweep_extract_stream(
     instead of 12 — worth ~1/3 of the dominant readback at beyond-HBM
     scale) when row indices and counts fit the pack; otherwise the
     [M, 3] fallback is returned and callers distinguish by ``ndim``.
+
+    ``dispatch``: "steps" launches one program per block pair (the only
+    choice when blocks stream from host RAM — uploads must interleave);
+    "scan" (the "auto" default with a CSR block source) runs
+    ``scan_chunk`` moving blocks × the whole stationary group per
+    launch (:func:`_stream_scan_chunk`) — ~100× fewer launches, which
+    this environment's session-varying per-launch cost made the
+    difference between 69 s and 477 s of identical device work
+    (BENCH_scale7mer100k traces). Bit-identical to "steps" (same body,
+    same step order).
 
     Returns ``(row_stats int64 [N_pad', 8], tile_hits int32 [nT, 2],
     (ti, tj, block), pairs int32 [M, 3] — or packed int64 [M])``.
@@ -771,9 +915,14 @@ def sweep_extract_stream(
     # whole windows at the cursor and must never clamp in a valid run
     buffers = _new_pair_buffers(vcap + bs * bs)
     state = (row_stats, block_hits) + buffers
-    cls_dev = [
-        jax.device_put(classes[b * bs : (b + 1) * bs]) for b in range(nbk)
-    ]
+
+    if dispatch == "auto":
+        dispatch = "scan" if block_source is not None else "steps"
+    if dispatch == "scan" and block_source is None:
+        raise ValueError(
+            "dispatch='scan' requires a CSR block_source (host-words "
+            "blocks must upload between launches)"
+        )
 
     pending = []  # cursor probes
     trace = {
@@ -781,6 +930,7 @@ def sweep_extract_stream(
         "fetch_s": 0.0, "steps": 0, "uploads": 0,
         "bs": int(bs), "g": int(g), "nbk": int(nbk),
         "word_chunk": int(word_chunk), "vcap": int(vcap),
+        "dispatch": dispatch, "launches": 0,
         "overflow": False,
     }
 
@@ -805,32 +955,89 @@ def sweep_extract_stream(
         trace["uploads"] += 1
         return out
 
-    for s0 in range(0, nbk, g):
-        g_here = min(g, nbk - s0)
-        stationary = [_put(s0 + t) for t in range(g_here)]
-        for jb in range(s0, nbk):
-            if jb < s0 + g_here:
-                wb = stationary[jb - s0]
-            else:
-                wb = _put(jb)
-            for t in range(g_here):
-                ib = s0 + t
-                if ib > jb:
-                    continue
+    if dispatch == "scan":
+        cls_pad_dev = jax.device_put(classes[:n_pad])
+        stack = None
+        for s0 in range(0, nbk, g):
+            g_here = min(g, nbk - s0)
+            if stack is not None:
+                # release the previous group's stack BEFORE building
+                # the next one — two [g, bs, W] stacks coexisting would
+                # bust the budget at beyond-HBM scale; drain first so
+                # no in-flight chunk still reads it
+                stack = None
+                _drain(0)
+            t0 = time.perf_counter()
+            stack = _materialize_stack(
+                block_source._rows, block_source._ranks,
+                block_source._valid, jnp.int32(s0),
+                bs=bs, w=w_words, g=g,
+            )
+            trace["upload_s"] += time.perf_counter() - t0
+            trace["uploads"] += g_here
+            jbs = np.arange(s0, nbk, dtype=np.int32)
+            tcs = np.minimum(g_here, jbs - s0 + 1).astype(np.int32)
+            for c0 in range(0, len(jbs), scan_chunk):
+                jb_c = jbs[c0 : c0 + scan_chunk]
+                tc_c = tcs[c0 : c0 + scan_chunk]
+                if len(jb_c) < scan_chunk:  # pad: tc=0 entries skip
+                    pad = scan_chunk - len(jb_c)
+                    jb_c = np.concatenate(
+                        [jb_c, np.zeros(pad, np.int32)]
+                    )
+                    tc_c = np.concatenate(
+                        [tc_c, np.zeros(pad, np.int32)]
+                    )
                 t0 = time.perf_counter()
-                state = _stream_step_compact(
-                    *state,
-                    stationary[t], wb, cls_dev[ib], cls_dev[jb], wts,
-                    jnp.int32(ib * bs), jnp.int32(jb * bs),
-                    n=n, threshold=threshold, block=block,
-                    w_thresh=w_thresh, word_chunk=word_chunk,
+                state = _stream_scan_chunk(
+                    *state, stack,
+                    block_source._rows, block_source._ranks,
+                    block_source._valid, cls_pad_dev, wts,
+                    jnp.asarray(jb_c), jnp.asarray(tc_c),
+                    jnp.int32(s0), jnp.int32(g_here),
+                    bs=bs, w=w_words, g=g, n=n, threshold=threshold,
+                    block=block, w_thresh=w_thresh,
+                    word_chunk=word_chunk,
                     cross_amr_only=cross_amr_only,
                 )
                 trace["dispatch_s"] += time.perf_counter() - t0
-                trace["steps"] += 1
+                trace["steps"] += int(tc_c.sum())
+                trace["launches"] += 1
                 pending.append(state[5])
                 if len(pending) > 2 * inflight:
                     _drain(inflight)
+    else:
+        cls_dev = [
+            jax.device_put(classes[b * bs : (b + 1) * bs])
+            for b in range(nbk)
+        ]
+        for s0 in range(0, nbk, g):
+            g_here = min(g, nbk - s0)
+            stationary = [_put(s0 + t) for t in range(g_here)]
+            for jb in range(s0, nbk):
+                if jb < s0 + g_here:
+                    wb = stationary[jb - s0]
+                else:
+                    wb = _put(jb)
+                for t in range(g_here):
+                    ib = s0 + t
+                    if ib > jb:
+                        continue
+                    t0 = time.perf_counter()
+                    state = _stream_step_compact(
+                        *state,
+                        stationary[t], wb, cls_dev[ib], cls_dev[jb], wts,
+                        jnp.int32(ib * bs), jnp.int32(jb * bs),
+                        n=n, threshold=threshold, block=block,
+                        w_thresh=w_thresh, word_chunk=word_chunk,
+                        cross_amr_only=cross_amr_only,
+                    )
+                    trace["dispatch_s"] += time.perf_counter() - t0
+                    trace["steps"] += 1
+                    trace["launches"] += 1
+                    pending.append(state[5])
+                    if len(pending) > 2 * inflight:
+                        _drain(inflight)
     _drain(0)
 
     row_stats, block_hits, gbi, gbj, gbc, cursor = state
