@@ -974,7 +974,11 @@ def sweep_extract_stream(
                 bs=bs, w=w_words, g=g,
             )
             trace["upload_s"] += time.perf_counter() - t0
-            trace["uploads"] += g_here
+            # device materializations this group: the stack + every
+            # moving block past the resident group (in-group moving
+            # blocks reuse the stack) — keeps the artifact's
+            # "volume materialized" accounting equal to the step loop's
+            trace["uploads"] += g_here + max(0, nbk - (s0 + g_here))
             jbs = np.arange(s0, nbk, dtype=np.int32)
             tcs = np.minimum(g_here, jbs - s0 + 1).astype(np.int32)
             for c0 in range(0, len(jbs), scan_chunk):
