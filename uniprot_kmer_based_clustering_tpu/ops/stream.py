@@ -742,7 +742,14 @@ def _stream_scan_chunk(
 def _materialize_stack(rows_a, ranks_a, valid_a, s0, *, bs, w, g):
     """[g, bs, w] stationary-group stack materialized in ONE program
     (g scatter builds under ``lax.scan``); indices past the staging's
-    last block clamp to it — those rows are never read (``tc`` gating)."""
+    last block clamp to it — those rows are never read (``tc`` gating).
+
+    Cost note: the final PARTIAL group (g_here < g) still materializes
+    all g stack entries — the g − g_here clamped duplicates are built
+    and never read. Accepted: static shapes keep this one compiled
+    program for every group, and the waste is bounded by one group's
+    scatter builds on the last group only (a g_here-masked variant
+    would compile a second shape for marginal savings)."""
     nbk = rows_a.shape[0]
 
     def body(_, t):

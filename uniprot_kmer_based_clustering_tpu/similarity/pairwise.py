@@ -90,11 +90,15 @@ def _new_pair_buffers(vcap: int):
 # extractors to fetch 8 bytes/pair instead of 12 through the ~10 MB/s
 # readback tunnel (the dominant term of a beyond-HBM run: 83 s of the
 # 169.5 s 19 GiB design point was the [M, 3] int32 fetch). Valid when
-# every row index < 2^24 (16.7M proteins) and every stored count
-# < 2^16; the finalize checks both and falls back to the [M, 3] format.
+# every row index < 2^23 (8.4M proteins — the i field occupies bits
+# 40-63 of a SIGNED int64, so i ≥ 2^23 would set the sign bit and break
+# both the sort order and the sign-extending unpack) and every stored
+# count < 2^16; the finalize checks both and falls back to the [M, 3]
+# format.
 _PACK_I_SHIFT = 40
 _PACK_J_SHIFT = 16
-_PACK_ROW_LIMIT = 1 << 24
+_PACK_FIELD_MASK = (1 << 24) - 1  # the 24-bit i/j field width
+_PACK_ROW_LIMIT = 1 << 23  # validity bound: keeps the sign bit clear
 _PACK_COUNT_LIMIT = 1 << 16
 _PACK_SENTINEL = np.int64(np.iinfo(np.int64).max)
 
@@ -107,10 +111,10 @@ def _pack_sort_pairs_x64(bi, bj, bc):
         | bc.astype(jnp.int64)
     )
     packed = jnp.where(bc < 0, _PACK_SENTINEL, packed)
-    return jax.lax.sort(packed)
+    return jax.lax.sort(packed), jnp.max(bc).astype(jnp.int64)
 
 
-def _pack_sort_fetch(bi, bj, bc, total: int) -> np.ndarray:
+def _pack_sort_fetch(bi, bj, bc, total: int, cursor=None):
     """Device finalize for the packed layout: pack the compacted buffers
     into one int64 lane each, single-key sort, slice the occupied
     prefix, fetch. Sentinel slots (bc < 0) pack to INT64_MAX, sorting
@@ -118,9 +122,28 @@ def _pack_sort_fetch(bi, bj, bc, total: int) -> np.ndarray:
     :func:`_sort_pairs`. The repo runs with jax x64 DISABLED (the
     default dtype discipline everywhere else); the int64 lanes exist
     only inside this scoped ``jax.enable_x64`` block — trace, slice and
-    fetch all under it, so the values round-trip unclipped."""
+    fetch all under it, so the values round-trip unclipped.
+
+    The count-range check rides the SAME fetch (each fetched output
+    array pays its own ~30 ms tunnel round trip, CLAUDE.md): the
+    device max of ``bc`` — and, when given, the compaction ``cursor`` —
+    travel as extra trailing lanes of the one fetched array. Returns
+    ``(pairs, cursor_value)``; ``pairs`` is None when a count reached
+    2^16 (the pack would corrupt — callers fall back to [M, 3]), and
+    ``cursor_value`` is None unless ``cursor`` was passed."""
     with jax.enable_x64(True):
-        return jax.device_get(_pack_sort_pairs_x64(bi, bj, bc)[:total])
+        sorted_p, mx = _pack_sort_pairs_x64(bi, bj, bc)
+        tail = [mx[None]]
+        if cursor is not None:
+            tail.append(cursor[None].astype(jnp.int64))
+        arr = jax.device_get(
+            jnp.concatenate([sorted_p[:total]] + tail)
+        )
+    cur = int(arr[-1]) if cursor is not None else None
+    mx_host = int(arr[total])
+    if mx_host >= _PACK_COUNT_LIMIT:
+        return None, cur
+    return arr[:total], cur
 
 
 def unpack_pairs(packed: np.ndarray) -> np.ndarray:
@@ -130,7 +153,7 @@ def unpack_pairs(packed: np.ndarray) -> np.ndarray:
     hosts)."""
     out = np.empty((len(packed), 3), np.int32)
     out[:, 0] = packed >> _PACK_I_SHIFT
-    out[:, 1] = (packed >> _PACK_J_SHIFT) & (_PACK_ROW_LIMIT - 1)
+    out[:, 1] = (packed >> _PACK_J_SHIFT) & _PACK_FIELD_MASK
     out[:, 2] = packed & (_PACK_COUNT_LIMIT - 1)
     return out
 
@@ -153,7 +176,7 @@ def packed_pair(v) -> tuple:
     v = int(v)
     return (
         v >> _PACK_I_SHIFT,
-        (v >> _PACK_J_SHIFT) & (_PACK_ROW_LIMIT - 1),
+        (v >> _PACK_J_SHIFT) & _PACK_FIELD_MASK,
         v & (_PACK_COUNT_LIMIT - 1),
     )
 
@@ -163,11 +186,15 @@ def _fetch_sorted_pairs(bi, bj, bc, total: int, pair_format: str,
     """Sort + prefix-slice + fetch the canonical pair list from the
     compacted global buffers. ``pair_format="packed"`` fetches the
     int64 packed layout (8 B/pair) when the ranges fit — row indices
-    bounded by ``n_rows``, counts checked on device (one scalar fetch)
-    — and silently falls back to the [M, 3] int32 format otherwise."""
+    bounded by ``n_rows``, counts validated from a trailing lane of the
+    SAME fetch (no separate probe round trip) — and falls back to the
+    [M, 3] int32 format otherwise (count overflow costs the packed
+    fetch plus the fallback, but a ≥2^16 shared-k-mer count means a
+    ≥2^16-bit-dense row — far outside every supported regime)."""
     if pair_format == "packed" and n_rows < _PACK_ROW_LIMIT:
-        if int(jax.device_get(jnp.max(bc))) < _PACK_COUNT_LIMIT:
-            return _pack_sort_fetch(bi, bj, bc, total)
+        arr, _ = _pack_sort_fetch(bi, bj, bc, total)
+        if arr is not None:
+            return arr
     return jax.device_get(_sort_pairs(bi, bj, bc)[:total])
 
 
@@ -212,20 +239,21 @@ def _finalize_pairs(buffers, expected_total: int,
     the compacted count disagrees with the sweep's exact tile hits
     (capacity bugs must never truncate). ``pair_format="packed"``
     (with ``n_rows`` the row-index bound) fetches the packed int64
-    layout when the ranges fit — see :func:`_pack_sort_pairs`."""
+    layout when the ranges fit — see :func:`_pack_sort_pairs_x64`; the
+    count-range check and the cursor verification ride that one fetch
+    as trailing lanes (no separate probe round trips)."""
     bi, bj, bc, cursor = buffers
-    if (
-        pair_format == "packed"
-        and 0 < n_rows < _PACK_ROW_LIMIT
-        and int(jax.device_get(jnp.max(bc))) < _PACK_COUNT_LIMIT
-    ):
-        arr = _pack_sort_fetch(bi, bj, bc, expected_total)
-        if int(jax.device_get(cursor)) != expected_total:
+    if pair_format == "packed" and 0 < n_rows < _PACK_ROW_LIMIT:
+        arr, count = _pack_sort_fetch(
+            bi, bj, bc, expected_total, cursor=cursor
+        )
+        if count != expected_total:
             raise AssertionError(
-                f"extraction compacted {int(jax.device_get(cursor))} "
-                f"pairs, sweep stats promised {expected_total}"
+                f"extraction compacted {count} pairs, sweep stats "
+                f"promised {expected_total}"
             )
-        return arr
+        if arr is not None:
+            return arr
     sorted_dev = _sort_pairs(bi, bj, bc)
     if bi.shape[0] - expected_total > (1 << 20):
         # large sentinel tail (the sort-append slack window at scale):
