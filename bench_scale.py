@@ -401,6 +401,60 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     n_checked = oracle_gate(idx, classes, pairs, n, 10)
     t_oracle = time.perf_counter() - t0
 
+    # UKC_SCALE_STREAM_MESH=D: re-run the SAME design point through the
+    # sharded out-of-core composition (parallel/stream_mesh.py) on a
+    # D-device flat mesh and gate its pair list EXACTLY against the
+    # single-chip one-pass list just produced — the hardware proof that
+    # the {out-of-core} × {mesh} cell agrees bit-for-bit at beyond-HBM
+    # scale (one physical chip here, so D=1 is the honest hardware
+    # point; D>1 is CPU-mesh/dryrun territory).
+    mesh_stats = {}
+    mesh_d = int(os.environ.get("UKC_SCALE_STREAM_MESH", "0"))
+    if mesh_d and src_mode == "csr":
+        from uniprot_kmer_based_clustering_tpu.parallel import (
+            make_mesh,
+            stream_mesh,
+        )
+        from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (
+            sweep_extract_stream_mesh,
+        )
+
+        mesh = make_mesh(mesh_d)
+        t0 = time.perf_counter()
+        rs_m, th_m, _, pairs_m = sweep_extract_stream_mesh(
+            mesh, classes, n, 10,
+            block_source=CSRBlockSource(
+                idx.incidence_protein, idx.incidence_rank, n,
+                source.w_words,
+            ),
+            pair_format="packed", **{
+                k: v for k, v in sweep_kw.items()
+                if k != "block_source"
+            },
+        )
+        t_mesh = time.perf_counter() - t0
+        assert np.array_equal(pairs_m, pairs), (
+            "stream-mesh pair list != single-chip one-pass"
+        )
+        assert np.array_equal(rs_m.sum(axis=0), tot)
+        mesh_stats = {
+            "stream_mesh_devices": mesh_d,
+            "stream_mesh_seconds": round(t_mesh, 1),
+            "stream_mesh_value": round(
+                n * (n - 1) / 2.0 / t_mesh / mesh_d, 1
+            ),
+            "stream_mesh_trace": {
+                k: (round(v, 1) if isinstance(v, float) else v)
+                for k, v in dict(
+                    stream_mesh.last_mesh_trace or {}
+                ).items()
+            },
+            "stream_mesh_parity": (
+                "pair-list identical to the single-chip one-pass "
+                "engine (exact np.array_equal on the packed lists)"
+            ),
+        }
+
     rec = {
         "metric": "pairwise_similarity_scale",
         "value": round(n * (n - 1) / 2.0 / t_sweep, 1),
@@ -465,6 +519,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
                  "(below HBM — smoke/diagnostic scale)"
         ),
         "device": str(jax.devices()[0]),
+        **mesh_stats,
     }
     print(json.dumps(rec))
     from uniprot_kmer_based_clustering_tpu.utils.artifact import (

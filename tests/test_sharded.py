@@ -687,12 +687,12 @@ def test_stage_mesh_inputs_csr_matches_packed():
 
 
 def test_pipeline_mesh_csr_packless(tmp_path):
-    """run_pipeline(mesh=...) with stream_source='csr': dense shards
-    materialize on device (no dense host matrix) and results equal the
-    dense-staged mesh run, on the flat AND 2-D layouts; the k-axis
-    layout refuses with a clear message."""
-    import pytest
-
+    """run_pipeline(mesh=...) with stream_source='csr': the dense
+    matrix is never built on host, and results equal the dense-staged
+    mesh run on every layout — the flat mesh routes to the sharded
+    OUT-OF-CORE stream composition (parallel/stream_mesh.py), the 2-D
+    ring and the k-axis layouts to packless in-core staging (row shards
+    resp. column-range shards materialized on device)."""
     from uniprot_kmer_based_clustering_tpu.config import PipelineConfig
     from uniprot_kmer_based_clustering_tpu.kmers.bitset import (
         VirtualBitsetMatrix,
@@ -719,7 +719,7 @@ def test_pipeline_mesh_csr_packless(tmp_path):
     ref = run_pipeline(
         str(fasta), PipelineConfig(**base_cfg), mesh=make_mesh(4)
     )
-    for mesh in (make_mesh(4), make_mesh_2d(2, 2)):
+    for mesh in (make_mesh(4), make_mesh_2d(2, 2), make_mesh(4, axis="k")):
         got = run_pipeline(
             str(fasta),
             PipelineConfig(engine="stream", stream_source="csr",
@@ -730,11 +730,3 @@ def test_pipeline_mesh_csr_packless(tmp_path):
         assert np.array_equal(got.pairwise.pairs, ref.pairwise.pairs)
         assert got.parity_report() == ref.parity_report()
         assert np.array_equal(got.cluster_labels, ref.cluster_labels)
-
-    with pytest.raises(ValueError, match="k-axis"):
-        run_pipeline(
-            str(fasta),
-            PipelineConfig(engine="stream", stream_source="csr",
-                           **base_cfg),
-            mesh=make_mesh(4, axis="k"),
-        )

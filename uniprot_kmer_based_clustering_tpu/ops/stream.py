@@ -99,6 +99,31 @@ def _materialize_block(rows_a, ranks_a, valid_a, b, *, bs: int, w: int):
     return words.reshape(bs, w)
 
 
+def split_incidence_blocks(p: np.ndarray, r: np.ndarray, bs: int,
+                           nbk: int):
+    """Split protein-sorted incidence lists into per-``bs``-row-block
+    arrays padded to the max block's count — the staging layout every
+    CSR materializer consumes (single-chip :class:`CSRBlockSource` and
+    the mesh composition in ``parallel/stream_mesh.py`` share this ONE
+    splitter so their blocks cannot drift). Returns
+    ``(rows, ranks, valid)``, each ``[nbk, m]`` with ``m`` rounded up
+    to 8 lanes; ``rows`` are block-local."""
+    offs = np.searchsorted(p, np.arange(nbk + 1) * bs)
+    per = np.diff(offs)
+    m = int(per.max()) if nbk else 0
+    m = max(8, -(-m // 8) * 8)
+    rows = np.zeros((nbk, m), np.int32)
+    ranks = np.zeros((nbk, m), np.int32)
+    valid = np.zeros((nbk, m), bool)
+    for b in range(nbk):
+        lo, hi = offs[b], offs[b + 1]
+        k = hi - lo
+        rows[b, :k] = p[lo:hi] - b * bs
+        ranks[b, :k] = r[lo:hi]
+        valid[b, :k] = True
+    return rows, ranks, valid
+
+
 class CSRBlockSource:
     """On-device materialization of packed row blocks from the sparse
     incidence lists — the TPU-native block source for the stream engine.
@@ -152,19 +177,9 @@ class CSRBlockSource:
             return
         self._bs = bs
         self._nbk = nbk
-        offs = np.searchsorted(self._p, np.arange(nbk + 1) * bs)
-        per = np.diff(offs)
-        m = int(per.max()) if nbk else 0
-        m = max(8, -(-m // 8) * 8)
-        rows = np.zeros((nbk, m), np.int32)
-        ranks = np.zeros((nbk, m), np.int32)
-        valid = np.zeros((nbk, m), bool)
-        for b in range(nbk):
-            lo, hi = offs[b], offs[b + 1]
-            k = hi - lo
-            rows[b, :k] = self._p[lo:hi] - b * bs
-            ranks[b, :k] = self._r[lo:hi]
-            valid[b, :k] = True
+        rows, ranks, valid = split_incidence_blocks(
+            self._p, self._r, bs, nbk
+        )
         self._rows = jax.device_put(rows)
         self._ranks = jax.device_put(ranks)
         self._valid = jax.device_put(valid)
@@ -689,6 +704,29 @@ def _stream_scan_chunk(
     identical — bit-identity is by construction, pinned in
     tests/test_stream.py.
     """
+    return _scan_chunk_body(
+        (row_stats, block_hits, gbi, gbj, gbc, cursor),
+        stat_stack, rows_a, ranks_a, valid_a, classes_pad, weights,
+        jb_arr, tc_arr, s0, gh,
+        bs=bs, w=w, g=g, n=n, threshold=threshold, block=block,
+        w_thresh=w_thresh, word_chunk=word_chunk,
+        cross_amr_only=cross_amr_only,
+    )
+
+
+def _scan_chunk_body(
+    state, stat_stack, rows_a, ranks_a, valid_a, classes_pad, weights,
+    jb_arr, tc_arr, s0, gh,
+    *, bs, w, g, n, threshold, block, w_thresh, word_chunk,
+    cross_amr_only,
+):
+    """The scan-chunk math on plain values — THE single implementation
+    shared by the single-chip program (:func:`_stream_scan_chunk`) and
+    the mesh composition (``parallel/stream_mesh.py`` shard_maps this
+    per device with a replicated stack), so the two engines cannot
+    drift. ``stat_stack`` may hold MORE than ``g`` entries (the mesh
+    build pads to a device-count multiple); entries at index ≥ ``gh``
+    are never read (``tc`` gating)."""
     def outer(state, x):
         jb, tc = x
 
@@ -733,7 +771,6 @@ def _stream_scan_chunk(
 
         return jax.lax.cond(tc > 0, do_outer, lambda s: s, state), None
 
-    state = (row_stats, block_hits, gbi, gbj, gbc, cursor)
     state, _ = jax.lax.scan(outer, state, (jb_arr, tc_arr))
     return state
 

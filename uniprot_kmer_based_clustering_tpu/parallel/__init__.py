@@ -23,3 +23,6 @@ from uniprot_kmer_based_clustering_tpu.parallel.sharded import (  # noqa: F401
     stage_mesh_inputs,
     stage_mesh_inputs_csr,
 )
+from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (  # noqa: F401
+    sweep_extract_stream_mesh,
+)

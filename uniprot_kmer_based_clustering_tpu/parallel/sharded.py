@@ -377,8 +377,22 @@ def stage_mesh_inputs_csr(
     names for hierarchical row sharding (the 2-D ring's
     ``P((h, c), None)`` layout — row shards are contiguous in raveled
     device order, so the per-shard split is identical).
+
+    ``axis="k"`` stages the CONTRACTION-sharded layout instead
+    (``P(None, "k")`` — bitset columns divided over devices, classes
+    replicated, the k-axis sweep's HBM-scaling layout for the 7-mer
+    universe): the incidences are split by COLUMN range host-side
+    (word = rank >> 5; device = word // (w_pad/D)) and each device
+    scatter-builds its ``[n_pad, w_pad/D]`` column shard — the flat
+    scatter space is per-device here too, so the int32 ceiling never
+    binds on either axis of the layout matrix.
     """
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    if axes == ("k",):
+        return _stage_mesh_csr_kaxis(
+            mesh, incidence_protein, incidence_rank, n_pad, w_pad,
+            classes,
+        )
     row_spec = P(axes if len(axes) > 1 else axes[0], None)
     cls_spec = P(axes if len(axes) > 1 else axes[0])
     d = int(mesh.devices.size)
@@ -436,6 +450,72 @@ def stage_mesh_inputs_csr(
             [cls, np.full(n_pad - cls.shape[0], -1, np.int32)]
         )
     classes_s = jax.device_put(cls, NamedSharding(mesh, cls_spec))
+    return words_s, classes_s
+
+
+def _stage_mesh_csr_kaxis(mesh, incidence_protein, incidence_rank,
+                          n_pad: int, w_pad: int, classes):
+    """Column-range CSR staging for the k-axis layout (see
+    :func:`stage_mesh_inputs_csr`). Returns
+    ``(words [n_pad, w_pad] P(None, "k"), classes [n_pad] P(None))``."""
+    d = int(mesh.devices.size)
+    assert w_pad % d == 0, (
+        f"W={w_pad} packed words must divide over {d} devices"
+    )
+    ws = w_pad // d
+    p = np.asarray(incidence_protein, np.int32)
+    r = np.asarray(incidence_rank, np.int32)
+    dev = (r >> 5) // ws
+    order = np.argsort(dev, kind="stable")
+    p, r, dev = p[order], r[order], dev[order]
+    offs = np.searchsorted(dev, np.arange(d + 1))
+    m = int(np.diff(offs).max()) if d else 0
+    m = max(8, -(-m // 8) * 8)
+    rows = np.zeros((d, m), np.int32)
+    lrank = np.zeros((d, m), np.int32)  # bit index local to the shard
+    valid = np.zeros((d, m), bool)
+    for b in range(d):
+        lo, hi = offs[b], offs[b + 1]
+        rows[b, : hi - lo] = p[lo:hi]
+        lrank[b, : hi - lo] = r[lo:hi] - b * ws * 32
+        valid[b, : hi - lo] = True
+    spec = P("k", None)
+    rows_s = jax.device_put(rows, NamedSharding(mesh, spec))
+    lrank_s = jax.device_put(lrank, NamedSharding(mesh, spec))
+    valid_s = jax.device_put(valid, NamedSharding(mesh, spec))
+
+    def build(rows_l, lrank_l, valid_l):
+        lane = jnp.arange(rows_l.shape[1], dtype=jnp.int32)
+        flat = jnp.where(
+            valid_l[0], rows_l[0] * ws + (lrank_l[0] >> 5),
+            n_pad * ws + lane,
+        )
+        bit = jnp.where(
+            valid_l[0],
+            jnp.uint32(1) << (lrank_l[0] & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        words = jnp.zeros(n_pad * ws, jnp.uint32).at[flat].add(
+            bit, mode="drop", unique_indices=True
+        )
+        return words.reshape(n_pad, ws)
+
+    words_s = jax.jit(
+        shard_map(
+            build,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=P(None, "k"),
+        )
+    )(rows_s, lrank_s, valid_s)
+    cls = np.asarray(classes, np.int32)
+    if cls.shape[0] < n_pad:
+        cls = np.concatenate(
+            [cls, np.full(n_pad - cls.shape[0], -1, np.int32)]
+        )
+    classes_s = jax.device_put(
+        cls[:n_pad], NamedSharding(mesh, P(None))
+    )
     return words_s, classes_s
 
 

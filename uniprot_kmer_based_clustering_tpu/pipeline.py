@@ -379,6 +379,61 @@ def _sharded_similarity(
         sharded_pairwise_similarity_kaxis,
     )
 
+    if config.engine == "stream":
+        # engine='stream' on a mesh means OUT-OF-CORE: corpora beyond
+        # per-device (and beyond aggregate) HBM. Only the CSR source
+        # composes — the dense matrix never exists anywhere.
+        if config.stream_source != "csr":
+            raise ValueError(
+                "engine='stream' on a mesh requires stream_source='csr' "
+                "(per-device host-words streaming would re-upload the "
+                "dense matrix D times; the CSR staging replicates in "
+                "one ~0.02%-volume upload)"
+            )
+        if index is None or not getattr(index, "has_incidences", False):
+            raise ValueError(
+                "stream_source='csr' needs the host-built index "
+                "incidence lists"
+            )
+        if len(mesh.axis_names) == 1 and mesh.axis_names != ("k",):
+            # flat row mesh: the sharded stream composition — each
+            # device runs the stationary-group/moving-block schedule
+            # over its own block-pair partition from the REPLICATED
+            # sparse staging (parallel/stream_mesh.py)
+            from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                CSRBlockSource,
+            )
+            from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (
+                sweep_extract_stream_mesh,
+            )
+            from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+                PairwiseResult,
+            )
+
+            threshold = (
+                config.effective_weighted_threshold(weights)
+                if weights is not None
+                else config.threshold
+            )
+            src = CSRBlockSource(
+                index.incidence_protein, index.incidence_rank,
+                bitset.n_pad, bitset.w_pad,
+            )
+            row_stats, _th, _tl, pairs = sweep_extract_stream_mesh(
+                mesh, np.asarray(table.amr_class_ids, np.int32),
+                bitset.n, threshold, block_source=src, bs=config.strip,
+                block=config.tile, weights=weights,
+                cross_amr_only=config.cross_amr_only,
+                cap=config.extract_k or None,
+            )
+            return PairwiseResult.from_row_stats(
+                row_stats, pairs, cross_amr_only=config.cross_amr_only
+            )
+        # 2-D ring / k-axis layouts: no out-of-core schedule exists for
+        # them — fall through to the packless in-core mesh staging (the
+        # dense shards still materialize on device from the CSR lists;
+        # per-device shards must fit HBM)
+
     if len(mesh.axis_names) == 2:
         # hierarchical (hosts × chips) ring: one DCN hop per outer step,
         # inner rotations on ICI
@@ -401,16 +456,10 @@ def _sharded_similarity(
     classes[: bitset.n] = np.asarray(table.amr_class_ids, np.int32)
 
     if config.stream_source == "csr":
-        # packless mesh staging: dense row shards materialize ON DEVICE
-        # from the incidence lists (no dense host matrix, no dense
-        # upload) — flat and 2-D row layouts; the k-axis layout shards
-        # COLUMNS, which the CSR stager does not cover
-        if mesh.axis_names == ("k",):
-            raise ValueError(
-                "stream_source='csr' mesh staging covers the row-"
-                "sharded layouts (flat/2-D ring); the k-axis layout "
-                "needs the dense matrix — use stream_source='host'"
-            )
+        # packless mesh staging: shards materialize ON DEVICE from the
+        # incidence lists (no dense host matrix, no dense upload) —
+        # dense row shards on the flat/2-D row layouts, column-range
+        # shards on the k-axis layout
         if index is None or not getattr(index, "has_incidences", False):
             raise ValueError(
                 "stream_source='csr' needs the host-built index "
