@@ -194,3 +194,27 @@ def test_cli_min_shared_gate(toy_fasta, tmp_path):
         rows = open(os.path.join(out, "clusters.tsv")).read().splitlines()[1:]
         counts[ms] = len({r.split("\t")[3] for r in rows})
     assert counts[40] >= counts[1]
+
+
+def test_strip_mode_matches_one_shot(rng):
+    """The beyond-bundled-scale strip argmax (forced via a tiny HBM
+    budget → _argmax_plan returns a strip/word_chunk plan) must produce
+    the IDENTICAL merge sequence, dendrogram and labels as the one-shot
+    matmul — counts are the same integer sums, so argmax and ties
+    cannot differ."""
+    from uniprot_kmer_based_clustering_tpu.models.agglomerative import (
+        _argmax_plan,
+    )
+
+    n, k = 600, 2048  # n_pad > 512: multi-strip, incl. the clamped tail
+    rows, cols = np.nonzero(rng.random((n, k)) < 0.05)
+    bs = _bitset(rows, cols, n, k)
+    ref = agglomerative_cluster(bs, n, min_shared=2)
+    tiny = 1 << 20  # forces the strip plan AND a word_chunk here
+    assert _argmax_plan(bs.words.shape[0], bs.words.shape[1], tiny)
+    got = agglomerative_cluster(
+        bs, n, min_shared=2, hbm_budget_bytes=tiny
+    )
+    assert np.array_equal(got.labels, ref.labels)
+    assert np.array_equal(got.merges, ref.merges)
+    assert got.rounds == ref.rounds

@@ -64,6 +64,98 @@ def _round_argmax(sigs, active):
     return best_j, best_c
 
 
+@functools.partial(jax.jit, static_argnames=("strip", "word_chunk"))
+def _round_argmax_strip(sigs, active, i0, ones_w, *, strip, word_chunk):
+    """One row STRIP of the round's argmax — the beyond-bundled-scale
+    path. The one-matmul :func:`_round_argmax` unpacks the whole
+    ``[N_pad, K]`` int8 operand (27 GB at the 30k/909k-bit design
+    point — 11× the bundled dataset, far past HBM); this computes the
+    same counts for ``strip`` rows at a time with the sweep's own
+    chunked popcount matmul (``ops.bitmul._counts_window_pair``), so
+    transients stay bounded by ``strip`` and ``word_chunk``. Identical
+    counts (integer matmul sums) ⇒ identical argmax and tie behavior —
+    the strip mode's merge sequence is pinned equal to the one-shot
+    mode in tests/test_agglomerative.py."""
+    from uniprot_kmer_based_clustering_tpu.ops.bitmul import (
+        _counts_window_pair,
+    )
+
+    sl = jax.lax.dynamic_slice(sigs, (i0, 0), (strip, sigs.shape[1]))
+    asl = jax.lax.dynamic_slice(active, (i0,), (strip,))
+    counts = _counts_window_pair(sl, sigs, ones_w, word_chunk=word_chunk)
+    npad = sigs.shape[0]
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    gi = i0 + jnp.arange(strip, dtype=jnp.int32)
+    ok = active[None, :] & asl[:, None] & (gi[:, None] != iota[None, :])
+    counts = jnp.where(ok, counts, -1)
+    best_j = jnp.argmax(counts, axis=1).astype(jnp.int32)
+    best_c = jnp.take_along_axis(counts, best_j[:, None], axis=1)[:, 0]
+    return best_j, best_c
+
+
+@jax.jit
+def _concat_pairs(bjs, bcs):
+    """Stack per-strip argmax outputs into one fetch (each fetched
+    array pays its own ~30 ms tunnel round trip, CLAUDE.md)."""
+    return jnp.concatenate(bjs), jnp.concatenate(bcs)
+
+
+def _round_argmax_any(sigs, active_dev, plan):
+    """Round argmax through whichever path ``plan`` selected (see
+    :func:`_argmax_plan`): the one-shot matmul, or strip dispatch with
+    one concatenated fetch."""
+    if plan is None:
+        return jax.device_get(_round_argmax(sigs, active_dev))
+    strip, word_chunk, ones_w = plan
+    n_pad = sigs.shape[0]
+    bjs, bcs, ics = [], [], []
+    for i0 in range(0, n_pad, strip):
+        # the final strip re-covers the tail from n_pad - strip so the
+        # kernel's slice never clamps out of step with its gi iota
+        # (duplicate rows are overwritten with identical values below)
+        ic = min(i0, max(0, n_pad - strip))
+        ics.append(ic)
+        bj, bc = _round_argmax_strip(
+            sigs, active_dev, jnp.int32(ic), ones_w,
+            strip=strip, word_chunk=word_chunk,
+        )
+        bjs.append(bj)
+        bcs.append(bc)
+    bj_cat, bc_cat = jax.device_get(_concat_pairs(bjs, bcs))
+    bj = np.empty(n_pad, np.int32)
+    bc = np.empty(n_pad, np.int32)
+    for k, ic in enumerate(ics):
+        bj[ic : ic + strip] = bj_cat[k * strip : (k + 1) * strip]
+        bc[ic : ic + strip] = bc_cat[k * strip : (k + 1) * strip]
+    return bj, bc
+
+
+def _argmax_plan(n_pad: int, w: int, hbm_budget_bytes: int):
+    """None (one-shot matmul fits) or (strip, word_chunk, ones) for the
+    strip path. The one-shot round materializes the [N_pad, K] int8
+    unpack plus the [N_pad, N_pad] counts; past ~half the budget, strip
+    so the per-launch transients (strip·K unpack chunk + strip·N_pad
+    counts) stay a small budget fraction."""
+    if n_pad * w * 32 + n_pad * n_pad * 4 <= hbm_budget_bytes // 2:
+        return None
+    strip = min(512, n_pad)
+    while (
+        strip * 2 * n_pad * 4 <= hbm_budget_bytes // 8
+        and strip * 2 < n_pad
+    ):
+        strip *= 2
+    word_chunk = 0
+    if 2 * n_pad * w * 32 > hbm_budget_bytes // 2:
+        target = max(128, hbm_budget_bytes // 2 // (2 * n_pad * 32))
+        base = w // 128
+        best = 1
+        for d in range(1, base + 1):
+            if base % d == 0 and d * 128 <= target:
+                best = d
+        word_chunk = best * 128
+    return strip, word_chunk, jnp.ones(w * 32, jnp.int8)
+
+
 @jax.jit
 def _merge_signatures(sigs, partner, is_winner, is_loser):
     """winners absorb their partner (AND), losers zero out.
@@ -85,17 +177,22 @@ class AgglomerativeResult:
 
 
 def agglomerative_cluster(
-    bitset, n: int, min_shared: int = 1, max_rounds: int = 10_000
+    bitset, n: int, min_shared: int = 1, max_rounds: int = 10_000,
+    hbm_budget_bytes: int = 13 << 30,
 ) -> AgglomerativeResult:
     """Cluster `n` proteins by iterative mutual-argmax signature merges.
 
     `bitset`: a BitsetMatrix (or any object with ``.words`` uint32
     [N_pad, W]). `min_shared`: minimum shared k-mers between the two
     cluster intersection signatures for a merge (the analogue of
-    balance()'s "shares any k-mer" gate at 1).
+    balance()'s "shares any k-mer" gate at 1). Past bundled scale the
+    per-round argmax runs in row strips with chunked unpack
+    (:func:`_argmax_plan` — the one-shot matmul's int8 operand is
+    27 GB at the 30k/909k-bit design point), merge sequence identical.
     """
     words = np.asarray(bitset.words)
-    n_pad = words.shape[0]
+    n_pad, w = words.shape
+    plan = _argmax_plan(n_pad, w, hbm_budget_bytes)
     sigs = jnp.asarray(words)
     active_np = np.zeros(n_pad, bool)
     active_np[:n] = True
@@ -111,8 +208,8 @@ def agglomerative_cluster(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        best_j, best_c = jax.device_get(
-            _round_argmax(sigs, jnp.asarray(active_np))
+        best_j, best_c = _round_argmax_any(
+            sigs, jnp.asarray(active_np), plan
         )
         # mutual argmax pairs over the gate; i < j canonical; ties are
         # deterministic (argmax returns the first maximum)

@@ -406,9 +406,6 @@ def _sharded_similarity(
             from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (
                 sweep_extract_stream_mesh,
             )
-            from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
-                PairwiseResult,
-            )
 
             threshold = (
                 config.effective_weighted_threshold(weights)
