@@ -252,6 +252,58 @@ def main():
         }
         best_qps = max(best_qps, qps)
 
+    # LATENCY routing (single queries): the host CSR walk answers a
+    # batch-1 query in low milliseconds while the device path pays ~3
+    # tunnel round trips — auto-mode servers route batches ≤ 4 to the
+    # walk (similarity/query.py host_route_max). Measure both paths'
+    # batch-1 latency, derive the measured break-even from the device
+    # curve, and assert the routed answers are identical.
+    one = seqs[:1]
+    host.query(one, threshold=10)  # CSR warm (lazy structures built)
+    t_host1 = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        host_one = host.query(one, threshold=10)
+        t_host1 = min(t_host1, time.perf_counter() - t0)
+    srv.set_host_route_max(4)
+    try:
+        h_r = srv.query_async(one, threshold=10)
+        if "counts_host" not in h_r:
+            _fail("latency route did not engage at batch 1")
+            return
+        routed_one = srv.query_wait(h_r)
+        if not np.array_equal(routed_one[0], host_one[0]) or (
+            not np.array_equal(routed_one[0], got[0])
+        ):
+            _fail("latency-routed answer != device/host answer")
+            return
+        t_routed = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            srv.query(one, threshold=10)
+            t_routed = min(t_routed, time.perf_counter() - t0)
+    finally:
+        srv.set_host_route_max(0)
+    break_even = None
+    for b in sorted(int(x) for x in curve):
+        if curve[str(b)]["batch_seconds"] / b < t_host1:
+            break_even = b
+            break
+    route_stats = {
+        "latency_route": {
+            "single_query_device_ms": round(t1 * 1e3, 1),
+            "single_query_hostwalk_ms": round(t_host1 * 1e3, 2),
+            "single_query_routed_ms": round(t_routed * 1e3, 2),
+            "route_speedup": round(t1 / t_routed, 1),
+            "measured_break_even_batch": break_even,
+            "policy": (
+                "auto-mode servers route batches <= 4 to the host CSR "
+                "walk (host_route_max; device kernels above)"
+            ),
+            "parity": "routed answer == device answer == host answer",
+        }
+    }
+
     # stream-backed serving point (mode="stream": host-resident corpus,
     # row blocks re-streamed through the device per batch — the
     # beyond-HBM serving capability, measured honestly at this corpus
@@ -354,6 +406,7 @@ def main():
         "batch64_seconds": round(t64, 4),
         "parity": "host-exact (256/256 sync + every pipelined answer)",
         "device": str(jax.devices()[0]),
+        **route_stats,
         **stream_stats,
         **mesh_stats,
     }

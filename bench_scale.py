@@ -328,6 +328,12 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     # tunnel, which WAS the whole 19 GiB design point's cost — the
     # sweep step itself is 18 ms). "host" packs on the host and
     # streams dense blocks (the right source on real PCIe hosts).
+    # UKC_SCALE_THRESHOLD: alignment gate override (default 10). The
+    # 250k stretch point uses a higher gate so the exact survivor list
+    # stays within the one-pass device pair buffers (survivors scale
+    # ~N² on template-mutation corpora; the engine would detect the
+    # capacity miss and redo exactly, but that is a second full pass).
+    thr = int(os.environ.get("UKC_SCALE_THRESHOLD", "10"))
     src_mode = os.environ.get("UKC_SCALE_STREAM_SOURCE", "csr")
     from uniprot_kmer_based_clustering_tpu.ops.stream import (
         CSRBlockSource,
@@ -388,7 +394,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
 
     t0 = time.perf_counter()
     rs, th, tl, pairs = sweep_extract_stream(
-        words_arg, cls_np, n, 10, pair_format="packed", **sweep_kw
+        words_arg, cls_np, n, thr, pair_format="packed", **sweep_kw
     )
     t_sweep = time.perf_counter() - t0  # sweep AND extraction: one pass
     t_first = t_sweep
@@ -398,7 +404,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     tot = rs.sum(axis=0)
     assert len(pairs) == int(tot[2]), (len(pairs), int(tot[2]))
     t0 = time.perf_counter()
-    n_checked = oracle_gate(idx, classes, pairs, n, 10)
+    n_checked = oracle_gate(idx, classes, pairs, n, thr)
     t_oracle = time.perf_counter() - t0
 
     # UKC_SCALE_STREAM_MESH=D: re-run the SAME design point through the
@@ -422,7 +428,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         mesh = make_mesh(mesh_d)
         t0 = time.perf_counter()
         rs_m, th_m, _, pairs_m = sweep_extract_stream_mesh(
-            mesh, classes, n, 10,
+            mesh, classes, n, thr,
             block_source=CSRBlockSource(
                 idx.incidence_protein, idx.incidence_rank, n,
                 source.w_words,
@@ -465,6 +471,7 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
         ),
         "n_proteins": n,
         "k": kk,
+        "threshold": thr,
         "repeated_kmers": idx.n_repeated,
         "bitset_gb": round(matrix_gib, 2),
         "hbm_budget_gib": budget_gib or 13.0,

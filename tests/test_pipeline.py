@@ -460,3 +460,51 @@ def test_query_pipelined_async_matches_sync(toy_fasta):
     # empty batch round-trips
     srv = servers[0]
     assert srv.query_wait(srv.query_async([])) == []
+
+
+def test_query_latency_route(toy_fasta):
+    """Small batches route through the host CSR walk when enabled
+    (identical answers to the device kernel); batches above the
+    break-even and explicit-mode servers keep the device path."""
+    from uniprot_kmer_based_clustering_tpu.similarity import QueryServer
+
+    res = run_pipeline(toy_fasta, PipelineConfig(**CFG))
+    seqs = [res.table.seq(0)]
+    dev = QueryServer(res.index, res.bitset, mode="device")
+    routed = QueryServer(
+        res.index, res.bitset, mode="device", host_route_max=2
+    )
+    h = routed.query_async(seqs, threshold=1)
+    assert "counts_host" in h  # routed to the CSR walk
+    assert np.array_equal(
+        routed.query_wait(h)[0], dev.query(seqs, threshold=1)[0]
+    )
+    batch5 = [res.table.seq(i) for i in range(5)]
+    h2 = routed.query_async(batch5, threshold=1)
+    assert "counts_host" not in h2  # above break-even: device kernel
+    for a, b in zip(
+        routed.query_wait(h2), dev.query(batch5, threshold=1)
+    ):
+        assert np.array_equal(a, b)
+    # an explicitly device-mode server never routes by default
+    h3 = dev.query_async(seqs, threshold=1)
+    assert "counts_host" not in h3
+    dev.query_wait(h3)
+    # weighted routing agrees too (the CSR walk carries weights)
+    from uniprot_kmer_based_clustering_tpu.utils.blosum import (
+        rank_weights_int8,
+    )
+
+    w = rank_weights_int8(
+        res.index.repeated_codes, 5, res.bitset.w_pad * 32
+    )
+    dw = QueryServer(res.index, res.bitset, weights=w, mode="device")
+    rw = QueryServer(
+        res.index, res.bitset, weights=w, mode="device",
+        host_route_max=1,
+    )
+    hw = rw.query_async(seqs, threshold=1)
+    assert "counts_host" in hw
+    assert np.array_equal(
+        rw.query_wait(hw)[0], dw.query(seqs, threshold=1)[0]
+    )

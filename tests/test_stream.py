@@ -1059,3 +1059,108 @@ def test_stream_csr_weighted_matches_host_source(problem):
     assert np.array_equal(c_th, r_th)
     assert np.array_equal(c_pairs, r_pairs)
     assert len(r_pairs) > 0
+
+
+def test_stream_checkpoint_kill_resume(problem, tmp_path):
+    """Group-boundary checkpointing: kill the one-pass sweep after one
+    stationary group (fault-injection seam), resume with the same
+    store/key — the resumed run must skip the completed group and the
+    final (stats, tile hits, pair list) must be bit-identical to an
+    uncheckpointed run. A geometry change must IGNORE the snapshot, and
+    a completed run must remove it."""
+    import pytest
+
+    from uniprot_kmer_based_clustering_tpu.ops import stream as sm
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+    from uniprot_kmer_based_clustering_tpu.utils.checkpoint import (
+        CheckpointStore,
+    )
+
+    bs, classes, ref = problem
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    kw = dict(n=bs.n, threshold=THR, bs=16, block=16, max_group=1)
+    rs0, th0, _, pr0 = sweep_extract_stream(bs.words, cls, **kw)
+
+    store = CheckpointStore(str(tmp_path))
+    key = "stream-test"
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sweep_extract_stream(
+            bs.words, cls, checkpoint_store=store, checkpoint_key=key,
+            fail_after_groups=2, **kw
+        )
+    snap = store.load(key)
+    assert snap is not None and len(snap["groups_done"]) == 2
+
+    rs1, th1, _, pr1 = sweep_extract_stream(
+        bs.words, cls, checkpoint_store=store, checkpoint_key=key, **kw
+    )
+    assert sm.last_onepass_trace["groups_skipped"] == 2
+    assert np.array_equal(rs1, rs0)
+    assert np.array_equal(th1, th0)
+    assert np.array_equal(pr1, pr0)
+    assert store.load(key) is None  # completed run removed the snapshot
+
+    # packed pair format through a resume
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sweep_extract_stream(
+            bs.words, cls, checkpoint_store=store, checkpoint_key=key,
+            fail_after_groups=1, pair_format="packed", **kw
+        )
+    _, _, _, pr_p = sweep_extract_stream(
+        bs.words, cls, checkpoint_store=store, checkpoint_key=key,
+        pair_format="packed", **kw
+    )
+    from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+        pairs_as_array,
+    )
+
+    assert np.array_equal(pairs_as_array(pr_p), pr0)
+
+    # geometry change ignores the stale snapshot (fresh full run)
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sweep_extract_stream(
+            bs.words, cls, checkpoint_store=store, checkpoint_key=key,
+            fail_after_groups=1, **kw
+        )
+    kw2 = dict(kw, bs=32)
+    rs2, th2, _, pr2 = sweep_extract_stream(
+        bs.words, cls, checkpoint_store=store, checkpoint_key=key, **kw2
+    )
+    assert "groups_skipped" not in sm.last_onepass_trace
+    assert np.array_equal(pr2, pr0)
+
+    # resume works through the CSR block source too (the scale path)
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        CSRBlockSource,
+    )
+
+    rows_np, cols_np = problem_incidence(bs)
+    src = CSRBlockSource(rows_np, cols_np, bs.n_pad, bs.w_pad)
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sweep_extract_stream(
+            None, cls, block_source=src, checkpoint_store=store,
+            checkpoint_key=key, fail_after_groups=2, **kw
+        )
+    rs3, th3, _, pr3 = sweep_extract_stream(
+        None, cls, block_source=src, checkpoint_store=store,
+        checkpoint_key=key, **kw
+    )
+    assert np.array_equal(pr3, pr0)
+    assert np.array_equal(rs3, rs0)
+
+
+def problem_incidence(bs):
+    """(rows, cols) incidence lists recovered from a packed matrix —
+    helper for CSR-source tests."""
+    words = np.asarray(bs.words)
+    rows, wi = np.nonzero(words)
+    out_r, out_c = [], []
+    for r, w, v in zip(rows, wi, words[rows, wi]):
+        for b in range(32):
+            if v >> b & 1:
+                out_r.append(r)
+                out_c.append(w * 32 + b)
+    return (np.asarray(out_r, np.int32), np.asarray(out_c, np.int32))

@@ -821,6 +821,9 @@ def sweep_extract_stream(
     pair_format: str = "arr3",
     dispatch: str = "auto",
     scan_chunk: int = 8,
+    checkpoint_store=None,
+    checkpoint_key: Optional[str] = None,
+    fail_after_groups: Optional[int] = None,
 ):
     """ONE-PASS out-of-core sweep **and** exact pair extraction.
 
@@ -867,7 +870,29 @@ def sweep_extract_stream(
 
     Returns ``(row_stats int64 [N_pad', 8], tile_hits int32 [nT, 2],
     (ti, tj, block), pairs int32 [M, 3] — or packed int64 [M])``.
+
+    **Group-boundary checkpointing** (``checkpoint_store`` — a
+    ``utils.checkpoint.CheckpointStore`` — plus ``checkpoint_key``): at
+    every completed stationary group the stats accumulators
+    (row_stats ~3 MB + block_hits ~300 KB at the 19 GiB design point)
+    and the completed-group list persist; a re-run with the same
+    store/key and geometry SKIPS completed groups. The multi-GB pair
+    buffers are deliberately NOT snapshotted — fetching them per
+    boundary would cost minutes through the ~10 MB/s readback tunnel
+    (>30% of a pass, vs <2% for the stats) — because the completed
+    groups' pairs are exactly recoverable from the checkpointed tile
+    hits: on resume the run compacts only the remaining groups' pairs
+    and recovers the prior groups' through
+    :func:`extract_pairs_stream_grouped` restricted to their tiles
+    (one partial extra pass — paid only when a preemption actually
+    happened). Bit-identical final output either way (pinned in
+    tests/test_stream.py kill/resume). A geometry mismatch (different
+    bs/g/threshold/...) ignores the snapshot; a completed run removes
+    it. ``fail_after_groups`` is the fault-injection seam: raise after
+    that many groups complete this run (SURVEY §5's fault-injection
+    row).
     """
+    import os as _os
     if block_source is not None:
         rows0, w_words = block_source.n_rows, block_source.w_words
     else:
@@ -953,8 +978,62 @@ def sweep_extract_stream(
         weights if weights is not None else np.ones(w_words * 32, np.int8),
         jnp.int8,
     )
-    row_stats = jnp.zeros((n_pad, 8), jnp.int32)
-    block_hits = jnp.zeros((nb, nb, 2), jnp.int32)
+    # checkpoint restore: geometry-validated stats accumulators + the
+    # completed-group set (see the docstring's checkpointing contract)
+    ckpt_geo = np.array(
+        [bs, g, n, n_pad, threshold, block, w_thresh, word_chunk,
+         int(bool(cross_amr_only)), int(weights is not None)],
+        np.int64,
+    )
+    ckpt_on = checkpoint_store is not None and bool(checkpoint_key)
+    prior_groups: set = set()
+    restored = None
+    if ckpt_on:
+        snap = checkpoint_store.load(checkpoint_key)
+        if snap is not None and np.array_equal(
+            snap.get("geometry"), ckpt_geo
+        ):
+            prior_groups = {int(x) for x in snap["groups_done"]}
+            restored = (snap["row_stats"], snap["block_hits"])
+    if restored is not None:
+        row_stats = jnp.asarray(restored[0])
+        block_hits = jnp.asarray(restored[1])
+    else:
+        row_stats = jnp.zeros((n_pad, 8), jnp.int32)
+        block_hits = jnp.zeros((nb, nb, 2), jnp.int32)
+    done_groups = set(prior_groups)
+    groups_this_run = 0
+
+    def _group_boundary(state, s0):
+        """Post-group checkpoint: settle the queue, fetch the (small)
+        stats accumulators, persist, and fire the fault-injection seam."""
+        nonlocal groups_this_run
+        if not ckpt_on:
+            return
+        t0 = time.perf_counter()
+        _drain(0)
+        rs_c, bh_c = jax.device_get((state[0], state[1]))
+        done_groups.add(s0)
+        checkpoint_store.save(
+            checkpoint_key,
+            geometry=ckpt_geo,
+            groups_done=np.array(sorted(done_groups), np.int64),
+            row_stats=rs_c,
+            block_hits=bh_c,
+        )
+        trace["ckpt_s"] = trace.get("ckpt_s", 0.0) + (
+            time.perf_counter() - t0
+        )
+        groups_this_run += 1
+        if (
+            fail_after_groups is not None
+            and groups_this_run >= fail_after_groups
+        ):
+            raise RuntimeError(
+                f"stream checkpoint fault injection: killed after "
+                f"{groups_this_run} group(s)"
+            )
+
     # + one [bs, bs] window of slack rows: the sort-based append writes
     # whole windows at the cursor and must never clamp in a valid run
     buffers = _new_pair_buffers(vcap + bs * bs)
@@ -1003,6 +1082,8 @@ def sweep_extract_stream(
         cls_pad_dev = jax.device_put(classes[:n_pad])
         stack = None
         for s0 in range(0, nbk, g):
+            if s0 in prior_groups:
+                continue  # checkpoint resume: group already swept
             g_here = min(g, nbk - s0)
             if stack is not None:
                 # release the previous group's stack BEFORE building
@@ -1054,12 +1135,15 @@ def sweep_extract_stream(
                 pending.append(state[5])
                 if len(pending) > 2 * inflight:
                     _drain(inflight)
+            _group_boundary(state, s0)
     else:
         cls_dev = [
             jax.device_put(classes[b * bs : (b + 1) * bs])
             for b in range(nbk)
         ]
         for s0 in range(0, nbk, g):
+            if s0 in prior_groups:
+                continue  # checkpoint resume: group already swept
             g_here = min(g, nbk - s0)
             stationary = [_put(s0 + t) for t in range(g_here)]
             for jb in range(s0, nbk):
@@ -1086,6 +1170,7 @@ def sweep_extract_stream(
                     pending.append(state[5])
                     if len(pending) > 2 * inflight:
                         _drain(inflight)
+            _group_boundary(state, s0)
     _drain(0)
 
     row_stats, block_hits, gbi, gbj, gbc, cursor = state
@@ -1100,10 +1185,27 @@ def sweep_extract_stream(
     tile_hits = bh[ti, tj]
     tiles = (ti, tj, block)
     total = int(tile_hits[:, 0].astype(np.int64).sum())
+    hits_vec = tile_hits[:, 0].astype(np.int64)
     if not cross_amr_only:
         total += int(tile_hits[:, 1].astype(np.int64).sum())
+        hits_vec = hits_vec + tile_hits[:, 1]
 
-    if total > vcap:
+    # checkpoint resume: this run's cursor compacted only the groups
+    # swept NOW — prior groups' survivors (known exactly from the
+    # restored tile hits) are recovered by the grouped extractor below
+    prior_mask = None
+    total_prior = 0
+    if prior_groups:
+        nsb = bs // block
+        owner = ((ti // nsb) // g) * g
+        prior_mask = np.isin(
+            owner, np.fromiter(prior_groups, np.int64, len(prior_groups))
+        )
+        total_prior = int(hits_vec[prior_mask].sum())
+        trace["groups_skipped"] = len(prior_groups)
+    total_now = total - total_prior
+
+    if total_now > vcap:
         # capacity miss: `total` is the sweep's own exact int64 survivor
         # count (tile_hits summed on host), so deciding overflow from it
         # — not from the int32 cursor, which wraps past 2^31 survivors —
@@ -1124,21 +1226,54 @@ def sweep_extract_stream(
             pair_format=pair_format,
         )
     else:
-        # total ≤ vcap < 2^31 here, so the int32 cursor cannot have
+        # total_now ≤ vcap < 2^31 here, so the int32 cursor cannot have
         # wrapped — a mismatch is a genuine compaction bug, not overflow
-        if int(count) != total:
+        if int(count) != total_now:
             raise AssertionError(
                 f"one-pass compacted {int(count)} pairs, sweep stats "
-                f"promised {total}"
+                f"promised {total_now}"
             )
         # device-sort, slice the occupied prefix ON DEVICE (sentinels
-        # sort to the tail), fetch only `total` rows — vcap may be far
-        # larger than the survivor count
+        # sort to the tail), fetch only `total_now` rows — vcap may be
+        # far larger than the survivor count
         t0 = time.perf_counter()
-        pairs = _fetch_sorted_pairs(gbi, gbj, gbc, total, pair_format,
-                                    n_pad)
+        pairs = _fetch_sorted_pairs(gbi, gbj, gbc, total_now,
+                                    pair_format, n_pad)
         trace["fetch_s"] += time.perf_counter() - t0
         trace["pair_format"] = "packed" if pairs.ndim == 1 else "arr3"
+        if total_prior:
+            # resume merge: recover the checkpointed groups' pairs from
+            # their exact tile hits (one partial grouped pass over only
+            # those block pairs) and canonicalize the union. Paid only
+            # on an actual resume — the unpreempted path never runs it.
+            masked = np.zeros_like(tile_hits)
+            masked[prior_mask] = tile_hits[prior_mask]
+            prior_pairs = extract_pairs_stream_grouped(
+                None if block_source is not None else words_host,
+                classes, masked, tiles, n=n,
+                threshold=threshold, cross_amr_only=cross_amr_only,
+                weights=weights, hbm_budget_bytes=hbm_budget_bytes,
+                inflight=inflight, block_source=block_source,
+                bs=bs, word_chunk=word_chunk, max_group=max_group,
+                pair_format=pair_format,
+            )
+            if pairs.ndim == 1 and prior_pairs.ndim == 1:
+                # packed values sort exactly like (i, j) — one np.sort
+                pairs = np.sort(np.concatenate([pairs, prior_pairs]))
+            else:
+                from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (  # noqa: E501
+                    pairs_as_array,
+                )
+
+                a = np.concatenate(
+                    [pairs_as_array(pairs), pairs_as_array(prior_pairs)]
+                )
+                pairs = a[np.lexsort((a[:, 1], a[:, 0]))]
+    if ckpt_on:
+        # completed: a stale snapshot must not hijack the next run
+        p = checkpoint_store.path(checkpoint_key)
+        if p and _os.path.exists(p):
+            _os.remove(p)
     global last_onepass_trace
     last_onepass_trace = trace
     return rs.astype(np.int64), tile_hits, tiles, pairs

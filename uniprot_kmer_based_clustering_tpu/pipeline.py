@@ -228,6 +228,16 @@ def run_pipeline(
                 pairwise = pairwise_similarity(
                     bitset, table.amr_class_ids, config,
                     weights=weights, index=index,
+                    # stream runs checkpoint their sweep PROGRESS at
+                    # stationary-group boundaries under a sub-key of
+                    # the pairs artifact (a preempted out-of-core pass
+                    # resumes mid-sweep; the finished artifact above
+                    # still owns stage-level resume)
+                    checkpoint_store=store,
+                    checkpoint_key=(
+                        key_pairs + "-stream-progress"
+                        if config.engine == "stream" else None
+                    ),
                 )
         store.save(
             key_pairs,

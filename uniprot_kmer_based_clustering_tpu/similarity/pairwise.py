@@ -858,6 +858,8 @@ def pairwise_similarity(
     interpret: bool = False,
     weights: Optional[np.ndarray] = None,
     index=None,
+    checkpoint_store=None,
+    checkpoint_key: Optional[str] = None,
 ) -> PairwiseResult:
     """Run the fused sweep + extraction on the current default device.
 
@@ -866,6 +868,11 @@ def pairwise_similarity(
     uses the MXU engine (the weighting is a matmul column scale).
     `index` (the KmerIndex the bitset was packed from) lets the native
     engine run its sparse sweep instead of the dense one.
+    `checkpoint_store`/`checkpoint_key` enable the stream engine's
+    group-boundary checkpointing (ops.stream.sweep_extract_stream): a
+    preempted out-of-core pass resumes from the last completed
+    stationary group instead of restarting (run_pipeline passes them
+    automatically for stream runs with a checkpoint_dir).
     """
     config = config or PipelineConfig()
     n = bitset.n
@@ -963,6 +970,8 @@ def pairwise_similarity(
                 cross_amr_only=config.cross_amr_only,
                 cap=config.extract_k or None,
                 block_source=source,
+                checkpoint_store=checkpoint_store,
+                checkpoint_key=checkpoint_key,
             )
             return PairwiseResult.from_row_stats(
                 row_stats, pairs, cross_amr_only=config.cross_amr_only

@@ -262,6 +262,7 @@ class QueryServer:
         topk_cap: int = 512,
         stream_bs: Optional[int] = None,
         stream_source: str = "auto",
+        host_route_max: object = "auto",
     ):
         import jax
 
@@ -272,6 +273,28 @@ class QueryServer:
         self.weighted = weights is not None
         self._weights = weights
         self._mesh = mesh
+        # LATENCY routing: a batch of ≤ host_route_max queries answers
+        # through the host rank-CSR walk even on device/mesh/stream
+        # servers (lazily built on first use). A single device query
+        # pays ~3 tunnel round trips (~263 ms at the 100k design point,
+        # BENCH_queryscale100k_r04) while the CSR walk answers the same
+        # query in low milliseconds — the device path only wins once
+        # the batch amortizes its round trips (measured break-even ~4
+        # queries on this tunnel; bench_query records both paths).
+        # host_route_max="auto" enables the route (break-even batch 4)
+        # for mode="auto" servers only — an EXPLICIT mode="device" /
+        # "stream" / mesh server keeps its chosen kernel on every batch
+        # (tests and benches rely on that); pass a number to force the
+        # route on any non-host server, 0 to disable.
+        self._host_route_max = 0
+        if index.has_incidences and mode != "host":
+            if host_route_max == "auto":
+                self._host_route_max = (
+                    4 if (mode == "auto" and mesh is None) else 0
+                )
+            else:
+                self._host_route_max = int(host_route_max)
+        self._host_csr_built = False
         # single-device serving compacts hits on device and fetches only
         # the best `topk_cap` lanes per query (readback is the serving
         # bottleneck through this environment's tunnel); a query with
@@ -368,6 +391,17 @@ class QueryServer:
             self._build_host_csr()
         else:
             self._build_device_blocks()
+
+    def set_host_route_max(self, n: int) -> None:
+        """Adjust the latency-route break-even batch at runtime
+        (0 disables routing); needs the host-built incidence lists.
+        The CSR rebuilds lazily on the next routed query."""
+        if n and not self.index.has_incidences:
+            raise ValueError(
+                "latency routing needs the host-built index incidence "
+                "lists"
+            )
+        self._host_route_max = int(n)
 
     def _build_host_csr(self):
         order = np.argsort(self.index.incidence_rank, kind="stable")
@@ -589,6 +623,9 @@ class QueryServer:
             self._build_host_csr()
         else:
             self._build_device_blocks()
+        # the latency route's CSR is derived from the (possibly grown)
+        # index — invalidate so the next routed query rebuilds it
+        self._host_csr_built = False
         self._needs_rebuild = False
 
     def _build_stream_source(self):
@@ -651,7 +688,15 @@ class QueryServer:
         nq = len(seqs)
         if nq == 0:
             return {"nq": 0, "threshold": threshold}
-        if self._host_mode:
+        if self._host_mode or (
+            nq <= self._host_route_max and self.index.has_incidences
+        ):
+            # host mode proper, or the latency route: batches below the
+            # device break-even answer via the rank-CSR walk (identical
+            # results — both paths count the same rank intersections)
+            if not self._host_mode and not self._host_csr_built:
+                self._build_host_csr()
+                self._host_csr_built = True
             return {
                 "nq": nq,
                 "threshold": threshold,
