@@ -369,6 +369,12 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     sweep_kw = dict(block=blk, bs=sbs)
     if budget_gib:
         sweep_kw["hbm_budget_bytes"] = int(budget_gib * (1 << 30))
+    # UKC_SCALE_CAP: explicit pair-buffer rows (the auto cap is
+    # hbm/8/12 ≈ 145M — the 250k stretch point's survivor list is
+    # larger, and a capacity miss would redo the whole pass)
+    cap_env = int(os.environ.get("UKC_SCALE_CAP", "0"))
+    if cap_env:
+        sweep_kw["cap"] = cap_env
 
     if source is not None:
         sweep_kw["block_source"] = source
