@@ -508,3 +508,23 @@ def test_query_latency_route(toy_fasta):
     assert np.array_equal(
         rw.query_wait(hw)[0], dw.query(seqs, threshold=1)[0]
     )
+
+
+def test_canonical_lane_sort_contract():
+    """The serving top-k epilogue's lane canonicalization: count desc,
+    index asc on ties, INT32_MIN sentinels LAST (bitwise-not keys are
+    overflow-safe where plain negation is not). Exists because
+    lax.top_k's tie order varies with lane width on TPU — caught by the
+    100k hardware parity gate."""
+    import jax.numpy as jnp
+
+    from uniprot_kmer_based_clustering_tpu.similarity.query import (
+        _canonical_lane_sort,
+    )
+
+    sent = np.iinfo(np.int32).min
+    vals = jnp.asarray([[5, 7, sent, 7, 5, sent]], jnp.int32)
+    idx = jnp.asarray([[9, 4, 0, 2, 3, 1]], jnp.int32)
+    v, i = _canonical_lane_sort(vals, idx)
+    assert np.array_equal(np.asarray(v)[0], [7, 7, 5, 5, sent, sent])
+    assert np.array_equal(np.asarray(i)[0], [2, 4, 3, 9, 0, 1])

@@ -130,11 +130,16 @@ def _counts_topk_fn(weighted: bool, cap: int, n: int):
     so instead of fetching the full int32 [Q, N] counts matrix the
     epilogue masks `counts > threshold` on device and returns the best
     `cap` (value, index) lanes per query plus the EXACT hit count.
-    `lax.top_k` breaks ties toward the lower index, which is
-    byte-identical to the host path's `lexsort((hits, -c))` ordering
-    (count desc, index asc). A query whose hit count exceeds `cap` is
+    The selected lanes are then CANONICALIZED by a two-key lane sort
+    (count desc via overflow-safe bitwise-not keys, index asc) —
+    `lax.top_k`'s tie order is NOT stable at every lane width on this
+    stack (it matched the host's count-desc/index-asc order at the
+    bundled 10.7k-lane scale but broke it at 100,352 lanes, caught by
+    bench_query's 100k parity gate 2026-08-21), and the selection is
+    unaffected because a query whose hit count exceeds `cap` is
     detected by the caller and re-answered through the full-counts
-    kernel — never a silent truncation.
+    kernel — never a silent truncation (when every hit fits, tie order
+    cannot change WHICH lanes are selected, only their order).
 
     Tunnel-latency shaping (every synchronizing host↔device interaction
     costs ~15-30 ms here): the three results concatenate into ONE int32
@@ -162,11 +167,28 @@ def _counts_topk_fn(weighted: bool, cap: int, n: int):
         sentinel = jnp.iinfo(jnp.int32).min
         masked = jnp.where(hit, counts, sentinel)
         vals, idx = jax.lax.top_k(masked, cap)
+        vals, idx = _canonical_lane_sort(vals, idx)
         return jnp.concatenate(
             [vals, idx.astype(jnp.int32), nhits[:, None]], axis=1
         )
 
     return counts_topk
+
+
+def _canonical_lane_sort(vals, idx):
+    """Canonicalize top-k lanes to the serving order contract (count
+    desc, index asc): two-key `lax.sort` with ``~vals`` as the primary
+    key — bitwise NOT is a total, overflow-safe descending map (the
+    int32 sentinel INT32_MIN maps to INT32_MAX, so sentinel lanes sort
+    LAST; plain negation would overflow on it). Exists because
+    `lax.top_k`'s tie order varies with the lane width on this stack."""
+    import jax
+    import jax.numpy as jnp
+
+    nv, si = jax.lax.sort(
+        (jnp.bitwise_not(vals), idx.astype(jnp.int32)), num_keys=2
+    )
+    return jnp.bitwise_not(nv), si
 
 
 @functools.lru_cache(maxsize=8)
@@ -199,6 +221,7 @@ def _stream_block_topk_fn(weighted: bool, cap: int):
         sentinel = jnp.iinfo(jnp.int32).min
         masked = jnp.where(hit, counts, sentinel)
         vals, idx = jax.lax.top_k(masked, cap)
+        vals, idx = _canonical_lane_sort(vals, idx)
         return jnp.concatenate(
             [vals, idx.astype(jnp.int32), nhits[:, None]], axis=1
         )
