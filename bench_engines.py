@@ -241,6 +241,64 @@ def main():
             golden_count += 1
         engines[name] = rec
 
+    # the sharded out-of-core composition on a 1-device mesh (the only
+    # hardware here; D>1 bit-identity is CPU-mesh/dryrun territory):
+    # same golden gate, pair list must equal the reference engine's
+    try:
+        from uniprot_kmer_based_clustering_tpu.ops.stream import (
+            CSRBlockSource,
+        )
+        from uniprot_kmer_based_clustering_tpu.parallel import make_mesh
+        from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (
+            sweep_extract_stream_mesh,
+        )
+        from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (
+            PairwiseResult,
+        )
+
+        mesh1 = make_mesh(1)
+
+        def _run_mesh():
+            src = CSRBlockSource(
+                idx.incidence_protein, idx.incidence_rank,
+                bitset.n_pad, bitset.w_pad,
+            )
+            rs, _th, _tl, pr = sweep_extract_stream_mesh(
+                mesh1, classes, table.n, 10, block_source=src,
+            )
+            return PairwiseResult.from_row_stats(
+                rs, pr, cross_amr_only=True
+            )
+
+        rec = {}
+        t0 = time.perf_counter()
+        res = _run_mesh()
+        rec["cold_s"] = round(time.perf_counter() - t0, 3)
+        warm = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res2 = _run_mesh()
+            warm = min(warm, time.perf_counter() - t0)
+        rec["warm_s"] = round(warm, 3)
+        got = res.parity_counters()
+        ok = got == (golden if golden is not None else ref_counters)
+        ok = ok and np.array_equal(res.pairs, res2.pairs)
+        pairs_eq = (
+            ref_pairs is not None
+            and np.array_equal(res.pairs, ref_pairs)
+        )
+        rec["parity"] = (
+            "golden-exact" if (ok and pairs_eq)
+            else f"MISMATCH: counters={got} pairs_eq={pairs_eq}"
+        )
+        if ok and pairs_eq:
+            golden_count += 1
+        engines["stream_mesh_d1"] = rec
+    except Exception as e:  # noqa: BLE001
+        engines["stream_mesh_d1"] = {
+            "parity": f"ERROR: {type(e).__name__}: {e}"
+        }
+
     # stats-epilogue cross-check: the Pallas tile-walk and the fused XLA
     # mask/reduce chain must produce identical row statistics on chip.
     # Hardware-only (the Mosaic kernel has no CPU lowering; its interpret
@@ -434,9 +492,12 @@ def main():
             rec = {"parity": f"ERROR: {type(e).__name__}: {e}"}
         engines["agglomerative"] = rec
 
-    # + stats epilogue pair + the k=7 and weighted config gates;
-    # skipped gates drop out of the denominator
-    total = len([n for n, _ in ENGINES]) + 1 + len(extra_gates) - skipped
+    # + the stream-mesh composition row + stats epilogue pair + the k=7
+    # and weighted config gates; skipped gates drop out of the
+    # denominator
+    total = (
+        len([n for n, _ in ENGINES]) + 1 + 1 + len(extra_gates) - skipped
+    )
     line = {
         "metric": "engine_parity",
         "value": float(golden_count),
