@@ -151,6 +151,38 @@ agg_k = np.concatenate(
 )
 assert np.array_equal(agg_k, agg), "k-axis aggregate mismatch"
 
+# Sharded OUT-OF-CORE stream composition across the real process
+# boundary: replicated CSR staging, per-process block-pair partitions,
+# cooperative stack all_gather over gloo, replicated probe/merge — the
+# multi-host path of parallel/stream_mesh.py. max_group=1 forces the
+# multi-group schedule.
+from uniprot_kmer_based_clustering_tpu.ops.stream import (  # noqa: E402
+    CSRBlockSource,
+)
+from uniprot_kmer_based_clustering_tpu.parallel.stream_mesh import (  # noqa: E402
+    sweep_extract_stream_mesh,
+)
+
+_rows_b, _wi = np.nonzero(words)
+_bits = words[_rows_b, _wi]
+_ip, _ir = [], []
+for _b in range(32):
+    _sel = ((_bits >> _b) & 1).astype(bool)
+    _ip.append(_rows_b[_sel])
+    _ir.append(_wi[_sel] * 32 + _b)
+_ip = np.concatenate(_ip).astype(np.int32)
+_ir = np.concatenate(_ir).astype(np.int32)
+src_sm = CSRBlockSource(_ip, _ir, n_pad, w)
+rs_sm, th_sm, _, pairs_sm = sweep_extract_stream_mesh(
+    mesh, classes, n, 10, block_source=src_sm, bs=128, block=128,
+    max_group=1, scan_chunk=3,
+)
+assert np.array_equal(pairs_sm, np.asarray(pairs)), "stream-mesh pairs"
+agg_sm = np.concatenate(
+    [rs_sm[:, SUM_LANES].sum(axis=0), rs_sm[:, MAX_LANES].max(axis=0)]
+)
+assert np.array_equal(agg_sm, agg), "stream-mesh aggregate mismatch"
+
 # Distributed doc-freq over a tiny 5-mer code matrix.
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
