@@ -980,9 +980,17 @@ def sweep_extract_stream(
     )
     # checkpoint restore: geometry-validated stats accumulators + the
     # completed-group set (see the docstring's checkpointing contract)
+    import zlib as _zlib
+
+    # crc of the weight VALUES (not just the weighted flag): resuming
+    # with different weights would silently merge stale accumulators
+    w_crc = (
+        _zlib.crc32(np.ascontiguousarray(weights, np.int8).tobytes())
+        if weights is not None else 0
+    )
     ckpt_geo = np.array(
         [bs, g, n, n_pad, threshold, block, w_thresh, word_chunk,
-         int(bool(cross_amr_only)), int(weights is not None)],
+         int(bool(cross_amr_only)), w_crc],
         np.int64,
     )
     ckpt_on = checkpoint_store is not None and bool(checkpoint_key)

@@ -368,7 +368,17 @@ def sweep_extract_stream_mesh(
     g = int(min(nbk, max(1, resident_budget // block_bytes)))
     if max_group:
         g = max(1, min(g, int(max_group)))
+    if g > d:
+        # round DOWN to a device-count multiple so the cooperative
+        # stack holds exactly g blocks — a gpd·D > g stack would pin up
+        # to D−1 un-budgeted blocks of replicated HBM (~2 GB at the
+        # 19 GiB design point's block size with D=8)
+        g = (g // d) * d
     gpd = -(-g // d)  # blocks built per device; stack holds gpd·D ≥ g
+    # inherent floor of the cooperative build: every device contributes
+    # ≥1 block, so the replicated stack holds ≥ D blocks even when the
+    # budget affords fewer — per-device HBM must fit D stream blocks
+    # (shrink bs if that binds; it never does at the supported scales)
 
     if word_chunk is None:
         word_chunk = 0
