@@ -375,6 +375,17 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
     cap_env = int(os.environ.get("UKC_SCALE_CAP", "0"))
     if cap_env:
         sweep_kw["cap"] = cap_env
+    # UKC_SCALE_STREAM_CKPT=dir: run the pass with group-boundary
+    # checkpointing enabled — the artifact records the measured
+    # snapshot overhead (stream_trace.ckpt_s) against the whole pass
+    ckpt_dir = os.environ.get("UKC_SCALE_STREAM_CKPT")
+    if ckpt_dir:
+        from uniprot_kmer_based_clustering_tpu.utils.checkpoint import (
+            CheckpointStore,
+        )
+
+        sweep_kw["checkpoint_store"] = CheckpointStore(ckpt_dir)
+        sweep_kw["checkpoint_key"] = "bench-stream-progress"
 
     if source is not None:
         sweep_kw["block_source"] = source
@@ -441,7 +452,9 @@ def _stream_only_run(n: int, kk: int, blk: int) -> None:
             ),
             pair_format="packed", **{
                 k: v for k, v in sweep_kw.items()
-                if k != "block_source"
+                if k not in (
+                    "block_source", "checkpoint_store", "checkpoint_key",
+                )
             },
         )
         t_mesh = time.perf_counter() - t0
