@@ -1018,8 +1018,11 @@ def sweep_extract_stream(
         nonlocal groups_this_run
         if not ckpt_on:
             return
-        t0 = time.perf_counter()
+        # the boundary drain is pipeline work the pass owes anyway (its
+        # time is accounted in drain_s); ckpt_s times ONLY the snapshot
+        # itself — the ~4 MB stats fetch + the compressed write
         _drain(0)
+        t0 = time.perf_counter()
         rs_c, bh_c = jax.device_get((state[0], state[1]))
         done_groups.add(s0)
         checkpoint_store.save(
