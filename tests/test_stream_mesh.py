@@ -230,3 +230,58 @@ def test_mesh_stream_real_data_slice():
     assert np.array_equal(pairs_as_array(pr1), pairs_as_array(pr2))
     assert _stats8(rs1) == _stats8(rs2)
     assert pairs_as_array(pr1).shape[0] > 0  # real survivors in the slice
+
+
+def test_mesh_stream_checkpoint_kill_resume(problem, tmp_path):
+    """Mesh kill/resume: die after one group (fault seam), resume with
+    the same store/key on the SAME mesh — and then resume a single-chip
+    snapshot THROUGH the mesh engine (the snapshots are
+    layout-compatible) — all bit-identical to an uncheckpointed run."""
+    from uniprot_kmer_based_clustering_tpu.ops.stream import (
+        sweep_extract_stream,
+    )
+    from uniprot_kmer_based_clustering_tpu.parallel import stream_mesh
+    from uniprot_kmer_based_clustering_tpu.utils.checkpoint import (
+        CheckpointStore,
+    )
+
+    bs, rows, cols, classes, ref, src = problem
+    store = CheckpointStore(str(tmp_path))
+    kw = dict(bs=16, max_group=1, scan_chunk=3)
+    rs0, th0, _, pr0 = _run_mesh(problem, 4, **kw)
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        _run_mesh(
+            problem, 4, checkpoint_store=store, checkpoint_key="m",
+            fail_after_groups=2, **kw
+        )
+    snap = store.load("m")
+    assert snap is not None and len(snap["groups_done"]) == 2
+    rs1, th1, _, pr1 = _run_mesh(
+        problem, 4, checkpoint_store=store, checkpoint_key="m", **kw
+    )
+    assert stream_mesh.last_mesh_trace["groups_skipped"] == 2
+    assert np.array_equal(th1, th0)
+    assert np.array_equal(pairs_as_array(pr1), pairs_as_array(pr0))
+    assert _stats8(rs1) == _stats8(rs0)
+    assert store.load("m") is None  # completed run removed the snapshot
+
+    # cross-engine resume: a SINGLE-CHIP pass dies mid-sweep, the MESH
+    # engine picks the snapshot up (identical geometry layout) — and
+    # the reverse. Same (bs, g) geometry via max_group=1/bs=16.
+    cls = np.full(bs.n_pad, -1, np.int32)
+    cls[: bs.n] = classes
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sweep_extract_stream(
+            None, cls, n=bs.n, threshold=THR, bs=16, block=16,
+            max_group=1,
+            block_source=CSRBlockSource(rows, cols, bs.n_pad, bs.w_pad),
+            checkpoint_store=store, checkpoint_key="x",
+            fail_after_groups=3,
+        )
+    rs2, th2, _, pr2 = _run_mesh(
+        problem, 2, checkpoint_store=store, checkpoint_key="x", **kw
+    )
+    assert stream_mesh.last_mesh_trace["groups_skipped"] == 3
+    assert np.array_equal(pairs_as_array(pr2), pairs_as_array(pr0))
+    assert _stats8(rs2) == _stats8(rs0)

@@ -295,6 +295,9 @@ def sweep_extract_stream_mesh(
     max_group: Optional[int] = None,
     scan_chunk: int = 8,
     pair_format: str = "arr3",
+    checkpoint_store=None,
+    checkpoint_key: Optional[str] = None,
+    fail_after_groups: Optional[int] = None,
 ):
     """ONE-PASS out-of-core sweep **and** exact pair extraction over a
     device mesh — the sharded :func:`ops.stream.sweep_extract_stream`.
@@ -313,6 +316,20 @@ def sweep_extract_stream_mesh(
     ``pair_format="packed"`` fits (callers distinguish by ``ndim``).
     Bit-identical to the single-chip stream engines for every device
     count.
+
+    **Group-boundary checkpointing** (``checkpoint_store`` +
+    ``checkpoint_key``): the single-chip engine's contract
+    (ops.stream.sweep_extract_stream docstring), mesh-adapted — at
+    every completed group the CUMULATIVE merged stats (replicated
+    merge + one ~4 MB fetch) and completed-group list persist; a
+    resumed run keeps the restored stats on the HOST (the per-device
+    accumulators stay zero-initialized — integer lane merges compose,
+    so prior + this-run merge exactly at the end), skips completed
+    groups, and recovers their pairs from the checkpointed tile hits
+    via the single-device grouped extractor. Snapshots are
+    geometry-compatible with the single-chip engine's (identical
+    layout and semantics), so a pass may even resume across engines.
+    ``fail_after_groups`` is the fault-injection seam.
     """
     assert len(mesh.axis_names) == 1, (
         "stream-mesh composition runs on a flat mesh (one axis); "
@@ -413,6 +430,45 @@ def sweep_extract_stream_mesh(
     )
     stage_s = time.perf_counter() - t0
 
+    # checkpoint restore (single-chip-compatible snapshot layout; see
+    # ops.stream.sweep_extract_stream): cumulative stats stay on the
+    # HOST — the zero per-device accumulators merge with them exactly
+    # at the end (integer lane merges compose)
+    import os as _os
+    import zlib as _zlib
+
+    w_crc = (
+        _zlib.crc32(np.ascontiguousarray(weights, np.int8).tobytes())
+        if weights is not None else 0
+    )
+    ckpt_geo = np.array(
+        [bs, g, n, n_pad, threshold, block, w_thresh, word_chunk,
+         int(bool(cross_amr_only)), w_crc],
+        np.int64,
+    )
+    ckpt_on = checkpoint_store is not None and bool(checkpoint_key)
+    prior_groups: set = set()
+    prior_rs = None
+    prior_bh = None
+    if ckpt_on:
+        snap = checkpoint_store.load(checkpoint_key)
+        if snap is not None and np.array_equal(
+            snap.get("geometry"), ckpt_geo
+        ):
+            prior_groups = {int(x) for x in snap["groups_done"]}
+            prior_rs = snap["row_stats"]
+            prior_bh = snap["block_hits"]
+    done_groups = set(prior_groups)
+    groups_this_run = 0
+
+    def _merge_host(rs_a, bh_a, rs_b, bh_b):
+        """Host-side lane-rule merge (merge_row_stats_at's contract)."""
+        lanes8 = np.arange(8)[None, :]
+        rs = np.where(
+            lanes8 % 4 == 3, np.maximum(rs_a, rs_b), rs_a + rs_b
+        ).astype(np.int32)
+        return rs, bh_a + bh_b
+
     vcap_l = vcap + bs * bs  # + one sort-append slack window per device
     state = _make_state_init(mesh, axis, d, n_pad, nb, vcap_l)()
     chunk_fn = _make_mesh_chunk(
@@ -439,6 +495,40 @@ def sweep_extract_stream_mesh(
             jax.device_get(newest)
         trace["drain_s"] += time.perf_counter() - t0
 
+    def _group_boundary(s0):
+        """Post-group checkpoint: settle the queue, merge + fetch the
+        (small) cumulative stats, persist, fire the fault seam."""
+        nonlocal groups_this_run
+        if not ckpt_on:
+            return
+        _drain(0)
+        t0 = time.perf_counter()
+        rs_c, bh_c, _ = jax.device_get(
+            _make_merge_stats(mesh)(state[0], state[1], state[5])
+        )
+        if prior_rs is not None:
+            rs_c, bh_c = _merge_host(prior_rs, prior_bh, rs_c, bh_c)
+        done_groups.add(s0)
+        checkpoint_store.save(
+            checkpoint_key,
+            geometry=ckpt_geo,
+            groups_done=np.array(sorted(done_groups), np.int64),
+            row_stats=rs_c,
+            block_hits=bh_c,
+        )
+        trace["ckpt_s"] = trace.get("ckpt_s", 0.0) + (
+            time.perf_counter() - t0
+        )
+        groups_this_run += 1
+        if (
+            fail_after_groups is not None
+            and groups_this_run >= fail_after_groups
+        ):
+            raise RuntimeError(
+                f"stream-mesh checkpoint fault injection: killed after "
+                f"{groups_this_run} group(s)"
+            )
+
     # host schedule: per group, per-device contiguous moving-block
     # segments balanced by step weight; saved for the post-hoc
     # per-device expected-count check
@@ -446,6 +536,8 @@ def sweep_extract_stream_mesh(
     dev_steps = np.zeros(d, np.int64)  # partition balance diagnostic
     stack = None
     for s0 in range(0, nbk, g):
+        if s0 in prior_groups:
+            continue  # checkpoint resume: group already swept
         g_here = min(g, nbk - s0)
         if stack is not None:
             # release the previous group's stack BEFORE building the
@@ -504,6 +596,7 @@ def sweep_extract_stream_mesh(
             pending.append(probe)
             if len(pending) > 2 * inflight:
                 _drain(inflight)
+        _group_boundary(s0)
     _drain(0)
     trace["balance"] = (
         float(dev_steps.min() / max(1, dev_steps.max()))
@@ -517,6 +610,10 @@ def sweep_extract_stream_mesh(
     )
     rs, bh, cursors = jax.device_get((rs_m, bh_m, cur_m))
     trace["fetch_s"] += time.perf_counter() - t0
+    if prior_rs is not None:
+        # checkpoint resume: fold the restored cumulative stats in
+        # (this run's accumulators covered only the remaining groups)
+        rs, bh = _merge_host(prior_rs, prior_bh, rs, bh)
 
     from uniprot_kmer_based_clustering_tpu.ops.popcount import (
         upper_triangle_tiles,
@@ -533,22 +630,32 @@ def sweep_extract_stream_mesh(
     # per-device expected survivor counts from the sweep's own exact
     # tile hits mapped through the partition (tile → bs-block pair →
     # owning group → segment owner) — exact at any scale, like the
-    # single-chip engine's int64 overflow decision
+    # single-chip engine's int64 overflow decision. Tiles owned by
+    # checkpoint-restored groups were not compacted this run; their
+    # survivors are recovered by the grouped extractor below.
     nsb = bs // block
     ib_arr = ti // nsb
     jb_arr = tj // nsb
     expected = np.zeros(d, np.int64)
+    total_prior = 0
+    prior_mask = np.zeros(len(ti), bool)
     sel = hits > 0
     for t in np.nonzero(sel)[0]:
         ib, jb = int(ib_arr[t]), int(jb_arr[t])
         s0 = (ib // g) * g
+        if s0 in prior_groups:
+            total_prior += int(hits[t])
+            prior_mask[t] = True
+            continue
         bounds, jbs = group_bounds[s0]
         # jbs = arange(s0, nbk): the index of jb is jb - s0; its owner
         # is the segment [bounds[k], bounds[k+1]) containing it (empty
         # segments repeat a bound — side="right" skips them)
         owner = int(np.searchsorted(bounds, jb - s0, side="right")) - 1
         expected[min(owner, d - 1)] += int(hits[t])
-    assert expected.sum() == total
+    assert expected.sum() + total_prior == total
+    if prior_groups:
+        trace["groups_skipped"] = len(prior_groups)
 
     if (expected > vcap).any():
         # capacity miss: redo the pair list with the exact tile hits
@@ -563,7 +670,7 @@ def sweep_extract_stream_mesh(
             threshold=threshold, cross_amr_only=cross_amr_only,
             weights=weights, hbm_budget_bytes=hbm_budget_bytes,
             inflight=inflight, block_source=block_source,
-            word_chunk=word_chunk, max_group=max_group,
+            bs=bs, word_chunk=word_chunk, max_group=max_group,
             pair_format=pair_format,
         )
     else:
@@ -574,10 +681,44 @@ def sweep_extract_stream_mesh(
             )
         t0 = time.perf_counter()
         pairs = _fetch_mesh_pairs(
-            mesh, gbi, gbj, gbc, cur_m, total, pair_format, n_pad
+            mesh, gbi, gbj, gbc, cur_m, total - total_prior,
+            pair_format, n_pad,
         )
         trace["fetch_s"] += time.perf_counter() - t0
         trace["pair_format"] = "packed" if pairs.ndim == 1 else "arr3"
+        if total_prior:
+            # resume merge: recover the checkpointed groups' pairs from
+            # their exact tile hits (the single-chip engine's idiom) and
+            # canonicalize the union
+            from uniprot_kmer_based_clustering_tpu.ops.stream import (
+                extract_pairs_stream_grouped,
+            )
+
+            masked = np.zeros_like(tile_hits)
+            masked[prior_mask] = tile_hits[prior_mask]
+            prior_pairs = extract_pairs_stream_grouped(
+                None, classes, masked, tiles, n=n,
+                threshold=threshold, cross_amr_only=cross_amr_only,
+                weights=weights, hbm_budget_bytes=hbm_budget_bytes,
+                inflight=inflight, block_source=block_source,
+                bs=bs, word_chunk=word_chunk, max_group=max_group,
+                pair_format=pair_format,
+            )
+            if pairs.ndim == 1 and prior_pairs.ndim == 1:
+                pairs = np.sort(np.concatenate([pairs, prior_pairs]))
+            else:
+                from uniprot_kmer_based_clustering_tpu.similarity.pairwise import (  # noqa: E501
+                    pairs_as_array,
+                )
+
+                a = np.concatenate(
+                    [pairs_as_array(pairs), pairs_as_array(prior_pairs)]
+                )
+                pairs = a[np.lexsort((a[:, 1], a[:, 0]))]
+    if ckpt_on:
+        p = checkpoint_store.path(checkpoint_key)
+        if p and _os.path.exists(p):
+            _os.remove(p)
     global last_mesh_trace
     last_mesh_trace = trace
     return rs.astype(np.int64), tile_hits, tiles, pairs
